@@ -1,0 +1,4 @@
+from .registry import QuerySpec, REGISTRY, register, all_queries, all_oracle_sql  # noqa: F401
+
+# Importing the query modules populates REGISTRY.
+from . import queries_core  # noqa: F401,E402
