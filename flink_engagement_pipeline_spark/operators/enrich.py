@@ -6,6 +6,13 @@ e.proc_time``, reference src/process.py:180-182), then derives
 ``engagement_seconds`` (CAST + /1000.0) and ``engagement_pct``
 (guarded ROUND division) — SURVEY.md §2.3/§2.5.
 
+Fixture remapping (deliberate): the reference computes
+``ROUND((duration_ms/1000.0)/length_seconds, 2)``; the fixtures have
+no ``length_seconds``, so ``engagement_pct`` here is
+``ROUND(value/c_acctbal, 4)`` — same operator shape (guarded divide +
+ROUND), different denominator and scale. ``engagement_seconds`` keeps
+the /1000.0 step verbatim.
+
 Spark-first design: a **broadcast stream-static LEFT equi-join**. The
 dimension is tiny relative to the fact stream (50 rows in the
 reference, 150*sf customers here), so broadcasting it turns Flink's

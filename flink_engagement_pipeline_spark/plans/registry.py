@@ -1,12 +1,13 @@
 """Query registry: the single source of truth for the engine's declared
 query surface.
 
-Every operator claimed in SURVEY.md §2 is declared here exactly once as
-a :class:`QuerySpec` — a named pair of (Spark callable, DuckDB oracle
-SQL). ``__spark_entry__.py``'s ``queries()`` / ``oracle_sql()``, the
-pytest oracle suite, and ``bench.py`` all read from this registry, so a
-query cannot pass tests without also being exposed to the driver's
-correctness gate.
+Each implemented operator is declared here as a :class:`QuerySpec` — a
+named pair of (Spark callable, DuckDB oracle SQL).
+``__spark_entry__.py``'s ``queries()`` / ``oracle_sql()``, the pytest
+oracle suite, and ``bench.py`` all read from this registry, so a query
+cannot pass tests without also being exposed to the driver's
+correctness gate. Coverage of SURVEY.md §2 is exactly the set of
+registered names — nothing is claimed beyond what is registered.
 
 Determinism contract (hash-matching oracle):
 - session timezone pinned UTC (session.py);

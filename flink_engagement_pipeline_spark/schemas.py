@@ -23,10 +23,31 @@ from pyspark.sql import types as T
 # (reference sql/init.sql:12-21): event_id<->id, ts<->event_ts,
 # user_id<->user_id, event_type<->event_type, value<->duration_ms,
 # props<->raw_payload (opaque JSON string, reference src/datagen.py:59).
+#
+# The fixture parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4.x
+# rejects both under an imposed TimestampType schema and under schema
+# inference. The read path (sources/tables.py) therefore reads `ts` as
+# a raw nanosecond LongType (EVENTS_RAW, with
+# spark.sql.legacy.parquet.nanosAsLong=true) and converts to
+# TimestampType microseconds with integer division
+# (timestamp_micros(ts DIV 1000) — float division loses 1 µs on ~12%
+# of rows). EVENTS below is the *logical* schema every query sees.
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
         T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+# Physical read schema for the events parquet (ts as raw ns since epoch).
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),

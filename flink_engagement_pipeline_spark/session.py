@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # fixture events.ts is parquet TIMESTAMP(NANOS); read as long ns
+        # (also set at read time in sources/tables.py for foreign sessions)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- scale posture (same knobs we'd set cluster-side) -----------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -6,6 +6,16 @@ never inferred. Parquet scans get column pruning + predicate pushdown
 from Catalyst for free — the `.explain()` of downstream queries must
 show ReadSchema restricted to used columns and PushedFilters for any
 literal predicates; that is the 100 TB contract.
+
+Events NANOS note: the fixture stores ``events.ts`` as parquet
+TIMESTAMP(NANOS), which Spark 4.x cannot read as TimestampType. We set
+``spark.sql.legacy.parquet.nanosAsLong=true`` on the *passed-in*
+session (the driver calls queries with its own SparkSession, so the
+config must be applied here in the query path, not only in our session
+factory), read ``ts`` as LongType nanoseconds, and convert with
+**integer** division ``timestamp_micros(ts DIV 1000)``. Float division
+``(ts/1000).cast("long")`` is 1 µs off on ~12% of rows
+(double-precision rounding) and fails the oracle hash.
 """
 
 from __future__ import annotations
@@ -13,20 +23,41 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..schemas import TABLES
+from ..schemas import EVENTS_RAW, TABLES
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Runtime-settable; must be applied to whichever session runs the
+    read (the driver's own session included)."""
+    if spark.conf.get(_NANOS_CONF, "false") != "true":
+        spark.conf.set(_NANOS_CONF, "true")
+
+
+def normalize_events(raw: DataFrame) -> DataFrame:
+    """ns-long ``ts`` -> TimestampType (µs).  Integer DIV, never float
+    division (see module docstring).  Works on batch and streaming
+    DataFrames alike."""
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its declared schema.
 
     ``schema(...)`` on a parquet read prunes to the declared columns and
-    fixes types (timestamp[ns] -> TimestampType microseconds) instead of
-    trusting file metadata — the reference's explicit-DDL discipline.
+    fixes types instead of trusting file metadata — the reference's
+    explicit-DDL discipline.  ``events`` goes through the ns->µs
+    normalization so every downstream query sees TimestampType.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        _ensure_nanos_conf(spark)
+        return normalize_events(spark.read.schema(EVENTS_RAW).parquet(path))
     return spark.read.schema(TABLES[name]).parquet(path)
 
 

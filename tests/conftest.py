@@ -17,6 +17,7 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     spark = get_spark("fep-spark-tests", cores=8, shuffle_partitions=8)
     yield spark
+    spark.stop()
 
 
 @pytest.fixture(scope="session")

@@ -57,8 +57,8 @@ def _to_py(v):
             pass
     if v is not None and str(type(v)) == "<class 'pandas._libs.tslibs.timestamps.Timestamp'>":
         return v.to_pydatetime()
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return None
+    # NaN is NOT collapsed to None here — _canon distinguishes NaN from
+    # NULL so a Spark-NaN vs oracle-NULL divergence fails the check.
     return v
 
 
