@@ -1,0 +1,140 @@
+"""Event-time window aggregations (SURVEY.md §2.6/§2.9: A1, T3).
+
+The reference's second query is a sliding-window SUM —
+``GROUP BY content_id, HOP(proc_time, INTERVAL '5' SECOND, INTERVAL
+'10' MINUTE)`` (reference src/process.py:196-204). We keep the exact
+HOP parameters but aggregate on *event time* (deterministic and
+oracle-checkable; the reference's processing-time results are
+irreproducible — SURVEY.md §4.3 documents the deliberate deviation).
+
+Scale design (the 120× trap): each event belongs to size/slide = 120
+overlapping windows, so the exploded relation is 120× the fact table.
+The only safe plan is to project down to (ts, key, measure) *before*
+the window explode so the wide columns never multiply, and to let the
+partial (map-side) aggregation collapse rows before the shuffle.
+``F.window`` + ``groupBy`` does exactly that: Catalyst plans
+Expand(120) -> partial HashAggregate -> shuffle by (window, key) ->
+final HashAggregate, and AQE right-sizes the shuffle. Nothing is
+materialized wide.
+
+Sums go through DECIMAL (functions/exact.py) so results are exact,
+order-independent, and hash-stable across engines and reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+
+HOP_SIZE = "10 minutes"
+HOP_SLIDE = "5 seconds"
+
+
+def hop_engagement_sum(
+    events: DataFrame,
+    key: str = "user_id",
+    measure: str = "value",
+    size: str = HOP_SIZE,
+    slide: str = HOP_SLIDE,
+) -> DataFrame:
+    """Sliding-window SUM of the engagement measure per key (A1).
+
+    Mirrors reference src/process.py:196-204 with event time; column
+    narrowing before the 120x window explode is the 100 TB contract.
+    """
+    narrow = events.select(key, "ts", dec(measure).alias("v"))
+    return (
+        narrow.groupBy(F.window("ts", size, slide), key)
+        .agg(F.sum("v").cast("double").alias("engagement_sum"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key,
+            "engagement_sum",
+        )
+    )
+
+
+def tumbling_stats(
+    events: DataFrame,
+    key: str = "event_type",
+    measure: str = "value",
+    size: str = HOP_SIZE,
+) -> DataFrame:
+    """Tumbling-window COUNT/SUM/AVG/MIN/MAX per (window, key) — the
+    extended aggregate surface (SURVEY.md §7 Phase 1 item 8).
+
+    AVG is written as SUM(decimal)/COUNT so both engines evaluate the
+    identical double expression.
+    """
+    narrow = events.select(key, "ts", F.col(measure).alias("m"), dec(measure).alias("v"))
+    return (
+        narrow.groupBy(F.window("ts", size), key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+            (F.sum("v").cast("double") / F.count("m")).alias("avg_value"),
+            F.min("m").alias("min_value"),
+            F.max("m").alias("max_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            key,
+            "n_events",
+            "sum_value",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def hop_oracle_sql(
+    key: str = "user_id",
+    measure: str = "value",
+    size_s: int = 600,
+    slide_s: int = 5,
+) -> str:
+    """DuckDB equivalent of Spark's epoch-aligned sliding window: an
+    event at t belongs to the 120 windows starting at
+    floor(t/slide)*slide - k*slide for k in [0, size/slide)."""
+    return f"""
+WITH exploded AS (
+    SELECT
+        make_timestamp(
+            (epoch_us(CAST(e.ts AS TIMESTAMP)) // {slide_s * 1_000_000})
+                * {slide_s * 1_000_000} - o.off * 1000000
+        ) AS window_start,
+        e.{key} AS {key},
+        CAST(e.{measure} AS DECIMAL(18,2)) AS v
+    FROM events e
+    CROSS JOIN (SELECT unnest(range(0, {size_s}, {slide_s})) AS off) o
+)
+SELECT
+    window_start,
+    window_start + INTERVAL {size_s} SECOND AS window_end,
+    {key},
+    CAST(SUM(v) AS DOUBLE) AS engagement_sum
+FROM exploded
+GROUP BY window_start, {key}
+"""
+
+
+def tumbling_oracle_sql(
+    key: str = "event_type", measure: str = "value", size_s: int = 600
+) -> str:
+    us = size_s * 1_000_000
+    return f"""
+SELECT
+    make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // {us}) * {us}) AS window_start,
+    {key},
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST({measure} AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+    CAST(SUM(CAST({measure} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({measure}) AS avg_value,
+    MIN({measure}) AS min_value,
+    MAX({measure}) AS max_value
+FROM events
+GROUP BY 1, 2
+"""

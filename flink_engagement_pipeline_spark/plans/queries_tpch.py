@@ -1,0 +1,221 @@
+"""TPC-H-style analytical queries over the star-schema fixtures.
+
+The reference pipeline's analytical read side is ClickHouse
+(`engagement_enriched`, reference src/process.py:17-31) — these queries
+declare the equivalent warehouse capability surface on Spark: wide
+grouped aggregation (q1-style), selective fact/dim join with top-k
+(q3-style), and a multi-dimension snowflake join (q5-style).
+
+Exactness: all money math runs in DECIMAL end-to-end (see
+functions/exact.py) — products of 2-decimal columns are exact decimals
+in both Spark and DuckDB, sums are order-independent, ORDER BY uses the
+exact decimal (never its double projection), and only the final output
+casts to DOUBLE.
+
+Scale design per query is in each docstring; the common rules: filters
+are expressed on the base scans (Catalyst pushes them into parquet:
+PushedFilters), dimensions are broadcast explicitly, the big
+fact-to-fact joins are left to shuffle-hash/sort-merge under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..sources.tables import load_table
+from .registry import register
+
+# Tight decimal types keep precision under Spark's 38-digit cap through
+# the product chain: (12,2)*(4,2)=(17,4), *(4,2)=(22,6), sum adds 10.
+_QTY = "decimal(12,2)"
+_PRICE = "decimal(12,2)"
+_FRAC = "decimal(3,2)"  # discounts/taxes are < 1.00
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast(_FRAC)
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)       AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)  AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                                                                 AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+                                                                 AS sum_charge,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity)
+                                                                 AS avg_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice)
+                                                                 AS avg_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(l_discount)
+                                                                 AS avg_disc,
+    COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc=(
+        "TPC-H q1-style pricing summary: single scan, pushed-down date "
+        "filter, partial+final hash agg over 2 low-cardinality keys. "
+        "The map-side combine collapses ~all rows before the shuffle — "
+        "the plan that survives 100 TB unchanged."
+    ),
+    bench=True,
+    tags=("aggregates", "scan", "pushdown"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = dec("l_quantity", _QTY)
+    price = dec("l_extendedprice", _PRICE)
+    disc = dec("l_discount", _FRAC)
+    tax = dec("l_tax", _FRAC)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (_one() - disc) * (_one() + tax)).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+        (F.sum(price).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+        (F.sum(disc).cast("double") / F.count("l_discount")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "top_orders_by_revenue",
+    oracle="""
+SELECT
+    l.l_orderkey                                   AS l_orderkey,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                                                   AS revenue,
+    o.o_orderdate                                  AS o_orderdate
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) DESC,
+         o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+""",
+    doc=(
+        "TPC-H q3-style: selective dim filter broadcast into the fact "
+        "join, grouped revenue, top-10 via TakeOrderedAndProject "
+        "ordered on the exact decimal sum. customer is broadcast "
+        "explicitly; orders-lineitem is a shuffle join sized by AQE."
+    ),
+    bench=True,
+    tags=("join", "topk", "aggregates", "pushdown"),
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue_dec = F.sum(
+        dec("l_extendedprice", _PRICE) * (_one() - dec("l_discount", _FRAC))
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue_dec.alias("__rev_dec"))
+        .orderBy(
+            F.col("__rev_dec").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+        .select(
+            "l_orderkey", F.col("__rev_dec").cast("double").alias("revenue"), "o_orderdate"
+        )
+    )
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+SELECT
+    n.n_name                                       AS n_name,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                                                   AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN customer c ON c.c_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_custkey  = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_suppkey = s.s_suppkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    doc=(
+        "TPC-H q5-style snowflake join: region/nation/supplier/customer "
+        "all broadcast (each orders-of-magnitude smaller than the "
+        "fact); lineitem-orders is the one shuffle join. Same-nation "
+        "constraint rides the join keys, date filter pushed to the "
+        "orders scan."
+    ),
+    bench=True,
+    tags=("join", "broadcast", "aggregates", "pushdown"),
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    dims = (
+        supplier.join(
+            F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = customer.select("c_custkey", "c_nationkey")
+    fact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_suppkey", "l_extendedprice", "l_discount", "o_custkey"
+    )
+    joined = (
+        fact.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dims),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice", _PRICE) * (_one() - dec("l_discount", _FRAC)))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
