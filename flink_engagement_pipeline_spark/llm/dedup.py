@@ -1,0 +1,245 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale ladder (the 100 TB story):
+- exact: hash-groupBy — one shuffle on a 16-byte key, map-side combine.
+- n-gram Jaccard: the *exact* similarity baseline; candidate pairs come
+  from a same-shingle equi-join, so cost is bounded by shingle-bucket
+  sizes (fine at fixture scale, quadratic on hot shingles). This is the
+  correctness oracle for the approximate methods, not the scale path.
+- MinHash+LSH: the scale path — banded signatures turn all-pairs
+  similarity into an equi-join on (band, band_signature); candidate
+  count is ~linear in the number of true near-dup pairs. Never
+  crossJoin.
+- SimHash: per-row 64-bit signature, zero shuffle to compute; near-dup
+  buckets by signature prefix.
+
+All per-row compute is JVM Column expressions (higher-order functions
+over token arrays) — no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, normalize, shingles, words
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Group documents by md5(normalized text): survivor (min doc_id) +
+    multiplicity per distinct content."""
+    return (
+        docs.select(F.col("doc_id"), fingerprint_md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+    min(doc_id)                                              AS keep_doc_id,
+    count(*)                                                 AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (similarity baseline; also the LSH oracle)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard >= threshold.
+
+    Exact set similarity via a same-shingle equi-join: explode distinct
+    shingles, self-join on the shingle, count common, join set sizes.
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — all integers until one double
+    division, so cross-engine exact.
+    """
+    sh = docs.select(
+        F.col("doc_id"), F.explode(shingles("text", n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(
+            sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id")
+        )
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
+    grams = " || ' ' || ".join(f"ws[i+{d}]" for d in range(n))
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(
+               CASE WHEN len(ws) >= {n}
+                    THEN list_distinct(list_transform(range(1, len(ws) - {n - 2}), i -> {grams}))
+                    ELSE [array_to_string(ws, ' ')] END
+           ) AS sh
+    FROM base
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH (the scale path)
+# --------------------------------------------------------------------------
+
+NUM_HASHES = 64
+BAND_ROWS = 4  # 16 bands of 4 -> s-curve threshold ~ (1/16)^(1/4) ~ 0.5
+
+
+def minhash_signature(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + array<long> MinHash signature.
+
+    One xxhash64 per (shingle, seed); seeds are extra hash inputs, not
+    affine re-mixes, so there is no 64-bit arithmetic to overflow under
+    ANSI mode. Pure per-row compute — no shuffle.
+    """
+    # NB: higher-order lambdas must take exactly ONE parameter — a
+    # captured-default second arg (lambda s, i=i: ...) makes PySpark
+    # bind the array *index* to it, silently changing semantics.
+    def seed_hash(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    # Materialize the shingle array (and one base hash per shingle)
+    # behind projection boundaries so the 64 per-seed passes reuse the
+    # computed arrays instead of re-deriving
+    # normalize->split->concat->distinct 64 times over.
+    base = docs.select(F.col("doc_id"), shingles("text", n).alias("sh"))
+    hashed = base.select(
+        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("hs", seed_hash(i)))
+            for i in range(NUM_HASHES)
+        ]
+    )
+    return hashed.select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n: int = 3, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Near-dup candidate pairs from banded MinHash LSH.
+
+    Explode each signature into (band_idx, band_sig) buckets and
+    equi-join on the bucket — candidates are pairs agreeing on at least
+    one full band. The join key is (band_idx, xxhash64(band slice)),
+    so bucket sizes stay tiny and no all-pairs comparison ever happens;
+    this is the plan that survives a 1B-document corpus.
+    """
+    num_bands = NUM_HASHES // band_rows
+    sigs = minhash_signature(docs, n)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * band_rows + 1, band_rows)
+                        ).alias("band_sig"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_sig")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit long
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per document from md5-based token hashes.
+
+    Per-token hash = first 15 hex chars of md5 as a long (cross-engine
+    and cross-language reproducible — the pytest oracle recomputes it
+    in pure Python). Bit b of the signature is 1 iff more token hashes
+    have bit b set than unset. Zero shuffle; one projection.
+    """
+    def bit_set(b: int):
+        # single-param lambda (see minhash_signature note)
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    toks = words("text")
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    n_tok = F.size(toks)
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        cnt = F.size(F.filter(hs, bit_set(b)))
+        bit_terms.append(F.when(cnt * 2 > n_tok, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig = sig + t
+    return docs.select(
+        F.col("doc_id"),
+        sig.alias("simhash"),
+        # top-12-bit prefix bucket: cheap blocking key for near-dup scan
+        F.shiftright(sig, SIMHASH_BITS - 12).alias("simhash_bucket"),
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Two tiers:
+- brute-force cosine top-k: the exact baseline. JVM-side
+  zip_with/aggregate fold — verified bit-identical to DuckDB's
+  list_dot_product, so it carries a real hash-matching oracle.
+- LSH-bucketed ANN: the scale path. Random-hyperplane signs bucket the
+  corpus; the query probes its own bucket plus Hamming-1 neighbors and
+  brute-forces only the candidates. At 1000 executors the bucketing is
+  a narrow projection + partition-local filter; no crossJoin of the
+  corpus against itself ever happens.
+
+An IVF variant would k-means the corpus and probe nearest centroids —
+same plan shape (assign = narrow projection, probe = pruned scan);
+LSH is chosen here because it needs no training state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold dot product — bit-identical to DuckDB
+    list_dot_product on the same double values."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def cosine_to_query(emb: DataFrame, query: DataFrame) -> DataFrame:
+    """cosine(e, q) for every corpus row against a 1-row query DF."""
+    e = _as_double(F.col("embedding"))
+    q = _as_double(F.col("q"))
+    cos = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    return emb.crossJoin(F.broadcast(query)).select(
+        F.col("vec_id"), cos.alias("cosine")
+    )
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 20) -> DataFrame:
+    """Exact top-k by cosine against the embedding of `query_vec_id`.
+
+    The query side is a broadcast 1-row DataFrame (never a collect of
+    the corpus); top-k is TakeOrderedAndProject on (cosine desc,
+    vec_id) — per-partition heaps, no global sort.
+    """
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    return (
+        cosine_to_query(emb, query)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_oracle_sql(query_vec_id: int = 0, k: int = 20) -> str:
+    return f"""
+SELECT e.vec_id AS vec_id,
+       list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.q AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.q AS DOUBLE[]), CAST(q.q AS DOUBLE[])))) AS cosine
+FROM embeddings e
+CROSS JOIN (SELECT embedding AS q FROM embeddings WHERE vec_id = {query_vec_id}) q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH ANN
+# --------------------------------------------------------------------------
+
+NUM_PLANES = 6  # 64 buckets; multiprobe Hamming-1 widens recall
+
+
+def _hyperplanes(num_planes: int = NUM_PLANES, dim: int = DIM) -> np.ndarray:
+    """Deterministic hyperplanes (fixed seed -> identical plan every
+    run; randomness quality is irrelevant, reproducibility is not)."""
+    return np.random.default_rng(7).standard_normal((num_planes, dim))
+
+
+def _bucket_expr(col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id of an embedding column: bit j = [e . w_j > 0]."""
+    bucket = F.lit(0)
+    for j, w in enumerate(planes):
+        lit_w = F.array(*[F.lit(float(x)) for x in w])
+        bucket = bucket + F.when(_dot(_as_double(col), lit_w) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def bucketize(emb: DataFrame, planes: np.ndarray | None = None) -> DataFrame:
+    planes = _hyperplanes() if planes is None else planes
+    return emb.withColumn("bucket", _bucket_expr(F.col("embedding"), planes))
+
+
+def ann_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket + Hamming-1
+    neighbors, exact cosine inside the candidate set only.
+
+    The probe-bucket set is derived from the query row alone (a 1-row
+    lookup); the corpus-side filter `bucket IN (...)` prunes partitions
+    before any distance math runs.
+    """
+    planes = _hyperplanes()
+    bucketed = bucketize(emb, planes)
+    qrow = (
+        bucketed.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding", "bucket")
+        .first()
+    )
+    q_bucket = qrow["bucket"]
+    probes = [q_bucket] + [q_bucket ^ (1 << j) for j in range(len(planes))]
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    candidates = bucketed.filter(F.col("bucket").isin(probes))
+    return (
+        cosine_to_query(candidates, query)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

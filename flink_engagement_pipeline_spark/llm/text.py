@@ -1,0 +1,131 @@
+"""Text-analysis Column helpers: normalization, shingling, token
+counting, quality scoring, language-ID, fingerprinting.
+
+Everything here is a pure JVM-side Column expression (whole-stage
+codegen, no Python in the hot path). Each helper documents its DuckDB
+oracle equivalent; integer-derived ratios (count/count) are the only
+float math, so results are bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword lists for the heuristic language-ID.
+# Membership tests only — identical literal lists appear in the oracle
+# SQL (plans/queries_llm.py builds both from these constants).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "es": ("el", "los", "las", "y", "que", "en", "un", "una", "es", "por"),
+    "fr": ("le", "les", "des", "et", "pour", "dans", "au", "avec", "sur", "une"),
+}
+
+# BPE-ish tokenizer: letter runs | digit runs | single other non-space.
+# Kept to a syntax subset valid in both Java regex and DuckDB's RE2.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def normalize(text: Column | str) -> Column:
+    """lower + trim + collapse whitespace.
+    Oracle: ``regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokens of the normalized text.
+    Oracle: ``string_split(<norm>, ' ')``."""
+    return F.split(normalize(text), " ")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (order-insensitive set for
+    Jaccard/MinHash). Oracle: ``list_distinct(list_transform(range(1,
+    len(ws)-(n-2)), i -> ws[i]||' '||...))``; docs shorter than n words
+    fall back to the single whole-text shingle."""
+    ws = words(text)
+    idx = F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(ws, i + F.lit(d)) for d in range(n)]
+    )
+    return F.when(
+        F.size(ws) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array(normalize(text)))
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace token count. Oracle: ``len(string_split(<norm>, ' '))``."""
+    return F.size(words(text))
+
+
+def re_token_count(text: Column | str) -> Column:
+    """BPE-ish regex token count.
+    Oracle: ``len(regexp_extract_all(text, TOKEN_RE))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    # idx=0 = whole match (the pattern has no capture groups)
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Count of tokens in the language's stopword list.
+    Oracle: ``len(list_filter(string_split(<norm>,' '), w -> w IN (...)))``."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words(text), lambda w: w.isin(*sw)))
+
+
+def lang_pred(text: Column | str) -> Column:
+    """Heuristic language-ID: argmax of stopword hits with a fixed
+    priority order (en > de > es > fr > und). Deterministic CASE chain;
+    the oracle SQL is the literal same chain. A real pipeline would
+    swap in a char-n-gram model via pandas_udf; the operator shape
+    (per-row classify, no shuffle) is what matters at scale."""
+    en, de, es, fr = (stopword_hits(text, lang) for lang in ("en", "de", "es", "fr"))
+    return (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+
+
+def quality_score(text: Column | str) -> dict[str, Column]:
+    """Length/stopword/word-shape quality heuristics.
+
+    Returns named components plus a combined score; all ratios are
+    int/int double divisions evaluated with the identical expression in
+    the oracle SQL, so hashes match exactly.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    norm = normalize(c)
+    n_tokens = ws_token_count(c)
+    n_alpha_chars = F.length(F.regexp_replace(norm, " ", ""))
+    avg_token_len = n_alpha_chars.cast("double") / n_tokens
+    stop_ratio = stopword_hits(c, "en").cast("double") / n_tokens
+    score = F.round(
+        F.least(n_tokens.cast("double") / 200.0, F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + F.least(avg_token_len / 8.0, F.lit(1.0)) * 0.3,
+        6,
+    )
+    return {
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "stop_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of the normalized text.
+    Oracle: ``md5(<norm>)``."""
+    return F.md5(normalize(text))
+
+
+def fingerprint_min_shingle(text: Column | str, n: int = 3) -> Column:
+    """Winnowing-flavored rolling fingerprint: the minimum md5 over the
+    document's word n-gram shingles (a 1-hash MinHash). Oracle:
+    ``list_min(list_transform(<shingles>, s -> md5(s)))``."""
+    return F.array_min(F.transform(shingles(text, n), F.md5))

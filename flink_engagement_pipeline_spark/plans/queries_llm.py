@@ -1,0 +1,261 @@
+"""Training-data pipeline queries over documents / embeddings
+(SURVEY.md §7 Phase 3; graded as first-class components).
+
+Oracle strategy: exact operators (token stats, quality, lang-id,
+fingerprints, exact dedup, n-gram Jaccard, brute cosine, media
+features) carry full hash-matching DuckDB SQL. Approximate operators
+(MinHash LSH, SimHash, LSH ANN) are rows-only here and verified by
+dedicated pytest oracles (recall vs the exact baseline, pure-Python
+signature recomputation) — approximate outputs can't hash-match by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup as ld
+from ..llm import multimodal as lm
+from ..llm import similarity as ls
+from ..llm import text as lt
+from ..sources.tables import load_table
+from .registry import register
+
+# DuckDB expression fragments mirroring llm/text.py helpers (built from
+# the same constants so the two dialects cannot drift).
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+def _sw_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in lt.STOPWORDS[lang])
+
+
+def _hits(lang: str) -> str:
+    return f"len(list_filter({_WORDS}, w -> w IN ({_sw_list(lang)})))"
+
+
+@register(
+    "docs_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({_WORDS})                                        AS ws_tokens,
+       len(regexp_extract_all(text, '{lt.TOKEN_RE}'))       AS re_tokens,
+       length(text)                                         AS n_chars_text,
+       n_chars                                              AS n_chars_meta
+FROM documents
+""",
+    doc=(
+        "Token counting: whitespace tokens + BPE-ish regex tokens "
+        "(letter runs / digit runs / single punctuation) per document. "
+        "Pure projection — no shuffle."
+    ),
+    bench=True,
+    tags=("llm", "text", "tokenize"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lt.ws_token_count("text").alias("ws_tokens"),
+        lt.re_token_count("text").alias("re_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.col("n_chars").alias("n_chars_meta"),
+    )
+
+
+@register(
+    "docs_quality",
+    oracle=f"""
+SELECT doc_id,
+       len({_WORDS}) AS n_tokens,
+       CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE) / len({_WORDS})
+           AS avg_token_len,
+       CAST({_hits('en')} AS DOUBLE) / len({_WORDS}) AS stop_ratio,
+       round(
+           least(CAST(len({_WORDS}) AS DOUBLE) / 200.0, 1.0) * 0.4
+           + (CAST({_hits('en')} AS DOUBLE) / len({_WORDS})) * 0.3
+           + least((CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE)
+                    / len({_WORDS})) / 8.0, 1.0) * 0.3,
+           6) AS quality_score
+FROM documents
+""",
+    doc=(
+        "Quality scoring: token count, mean token length, stopword "
+        "ratio, combined score — integer-derived ratios only, so the "
+        "hash matches exactly."
+    ),
+    tags=("llm", "text", "quality"),
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qs = lt.quality_score("text")
+    return docs.select(
+        "doc_id",
+        qs["n_tokens"].alias("n_tokens"),
+        qs["avg_token_len"].alias("avg_token_len"),
+        qs["stop_ratio"].alias("stop_ratio"),
+        qs["quality_score"].alias("quality_score"),
+    )
+
+
+@register(
+    "docs_lang_id",
+    oracle=f"""
+SELECT doc_id, lang AS lang_meta,
+       CASE WHEN {_hits('en')} >= {_hits('de')} AND {_hits('en')} >= {_hits('es')}
+                 AND {_hits('en')} >= {_hits('fr')} AND {_hits('en')} > 0 THEN 'en'
+            WHEN {_hits('de')} >= {_hits('es')} AND {_hits('de')} >= {_hits('fr')}
+                 AND {_hits('de')} > 0 THEN 'de'
+            WHEN {_hits('es')} >= {_hits('fr')} AND {_hits('es')} > 0 THEN 'es'
+            WHEN {_hits('fr')} > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM documents
+""",
+    doc=(
+        "Heuristic language-ID (stopword-hit argmax with fixed "
+        "priority). The fixture texts are synthetic word salad, so "
+        "this checks the operator, not linguistic accuracy."
+    ),
+    tags=("llm", "text", "lang-id"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_meta"), lt.lang_pred("text").alias("lang_pred")
+    )
+
+
+@register(
+    "docs_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5({_NORM})               AS fp_md5,
+       substr(md5({_NORM}), 1, 4) AS fp_bucket,
+       list_min(list_transform(
+           CASE WHEN len({_WORDS}) >= 3
+                THEN list_distinct(list_transform(range(1, len({_WORDS}) - 1),
+                     i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2]))
+                ELSE [{_NORM}] END,
+           s -> md5(s)))          AS fp_min_shingle
+FROM documents
+""",
+    doc=(
+        "Document fingerprinting: whole-text md5 + 4-hex-char bucket + "
+        "winnowing-style min-shingle-hash (1-hash MinHash)."
+    ),
+    tags=("llm", "text", "fingerprint"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = lt.fingerprint_md5("text")
+    return docs.select(
+        "doc_id",
+        fp.alias("fp_md5"),
+        F.substring(fp, 1, 4).alias("fp_bucket"),
+        lt.fingerprint_min_shingle("text").alias("fp_min_shingle"),
+    )
+
+
+@register(
+    "docs_exact_dedup",
+    oracle=ld.EXACT_DEDUP_ORACLE,
+    doc=(
+        "Exact dedup: hash-groupBy on md5(normalized text) -> survivor "
+        "+ multiplicity. One shuffle on a 16-byte key."
+    ),
+    bench=True,
+    tags=("llm", "dedup", "exact"),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ld.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_jaccard_pairs",
+    oracle=ld.jaccard_oracle_sql(),
+    doc=(
+        "Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via "
+        "same-shingle equi-join. The exact baseline the LSH methods "
+        "are recall-tested against."
+    ),
+    bench=True,
+    tags=("llm", "dedup", "jaccard"),
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ld.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_minhash_pairs",
+    oracle=None,  # approximate; recall-tested vs docs_jaccard_pairs in pytest
+    doc=(
+        "MinHash(64) + banded LSH (16 bands x 4) candidate pairs — the "
+        "scale path for fuzzy dedup: equi-join on (band, band_sig), "
+        "never all-pairs."
+    ),
+    bench=True,
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ld.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_simhash",
+    oracle=None,  # verified against a pure-Python reimplementation in pytest
+    doc=(
+        "60-bit SimHash signatures from md5 token hashes + 12-bit "
+        "prefix blocking bucket. Zero-shuffle projection."
+    ),
+    tags=("llm", "dedup", "simhash"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ld.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=ls.cosine_topk_oracle_sql(),
+    doc=(
+        "Brute-force cosine top-20 against vec_id=0 — exact ANN "
+        "baseline. Broadcast 1-row query, sequential-fold dot product "
+        "(bit-identical to DuckDB list_dot_product), "
+        "TakeOrderedAndProject."
+    ),
+    bench=True,
+    tags=("llm", "similarity", "ann"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ls.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_ann_lsh",
+    oracle=None,  # approximate; recall-tested vs embedding_cosine_topk
+    doc=(
+        "Random-hyperplane LSH ANN top-10: bucket the corpus by 6 sign "
+        "bits, probe query bucket + Hamming-1 neighbors, exact cosine "
+        "on candidates only."
+    ),
+    tags=("llm", "similarity", "ann", "lsh"),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ls.ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "media_features",
+    oracle=lm.MEDIA_FEATURES_ORACLE,
+    doc=(
+        "Multimodal plumbing: documents adapted to a binary media "
+        "table, Arrow-batched mapInPandas metadata extraction (bytes + "
+        "md5) with declared output schema. The decode step itself is "
+        "stubbed (no codecs in this container) — see llm/multimodal.py."
+    ),
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = lm.docs_as_media(load_table(spark, sf_dir, "documents"))
+    return lm.extract_features(media)

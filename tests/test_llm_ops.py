@@ -1,0 +1,139 @@
+"""Dedicated oracles for the approximate / non-SQL LLM operators:
+recall against exact baselines, pure-Python signature recomputation,
+and the multimodal stub contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_engagement_pipeline_spark.llm import dedup as ld
+from flink_engagement_pipeline_spark.llm import multimodal as lm
+from flink_engagement_pipeline_spark.llm import similarity as ls
+from flink_engagement_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_minhash_lsh_recall(docs):
+    """LSH candidates must contain (almost all of) the true >=0.5
+    Jaccard pairs without degenerating into all-pairs."""
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ld.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {(r["doc_a"], r["doc_b"]) for r in ld.lsh_candidate_pairs(docs).collect()}
+    n_docs = docs.count()
+    assert true_pairs, "fixture should contain engineered near-dup pairs"
+    recall = len(true_pairs & cand) / len(true_pairs)
+    assert recall >= 0.9, f"LSH recall too low: {recall:.2f}"
+    # and it must actually prune: far fewer candidates than all pairs
+    assert len(cand) < n_docs * (n_docs - 1) / 2 * 0.05
+
+
+def _py_simhash(text: str) -> int:
+    norm = " ".join(text.lower().split())
+    sig = 0
+    toks = norm.split(" ")
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    for b in range(ld.SIMHASH_BITS):
+        cnt = sum(1 for h in hs if (h >> b) & 1)
+        if 2 * cnt > len(hs):
+            sig |= 1 << b
+    return sig
+
+
+def test_simhash_matches_python(docs):
+    rows = ld.simhash(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert rows
+    for r in rows:
+        expect = _py_simhash(texts[r["doc_id"]])
+        assert r["simhash"] == expect, f"doc {r['doc_id']}"
+        assert r["simhash_bucket"] == expect >> (ld.SIMHASH_BITS - 12)
+
+
+def test_simhash_near_dups_close(docs):
+    """Engineered near-dup pairs should be within small Hamming
+    distance of each other."""
+    pairs = ld.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    sigs = {r["doc_id"]: r["simhash"] for r in ld.simhash(docs).collect()}
+    assert pairs
+    for p in pairs:
+        ham = bin(sigs[p["doc_a"]] ^ sigs[p["doc_b"]]).count("1")
+        assert ham <= 16, f"near-dup pair {p} hamming {ham}"
+
+
+def test_cosine_topk_vs_numpy(emb):
+    np = pytest.importorskip("numpy")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    cos = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+    }
+    expect = [v for v, _ in sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:20]]
+    got = [r["vec_id"] for r in ls.cosine_topk(emb).collect()]
+    assert got == expect
+    got_cos = {r["vec_id"]: r["cosine"] for r in ls.cosine_topk(emb).collect()}
+    for vid in got:
+        assert abs(got_cos[vid] - cos[vid]) < 1e-9
+
+
+def test_ann_lsh_prunes_and_recalls(emb):
+    brute = [r["vec_id"] for r in ls.cosine_topk(emb, k=10).collect()]
+    approx = [r["vec_id"] for r in ls.ann_topk(emb, k=10).collect()]
+    # query itself is always its own nearest neighbor
+    assert approx[0] == 0
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.2, f"ANN recall {recall}"
+
+
+def test_media_decode_stub_raises(docs):
+    media = lm.docs_as_media(docs.limit(5))
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        lm.decode_media(media, fake=False).collect()
+
+
+def test_media_decode_fake_shape(docs):
+    media = lm.docs_as_media(docs.limit(20))
+    out = lm.decode_media(media, fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert set(out.columns) == {"doc_id", "width", "height", "n_frames", "feature_norm"}
+    for r in rows:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert 1 <= r["n_frames"] <= 32
+        assert 0.0 <= r["feature_norm"] <= 1.0
+    # deterministic: same input -> same features
+    again = lm.decode_media(media, fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_approx_distinct_tolerance(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.1
