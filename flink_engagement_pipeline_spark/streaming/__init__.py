@@ -1,0 +1,4 @@
+"""Structured Streaming pipeline + pluggable foreachBatch sinks
+(SURVEY.md §2.2, §2.9)."""
+
+from . import pipeline, sinks  # noqa: F401

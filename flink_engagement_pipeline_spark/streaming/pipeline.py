@@ -1,0 +1,148 @@
+"""Structured Streaming pipeline (SURVEY.md §2.9 T1-T6, §3.2).
+
+Reproduces the reference's processing job shape (reference
+src/process.py:117-210): keyed upsert source -> latest-per-key dedup ->
+broadcast dimension lookup join -> derived metrics -> multi-sink
+fan-out + windowed aggregation — as one micro-batch pipeline:
+
+- source: file-source ``readStream`` over the events fixture with the
+  declared schema (stand-in for upsert-Kafka, SURVEY §2 S2; a real
+  deployment swaps ``format("parquet")`` for ``format("kafka")`` +
+  ``from_json`` without touching anything downstream);
+- time: event time + watermark (deliberate upgrade from the
+  reference's PROCTIME, SURVEY §4.3.2);
+- upsert semantics: per-micro-batch ``latest_per_key`` (reference's
+  RowKind INSERT/UPDATE_AFTER filter, SURVEY §2 T4/F1). Cross-batch
+  keyed state would use dropDuplicatesWithinWatermark; the fixture
+  replay delivers each key's versions within one batch, and the batch
+  oracle query (latest_per_key) checks the full-history semantics;
+- enrichment: the *same* ``enrich_events`` function as the batch path
+  (stream-static broadcast join re-evaluates the dim per micro-batch =
+  the lookup join's FOR SYSTEM_TIME AS OF semantics at batch
+  granularity);
+- fan-out: ONE ``foreachBatch`` persisting the enriched batch and
+  feeding every sink (T6) — one source scan per batch regardless of
+  sink count, and all sinks see the same rows (the reference runs one
+  Flink job with multiple sinks for the same reason);
+- windowed aggregation: event-time window + watermark in append mode
+  (A1/T2/T3) as a separate query over the same stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import latest_per_key
+from ..operators.enrich import enrich_events
+from ..schemas import EVENTS_RAW
+from ..sources.tables import _ensure_nanos_conf, load_table, normalize_events
+from .sinks import Sink
+
+DEFAULT_WATERMARK = "1 minute"
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of events parquet files in a directory,
+    normalized to the logical schema (ns->us ts). ``availableNow``
+    replay of the fixture = the reference's datagen loop, but
+    deterministic (SURVEY §3.3)."""
+    _ensure_nanos_conf(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(events_dir)
+    )
+    return normalize_events(raw)
+
+
+def enriched_stream(
+    spark: SparkSession, events: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Dedup + broadcast-enrich a (streaming) events frame; identical
+    code path to the batch `enrich_events` query."""
+    dim = load_table(spark, sf_dir, "customer")
+    return enrich_events(latest_per_key(events), dim)
+
+
+def run_enriched_fanout(
+    spark: SparkSession,
+    events_dir: str,
+    sf_dir: str,
+    sinks: dict[str, Sink],
+    checkpoint_dir: str,
+) -> None:
+    """Multi-sink fan-out (T6): one foreachBatch, N sinks.
+
+    The batch is persisted so N sink writes cost one scan; unpersist
+    in a finally so a failing sink can't leak executor memory.
+    """
+    stream = read_events_stream(spark, events_dir)
+    dim = load_table(spark, sf_dir, "customer")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = enrich_events(latest_per_key(batch_df), dim).persist()
+        try:
+            for sink in sinks.values():
+                sink.write_batch(enriched, batch_id)
+        finally:
+            enriched.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    for sink in sinks.values():
+        sink.close()
+
+
+def windowed_stream(
+    events: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    size: str = "10 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Event-time tumbling window SUM with watermark (T1-T3).
+
+    Append mode emits a window only once the watermark passes its end
+    — exactly-once window results, late rows beyond the watermark
+    dropped (documented upgrade over the reference's proc-time HOP,
+    whose results are irreproducible)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size), key)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("engagement_sum"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key,
+            "engagement_sum",
+        )
+    )
+
+
+def run_windowed(
+    spark: SparkSession,
+    events_dir: str,
+    sink: Sink,
+    checkpoint_dir: str,
+    watermark: str = DEFAULT_WATERMARK,
+) -> None:
+    """Run the windowed aggregation in append mode into a sink."""
+    agg = windowed_stream(read_events_stream(spark, events_dir), watermark)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sink.write_batch(batch_df, batch_id)
+
+    (
+        agg.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sink.close()

@@ -1,0 +1,292 @@
+"""Pluggable batched sinks (SURVEY.md §2.2 K1-K5, §2.11).
+
+The reference attaches row-at-a-time Python ``MapFunction`` sinks to
+the changelog stream (ClickHouse/Redis/HTTP, reference
+src/process.py:42-111) — one network call per row, the dominant cost
+of the whole reference pipeline (SURVEY §4.2). Here every sink is a
+**foreachBatch** adapter: it receives a micro-batch DataFrame, builds
+its payload with JVM-side column expressions (`to_json`, projections),
+and performs one bulk write per batch/partition.
+
+Each external sink separates *payload construction* (pure DataFrame
+transform — tested without services) from *transport* (needs a
+client/endpoint — gated, raising a clear error when unavailable).
+Tests plug MemorySink/ParquetSink; production would plug the real
+transports without touching the pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Sink(Protocol):
+    """foreachBatch-compatible sink: one call per micro-batch.
+
+    Mirrors the reference MapFunction lifecycle (open/process/close,
+    reference src/process.py:79-80) at batch granularity — the same
+    contract as Spark's ForeachWriter, minus per-row calls.
+    """
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None: ...
+
+    def close(self) -> None: ...
+
+
+class MemorySink:
+    """Test sink: collects each batch's rows driver-side.
+
+    collect() is acceptable *only* here — this sink exists for
+    assertions in tests; it is not a production path.
+    """
+
+    def __init__(self) -> None:
+        self.batches: list[tuple[int, list]] = []
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        self.batches.append((batch_id, df.collect()))
+
+    @property
+    def rows(self) -> list:
+        return [r for _, batch in self.batches for r in batch]
+
+    def close(self) -> None:  # pragma: no cover - nothing to release
+        pass
+
+
+class ParquetSink:
+    """Durable sink: appends each batch to a parquet directory — the
+    engine-internal stand-in for the ClickHouse row store (K2)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(self.path)
+
+    def close(self) -> None:  # pragma: no cover
+        pass
+
+
+class ConsoleSink:
+    def __init__(self, num_rows: int = 5) -> None:
+        self.num_rows = num_rows
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        df.show(self.num_rows, truncate=False)
+
+    def close(self) -> None:  # pragma: no cover
+        pass
+
+
+# --------------------------------------------------------------------------
+# K1: upsert-Kafka-shaped payload
+# --------------------------------------------------------------------------
+
+
+def kafka_payload(df: DataFrame, key_col: str = "event_id") -> DataFrame:
+    """JSON key/value pair per row, keyed by the upsert key — the
+    upsert-Kafka wire format (reference src/ingest.py:35-53:
+    key.format=json, value.format=json)."""
+    value_cols = [c for c in df.columns]
+    return df.select(
+        F.to_json(F.struct(F.col(key_col))).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in value_cols])).alias("value"),
+    )
+
+
+class KafkaSink:
+    """Transport for kafka_payload. Needs the spark-sql-kafka package
+    and a broker; unavailable in this environment, so write_batch
+    raises with a clear message. Payload construction stays testable
+    via kafka_payload()."""
+
+    def __init__(self, bootstrap_servers: str, topic: str, key_col: str = "event_id"):
+        self.bootstrap_servers = bootstrap_servers
+        self.topic = topic
+        self.key_col = key_col
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        payload = kafka_payload(df, self.key_col)
+        try:
+            (
+                payload.write.format("kafka")
+                .option("kafka.bootstrap.servers", self.bootstrap_servers)
+                .option("topic", self.topic)
+                .save()
+            )
+        except Exception as exc:  # kafka connector jar absent here
+            raise NotImplementedError(
+                "Kafka transport unavailable (spark-sql-kafka package / broker "
+                "required); use kafka_payload() output with another transport"
+            ) from exc
+
+    def close(self) -> None:  # pragma: no cover
+        pass
+
+
+# --------------------------------------------------------------------------
+# K2 + K5: ClickHouse-shaped batched analytic sink
+# --------------------------------------------------------------------------
+
+
+class ClickHouseSink:
+    """Batched JSONEachRow writer (reference src/process.py:42-76
+    posts one row per HTTP call; here one payload per partition).
+
+    ``ddl()`` reproduces the reference's bootstrap step (K5, reference
+    src/process.py:15-40) as a statement string; ``to_jsoneachrow``
+    is the pure payload transform used by tests."""
+
+    TABLE = "engagement_enriched"
+
+    def __init__(self, endpoint: str | None = None) -> None:
+        self.endpoint = endpoint
+
+    def ddl(self) -> str:
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.TABLE} (\n"
+            "    event_id UInt64, user_id Nullable(Int64),\n"
+            "    event_type Nullable(String), ts DateTime,\n"
+            "    value Nullable(Float64),\n"
+            "    engagement_seconds Nullable(Float64),\n"
+            "    engagement_pct Nullable(Float64),\n"
+            "    user_name Nullable(String), user_segment Nullable(String),\n"
+            "    user_nationkey Nullable(Int32), user_acctbal Nullable(Float64)\n"
+            ") ENGINE = MergeTree() ORDER BY ts"
+        )
+
+    @staticmethod
+    def to_jsoneachrow(df: DataFrame) -> DataFrame:
+        """One JSON object per row with the sink-side timestamp format
+        (reference src/process.py:50-54 strftime)."""
+        cols = [
+            F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss").alias(c)
+            if c == "ts"
+            else F.col(c)
+            for c in df.columns
+        ]
+        return df.select(F.to_json(F.struct(*cols)).alias("line"))
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        if self.endpoint is None:
+            raise NotImplementedError(
+                "no ClickHouse endpoint configured; use to_jsoneachrow() with "
+                "another transport or a ParquetSink stand-in"
+            )
+        lines = self.to_jsoneachrow(df)
+
+        endpoint, table = self.endpoint, self.TABLE
+
+        def _post(partition) -> None:  # pragma: no cover - needs service
+            import urllib.request
+
+            body = "\n".join(row["line"] for row in partition).encode()
+            if not body:
+                return
+            req = urllib.request.Request(
+                f"{endpoint}/?query=INSERT%20INTO%20{table}%20FORMAT%20JSONEachRow",
+                data=body,
+                method="POST",
+            )
+            urllib.request.urlopen(req).read()
+
+        lines.foreachPartition(_post)
+
+    def close(self) -> None:  # pragma: no cover
+        pass
+
+
+# --------------------------------------------------------------------------
+# K3: Redis-style leaderboard sink
+# --------------------------------------------------------------------------
+
+
+def leaderboard_deltas(df: DataFrame, key: str = "user_id", measure: str = "engagement_seconds") -> DataFrame:
+    """Per-batch (member, delta) increments for a sorted-set
+    leaderboard — the batched form of the reference's per-row ZINCRBY
+    (reference src/process.py:92), including its falsy-filter semantics
+    (``if content_id and score`` drops NULLs *and* zero scores,
+    reference src/process.py:90)."""
+    return (
+        df.groupBy(key)
+        .agg(F.sum(measure).alias("delta"))
+        .filter(F.col(key).isNotNull() & F.col("delta").isNotNull() & (F.col("delta") != 0))
+    )
+
+
+class RedisLeaderboardSink:
+    """Aggregates per-batch deltas and maintains the sorted set. With
+    no Redis client in this environment the accumulation happens
+    driver-side in a dict — same ZINCRBY semantics, swap `_apply` for
+    a pipelined client in production."""
+
+    def __init__(self, key: str = "user_id", measure: str = "engagement_seconds"):
+        self.key = key
+        self.measure = measure
+        self.scores: dict = {}
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        deltas = leaderboard_deltas(df, self.key, self.measure).collect()
+        for row in deltas:
+            member = row[self.key]
+            self.scores[member] = self.scores.get(member, 0.0) + row["delta"]
+
+    def top(self, k: int = 10) -> list[tuple]:
+        return sorted(self.scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def close(self) -> None:  # pragma: no cover
+        pass
+
+
+# --------------------------------------------------------------------------
+# K4: external HTTP sink
+# --------------------------------------------------------------------------
+
+
+def http_payload(df: DataFrame) -> DataFrame:
+    """The 4-field JSON body of the reference's external POST
+    (reference src/process.py:102-107)."""
+    return df.select(
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "engagement_pct")
+        ).alias("body")
+    )
+
+
+class HttpSink:
+    def __init__(self, url: str | None = None) -> None:
+        self.url = url
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        if self.url is None:
+            raise NotImplementedError(
+                "no HTTP endpoint configured; use http_payload() for the body "
+                "transform or a MemorySink stand-in"
+            )
+        bodies = http_payload(df)
+        url = self.url
+
+        def _post(partition) -> None:  # pragma: no cover - needs service
+            import urllib.request
+
+            for row in partition:
+                req = urllib.request.Request(
+                    url,
+                    data=row["body"].encode(),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                try:
+                    urllib.request.urlopen(req).read()
+                except Exception:
+                    # reference swallows sink errors (src/process.py:109-110)
+                    pass
+
+        bodies.foreachPartition(_post)
+
+    def close(self) -> None:  # pragma: no cover
+        pass

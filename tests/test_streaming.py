@@ -1,0 +1,168 @@
+"""Streaming correctness: stream==batch consistency (SURVEY §5.2),
+upsert dedup under replayed duplicates, multi-sink fan-out, sink
+payload shapes, watermark append-mode semantics."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_engagement_pipeline_spark.operators.dedup import latest_per_key
+from flink_engagement_pipeline_spark.operators.enrich import enrich_events
+from flink_engagement_pipeline_spark.sources.tables import load_table
+from flink_engagement_pipeline_spark.streaming import pipeline as sp
+from flink_engagement_pipeline_spark.streaming import sinks as sk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """Stage the events fixture as a stream-source directory."""
+    d = tmp_path / "stream-in"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "events-000.parquet")
+    return str(d)
+
+
+@pytest.fixture()
+def doubled_events_dir(tmp_path):
+    """Same fixture twice — every event_id arrives duplicated, which
+    the upsert dedup must collapse (reference PRIMARY KEY semantics)."""
+    d = tmp_path / "stream-in-2x"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF}/events.parquet", d / "b.parquet")
+    return str(d)
+
+
+def _batch_enriched_rows(spark):
+    events = load_table(spark, SF, "events")
+    dim = load_table(spark, SF, "customer")
+    return sorted(
+        map(tuple, enrich_events(latest_per_key(events), dim).collect())
+    )
+
+
+def test_stream_equals_batch_enrichment(spark, events_dir, tmp_path):
+    mem = sk.MemorySink()
+    sp.run_enriched_fanout(
+        spark, events_dir, SF, {"mem": mem}, str(tmp_path / "ckpt")
+    )
+    assert sorted(map(tuple, mem.rows)) == _batch_enriched_rows(spark)
+
+
+def test_stream_dedups_replayed_duplicates(spark, doubled_events_dir, tmp_path):
+    mem = sk.MemorySink()
+    sp.run_enriched_fanout(
+        spark, doubled_events_dir, SF, {"mem": mem}, str(tmp_path / "ckpt")
+    )
+    # both copies arrive in the availableNow batch; latest-per-key
+    # collapses them to exactly the batch result
+    assert sorted(map(tuple, mem.rows)) == _batch_enriched_rows(spark)
+
+
+def test_multi_sink_fanout(spark, events_dir, tmp_path):
+    mem = sk.MemorySink()
+    pq = sk.ParquetSink(str(tmp_path / "out-parquet"))
+    board = sk.RedisLeaderboardSink()
+    sp.run_enriched_fanout(
+        spark,
+        events_dir,
+        SF,
+        {"mem": mem, "parquet": pq, "board": board},
+        str(tmp_path / "ckpt"),
+    )
+    n = len(_batch_enriched_rows(spark))
+    assert len(mem.rows) == n
+    assert spark.read.parquet(pq.path).count() == n
+    # leaderboard accumulated ZINCRBY-style; top() ordered desc
+    top = board.top(5)
+    assert len(top) == 5
+    assert all(top[i][1] >= top[i + 1][1] for i in range(4))
+
+
+def test_windowed_stream_append_matches_batch_closed_windows(
+    spark, events_dir, tmp_path
+):
+    mem = sk.MemorySink()
+    sp.run_windowed(spark, events_dir, mem, str(tmp_path / "ckpt-w"))
+    events = load_table(spark, SF, "events")
+    batch = (
+        events.groupBy(F.window("ts", "10 minutes"), "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("engagement_sum")
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "user_id",
+            "engagement_sum",
+        )
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - datetime.timedelta(minutes=1)
+    closed = batch.filter(F.col("window_end") <= F.lit(watermark))
+    got = sorted(map(tuple, mem.rows))
+    expect = sorted(map(tuple, closed.collect()))
+    # append mode emits exactly the windows the final watermark closed
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_kafka_payload_roundtrip(spark):
+    events = load_table(spark, SF, "events").limit(20)
+    rows = sk.kafka_payload(events).collect()
+    assert len(rows) == 20
+    for r in rows:
+        key = json.loads(r["key"])
+        val = json.loads(r["value"])
+        assert set(key) == {"event_id"}
+        assert key["event_id"] == val["event_id"]
+        assert {"event_id", "ts", "user_id", "event_type", "value", "props"} <= set(val)
+
+
+def test_clickhouse_payload_and_ddl(spark):
+    events = load_table(spark, SF, "events")
+    dim = load_table(spark, SF, "customer")
+    enriched = enrich_events(events, dim).limit(5)
+    sink = sk.ClickHouseSink()
+    lines = sink.to_jsoneachrow(enriched).collect()
+    for line in lines:
+        obj = json.loads(line["line"])
+        # sink-side timestamp format, reference src/process.py:50-54
+        assert len(obj["ts"]) == 19 and obj["ts"][4] == "-" and obj["ts"][13] == ":"
+    assert "CREATE TABLE IF NOT EXISTS engagement_enriched" in sink.ddl()
+    assert "MergeTree" in sink.ddl()
+    with pytest.raises(NotImplementedError):
+        sink.write_batch(enriched, 0)
+
+
+def test_http_payload_fields(spark):
+    events = load_table(spark, SF, "events")
+    dim = load_table(spark, SF, "customer")
+    enriched = enrich_events(events, dim).limit(5)
+    bodies = sk.http_payload(enriched).collect()
+    for b in bodies:
+        obj = json.loads(b["body"])
+        assert set(obj) <= {"event_id", "user_id", "event_type", "engagement_pct"}
+
+
+def test_leaderboard_deltas_drop_zero_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, -5.0), (2, 3.0), (None, 9.0)],
+        "user_id bigint, engagement_seconds double",
+    )
+    got = {
+        r["user_id"]: r["delta"]
+        for r in sk.leaderboard_deltas(df).collect()
+    }
+    # user 1 sums to 0.0 -> dropped (reference src/process.py:90 falsy
+    # filter); NULL member dropped; user 2 kept
+    assert got == {2: 3.0}
