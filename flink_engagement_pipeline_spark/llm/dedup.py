@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.util import fan_out
 from .text import fingerprint_md5, normalize, shingles, words
 
 # --------------------------------------------------------------------------
@@ -33,7 +34,8 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     """Group documents by md5(normalized text): survivor (min doc_id) +
     multiplicity per distinct content."""
     return (
-        docs.select(F.col("doc_id"), fingerprint_md5("text").alias("text_hash"))
+        fan_out(docs.select("doc_id", "text"))
+        .select(F.col("doc_id"), fingerprint_md5("text").alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
     )
@@ -63,7 +65,7 @@ def ngram_jaccard_pairs(
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — all integers until one double
     division, so cross-engine exact.
     """
-    sh = docs.select(
+    sh = fan_out(docs.select("doc_id", "text")).select(
         F.col("doc_id"), F.explode(shingles("text", n)).alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -149,7 +151,9 @@ def minhash_signature(docs: DataFrame, n: int = 3) -> DataFrame:
     # behind projection boundaries so the 64 per-seed passes reuse the
     # computed arrays instead of re-deriving
     # normalize->split->concat->distinct 64 times over.
-    base = docs.select(F.col("doc_id"), shingles("text", n).alias("sh"))
+    base = fan_out(docs.select("doc_id", "text")).select(
+        F.col("doc_id"), shingles("text", n).alias("sh")
+    )
     hashed = base.select(
         "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
     )
@@ -225,19 +229,24 @@ def simhash(docs: DataFrame) -> DataFrame:
         # single-param lambda (see minhash_signature note)
         return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
 
-    toks = words("text")
-    hs = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    # materialize token hashes once behind a projection boundary; the
+    # 60 bit-count passes then reuse the long array
+    base = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.transform(
+            words("text"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ).alias("hs"),
     )
-    n_tok = F.size(toks)
+    n_tok = F.size(F.col("hs"))
     bit_terms = []
     for b in range(SIMHASH_BITS):
-        cnt = F.size(F.filter(hs, bit_set(b)))
+        cnt = F.size(F.filter(F.col("hs"), bit_set(b)))
         bit_terms.append(F.when(cnt * 2 > n_tok, F.lit(1 << b)).otherwise(F.lit(0)))
     sig = bit_terms[0]
     for t in bit_terms[1:]:
         sig = sig + t
-    return docs.select(
+    return base.select(
         F.col("doc_id"),
         sig.alias("simhash"),
         # top-12-bit prefix bucket: cheap blocking key for near-dup scan

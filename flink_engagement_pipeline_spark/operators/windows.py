@@ -38,15 +38,37 @@ def hop_engagement_sum(
     measure: str = "value",
     size: str = HOP_SIZE,
     slide: str = HOP_SLIDE,
+    slide_us: int = 5_000_000,
 ) -> DataFrame:
     """Sliding-window SUM of the engagement measure per key (A1).
 
-    Mirrors reference src/process.py:196-204 with event time; column
-    narrowing before the 120x window explode is the 100 TB contract.
+    Mirrors reference src/process.py:196-204 with event time — as a
+    **two-phase** aggregation:
+
+    1. pre-aggregate per (slide bucket, key): every event in the same
+       5 s slide belongs to the *identical* 120 windows, so summing
+       within the bucket first is lossless (decimal sums are exact and
+       associative);
+    2. window the slide buckets: ``F.window(slide_start, size, slide)``
+       then re-sum.
+
+    At 100 TB this is the difference between exploding every event
+    120x and exploding one row per (slide, key) 120x — a reduction
+    equal to the per-bucket event multiplicity (often 1000x at real
+    event rates). The phase-1 shuffle also restores parallelism when
+    the scan is a single split. Phase 2's Expand runs on the already-
+    collapsed buckets.
     """
     narrow = events.select(key, "ts", dec(measure).alias("v"))
+    slide_start = F.timestamp_micros(
+        F.expr(f"unix_micros(ts) DIV {slide_us}") * slide_us
+    )
+    per_slide = (
+        narrow.groupBy(slide_start.alias("slide_start"), key)
+        .agg(F.sum("v").alias("v"))
+    )
     return (
-        narrow.groupBy(F.window("ts", size, slide), key)
+        per_slide.groupBy(F.window("slide_start", size, slide), key)
         .agg(F.sum("v").cast("double").alias("engagement_sum"))
         .select(
             F.col("window.start").alias("window_start"),

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import dec
+from ..operators.util import fan_out
 from ..sources.tables import load_table
 from .registry import register
 
@@ -74,8 +75,12 @@ GROUP BY l_returnflag, l_linestatus
     tags=("aggregates", "scan", "pushdown"),
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    # fan_out: the fixture is one unsplittable row group; on a real
+    # cluster the scan arrives in many splits and this is a no-op
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
     )
     qty = dec("l_quantity", _QTY)
     price = dec("l_extendedprice", _PRICE)

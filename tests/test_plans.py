@@ -1,0 +1,70 @@
+"""Physical-plan audits: the scale posture is part of correctness.
+
+Each assertion pins a plan property that must survive refactoring:
+filters pushed into the parquet scan, small dimensions broadcast,
+top-k compiled to TakeOrderedAndProject (no global sort), pruned read
+schemas, and no Python row-at-a-time evaluation in declared queries.
+"""
+
+from __future__ import annotations
+
+from flink_engagement_pipeline_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return REGISTRY[name].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enrich_broadcasts_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "enrich_events")
+    assert "BroadcastHashJoin" in plan
+    # fact side must not shuffle for the join
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: unused wide columns never leave the scan
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "leaderboard_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_orders_take_ordered_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_orders_by_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_regional_revenue_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "regional_revenue")
+    # snowflake dims ride broadcast joins; only the fact join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(r_name,ASIA)" in plan  # literal filter reached the scan
+
+
+def test_sink_projection_pushes_guards(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sink_projection")
+    assert "PushedFilters" in plan and "IsNotNull(user_id)" in plan
+
+
+def test_hop_is_two_phase(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hop_engagement_sum")
+    # phase-1 pre-aggregation must happen BEFORE the window Expand:
+    # Expand's input is the collapsed (slide, key) buckets
+    assert "Expand" in plan
+    pre_agg = plan.index("HashAggregate", plan.index("Expand"))
+    assert pre_agg > 0  # an aggregate below the expand in the plan tree
+
+
+def test_no_python_udfs_in_declared_queries(spark, sf_dir):
+    """Row-at-a-time Python is banned from the hot path; the only
+    Python boundary allowed is Arrow-batched mapInPandas."""
+    for name, spec in REGISTRY.items():
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
