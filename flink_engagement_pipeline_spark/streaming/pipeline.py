@@ -42,6 +42,16 @@ from .sinks import Sink
 DEFAULT_WATERMARK = "1 minute"
 
 
+def with_proc_time(df: DataFrame) -> DataFrame:
+    """Computed processing-time column (SURVEY §2 S4): the reference
+    declares ``proc_time AS PROCTIME()`` on its Kafka source (reference
+    src/process.py:132). In micro-batch Spark the equivalent is
+    ``current_timestamp()`` evaluated per batch. Deliberately kept OUT
+    of every oracle-checked query — processing time is irreproducible;
+    the declared pipeline uses event time (SURVEY §4.3.2)."""
+    return df.withColumn("proc_time", F.current_timestamp())
+
+
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream of events parquet files in a directory,
     normalized to the logical schema (ns->us ts). ``availableNow``
@@ -104,16 +114,20 @@ def windowed_stream(
     watermark: str = DEFAULT_WATERMARK,
     size: str = "10 minutes",
     key: str = "user_id",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling window SUM with watermark (T1-T3).
+    """Event-time window SUM with watermark (T1-T3); tumbling by
+    default, sliding (HOP) when ``slide`` is given — the reference's
+    10min/5s HOP parameters run as ``slide="5 seconds"``.
 
     Append mode emits a window only once the watermark passes its end
     — exactly-once window results, late rows beyond the watermark
     dropped (documented upgrade over the reference's proc-time HOP,
     whose results are irreproducible)."""
+    win = F.window("ts", size, slide) if slide else F.window("ts", size)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", size), key)
+        .groupBy(win, key)
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("engagement_sum"))
         .select(
             F.col("window.start").alias("window_start"),
@@ -130,9 +144,13 @@ def run_windowed(
     sink: Sink,
     checkpoint_dir: str,
     watermark: str = DEFAULT_WATERMARK,
+    size: str = "10 minutes",
+    slide: str | None = None,
 ) -> None:
     """Run the windowed aggregation in append mode into a sink."""
-    agg = windowed_stream(read_events_stream(spark, events_dir), watermark)
+    agg = windowed_stream(
+        read_events_stream(spark, events_dir), watermark, size=size, slide=slide
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         sink.write_batch(batch_df, batch_id)

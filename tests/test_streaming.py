@@ -116,6 +116,51 @@ def test_windowed_stream_append_matches_batch_closed_windows(
     assert len(got) > 0
 
 
+def test_hop_stream_append_matches_batch_closed_windows(
+    spark, events_dir, tmp_path
+):
+    """Sliding (HOP) variant of the streaming window agg — the
+    reference's 10min/5s parameters scaled to a testable slide."""
+    mem = sk.MemorySink()
+    sp.run_windowed(
+        spark,
+        events_dir,
+        mem,
+        str(tmp_path / "ckpt-h"),
+        size="10 minutes",
+        slide="5 minutes",
+    )
+    events = load_table(spark, SF, "events")
+    batch = (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes"), "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("engagement_sum")
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "user_id",
+            "engagement_sum",
+        )
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - datetime.timedelta(minutes=1)
+    closed = batch.filter(F.col("window_end") <= F.lit(watermark))
+    assert sorted(map(tuple, mem.rows)) == sorted(map(tuple, closed.collect()))
+
+
+def test_proc_time_column(spark):
+    events = load_table(spark, SF, "events").limit(10)
+    out = sp.with_proc_time(events)
+    assert "proc_time" in out.columns
+    rows = out.collect()
+    assert all(r["proc_time"] is not None for r in rows)
+    # proc_time is batch-evaluation time, far later than the 2024 fixture
+    assert all(r["proc_time"] > r["ts"] for r in rows)
+
+
 def test_kafka_payload_roundtrip(spark):
     events = load_table(spark, SF, "events").limit(20)
     rows = sk.kafka_payload(events).collect()
