@@ -1,0 +1,158 @@
+"""Second extension batch: as-of join, per-group top-k, TF-IDF."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..llm.text import words
+from ..operators.asof import asof_join_backward
+from ..operators.util import fan_out
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "events_asof_orders",
+    oracle="""
+WITH u AS (
+    SELECT o_custkey AS ukey, o_orderdate AS ut, 0 AS is_left,
+           NULL::BIGINT AS event_id, NULL::TIMESTAMP AS ts, NULL::DOUBLE AS value,
+           o_orderkey, o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT user_id, CAST(ts AS TIMESTAMP), 1,
+           event_id, CAST(ts AS TIMESTAMP), value,
+           NULL, NULL
+    FROM events
+),
+w AS (
+    SELECT *,
+           last_value(o_orderkey IGNORE NULLS) OVER (
+               PARTITION BY ukey ORDER BY ut, is_left, o_orderkey NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_orderkey,
+           last_value(o_totalprice IGNORE NULLS) OVER (
+               PARTITION BY ukey ORDER BY ut, is_left, o_orderkey NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_totalprice
+    FROM u
+)
+SELECT event_id, ukey AS user_id, ts, value,
+       c_orderkey AS o_orderkey, c_totalprice AS o_totalprice
+FROM w
+WHERE is_left = 1
+""",
+    doc=(
+        "As-of backward join: each event picks the user's most recent "
+        "order with o_orderdate <= ts (latest orderkey on date ties). "
+        "Union-merge implementation: one shuffle + one sort, never a "
+        "range-explode or per-row probe (operators/asof.py). Oracle "
+        "mirrors the same carry-forward window (DuckDB's native ASOF "
+        "JOIN is tie-unstable, so the explicit form is used)."
+    ),
+    bench=True,
+    tags=("asof-join", "temporal", "window-function"),
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    return asof_join_backward(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    ).select("event_id", "user_id", "ts", "value", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "top_users_per_type",
+    oracle="""
+SELECT event_type, user_id, total_value, rn
+FROM (
+    SELECT event_type, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY SUM(CAST(value AS DECIMAL(18,2))) DESC, user_id ASC
+           ) AS rn
+    FROM events
+    GROUP BY event_type, user_id
+)
+WHERE rn <= 3
+""",
+    doc=(
+        "Per-group top-k: top-3 users by total engagement per "
+        "event_type via row_number partitioned by the group — rank "
+        "state never exceeds the per-group key space; ordering on the "
+        "exact decimal sum."
+    ),
+    tags=("topk", "window-function", "aggregates"),
+)
+def q_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.sum(dec("value")).alias("__tot")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("__tot").desc(), F.col("user_id").asc()
+    )
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("__tot").cast("double").alias("total_value"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "docs_tfidf",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+""",
+    doc=(
+        "TF-IDF per (doc, term): exact integer tf/df counts + smoothed "
+        "idf. tfidf is ROUND(...,6) because Spark's Math.log and "
+        "DuckDB's ln differ in the last ulp (verified); counts are the "
+        "exact backbone. Plan: explode -> two hash aggs -> broadcast "
+        "of the term-df side at this cardinality."
+    ),
+    tags=("llm", "text", "tfidf"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(words("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
+    return tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )

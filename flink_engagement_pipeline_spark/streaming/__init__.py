@@ -1,4 +1,4 @@
 """Structured Streaming pipeline + pluggable foreachBatch sinks
 (SURVEY.md §2.2, §2.9)."""
 
-from . import pipeline, sinks  # noqa: F401
+from . import pipeline, sinks, stateful  # noqa: F401

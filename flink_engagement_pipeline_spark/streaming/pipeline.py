@@ -52,18 +52,19 @@ def with_proc_time(df: DataFrame) -> DataFrame:
     return df.withColumn("proc_time", F.current_timestamp())
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of events parquet files in a directory,
     normalized to the logical schema (ns->us ts). ``availableNow``
     replay of the fixture = the reference's datagen loop, but
-    deterministic (SURVEY §3.3)."""
+    deterministic (SURVEY §3.3). ``max_files_per_trigger`` bounds each
+    micro-batch (and lets tests force multi-batch runs)."""
     _ensure_nanos_conf(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(events_dir)
-    )
-    return normalize_events(raw)
+    reader = spark.readStream.schema(EVENTS_RAW).option("pathGlobFilter", "*.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return normalize_events(reader.parquet(events_dir))
 
 
 def enriched_stream(
