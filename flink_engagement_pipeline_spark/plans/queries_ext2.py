@@ -117,6 +117,44 @@ def q_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_value_median",
+    oracle="""
+SELECT user_id,
+       median(value)  AS median_value,
+       count(*)       AS n_events
+FROM events
+GROUP BY user_id
+""",
+    doc=(
+        "Grouped-map applyInPandas (SURVEY §2.11 extension surface): "
+        "per-user median via an Arrow-batched pandas group function — "
+        "the pattern for per-group logic Spark aggregates can't "
+        "express. pandas and DuckDB both interpolate even-count "
+        "medians as the mean of the middle pair, so the oracle "
+        "hash-matches."
+    ),
+    tags=("pandas-udf", "grouped-map", "aggregates"),
+)
+def q_user_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def _median(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "median_value": [pdf["value"].median()],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        _median, schema="user_id bigint, median_value double, n_events bigint"
+    )
+
+
+@register(
     "docs_tfidf",
     oracle="""
 WITH toks AS (
