@@ -55,28 +55,59 @@ def hop_engagement_sum(
     At 100 TB this is the difference between exploding every event
     120x and exploding one row per (slide, key) 120x — a reduction
     equal to the per-bucket event multiplicity (often 1000x at real
-    event rates). The phase-1 shuffle also restores parallelism when
-    the scan is a single split. Phase 2's Expand runs on the already-
-    collapsed buckets.
+    event rates).
+
+    Shuffle plan: ONE exchange, of the *pre-explode* rows. The input
+    is hash-partitioned by the key alone; HashPartitioning(key)
+    satisfies the clustered distribution of both groupBys (key is a
+    subset of each grouping). Phase 2 explodes the 120 window offsets
+    with ``explode(sequence(...))`` rather than ``F.window`` — the
+    Expand operator behind F.window reports UnknownPartitioning and
+    would force a 120x-sized exchange, while Generate preserves the
+    child partitioning, so the multiplied rows never cross the wire
+    and the final aggregation is a single partition-local pass.
+    (Caveat: one viscerally hot key concentrates under key-only
+    partitioning; for power-law keys drop the repartition and accept
+    the (window, key) shuffle, or salt via operators/skew.py.)
     """
-    narrow = events.select(key, "ts", dec(measure).alias("v"))
-    slide_start = F.timestamp_micros(
-        F.expr(f"unix_micros(ts) DIV {slide_us}") * slide_us
+    size_us = _duration_us(size)
+    sc = events.sparkSession.sparkContext
+    narrow = events.select(key, "ts", dec(measure).alias("v")).repartition(
+        sc.defaultParallelism, F.col(key)
     )
+    slide_start_us = F.expr(f"unix_micros(ts) DIV {slide_us}") * slide_us
     per_slide = (
-        narrow.groupBy(slide_start.alias("slide_start"), key)
+        narrow.groupBy(slide_start_us.alias("slide_us"), key)
         .agg(F.sum("v").alias("v"))
     )
+    offs = F.sequence(F.lit(0), F.lit(size_us - slide_us), F.lit(slide_us))
+    exploded = per_slide.select(
+        key, "v", "slide_us", F.explode(offs).alias("off")
+    ).select(
+        key,
+        "v",
+        F.timestamp_micros(F.col("slide_us") - F.col("off")).alias("window_start"),
+    )
     return (
-        per_slide.groupBy(F.window("slide_start", size, slide), key)
+        exploded.groupBy("window_start", key)
         .agg(F.sum("v").cast("double").alias("engagement_sum"))
         .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
+            "window_start",
+            (
+                F.timestamp_micros(F.unix_micros("window_start") + size_us)
+            ).alias("window_end"),
             key,
             "engagement_sum",
         )
     )
+
+
+def _duration_us(s: str) -> int:
+    qty, unit = s.split()
+    mult = {"seconds": 1, "second": 1, "minutes": 60, "minute": 60, "hours": 3600}[
+        unit
+    ]
+    return int(qty) * mult * 1_000_000
 
 
 def tumbling_stats(

@@ -53,13 +53,16 @@ def test_sink_projection_pushes_guards(spark, sf_dir):
     assert "PushedFilters" in plan and "IsNotNull(user_id)" in plan
 
 
-def test_hop_is_two_phase(spark, sf_dir):
+def test_hop_is_single_shuffle_two_phase(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hop_engagement_sum")
-    # phase-1 pre-aggregation must happen BEFORE the window Expand:
-    # Expand's input is the collapsed (slide, key) buckets
-    assert "Expand" in plan
-    pre_agg = plan.index("HashAggregate", plan.index("Expand"))
-    assert pre_agg > 0  # an aggregate below the expand in the plan tree
+    # ONE exchange (key repartition); the 120x offset explode
+    # (Generate) and both aggregations are partition-local — the
+    # multiplied rows never cross the wire
+    assert plan.count("Exchange") == 1
+    assert "Generate explode" in plan
+    # pre-aggregation happens before the explode: an aggregate appears
+    # below Generate in the tree
+    assert "HashAggregate" in plan[plan.index("Generate"):]
 
 
 def test_no_python_udfs_in_declared_queries(spark, sf_dir):
