@@ -99,6 +99,82 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "forecast_revenue_change",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    doc=(
+        "TPC-H q6-style forecast revenue: pure scan + conjunctive "
+        "pushed-down range predicates + single decimal SUM — the "
+        "canonical predicate-pushdown benchmark; zero shuffle beyond "
+        "the final single-row reduce."
+    ),
+    bench=True,
+    tags=("scan", "pushdown", "aggregates"),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice", _PRICE) * dec("l_discount", _FRAC))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "shipmode_priority_counts",
+    oracle="""
+SELECT l.l_linestatus AS l_linestatus,
+       COUNT(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+           AS high_priority,
+       COUNT(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+           AS low_priority
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+    doc=(
+        "TPC-H q12-style: fact-fact join + IN-list conditional counts "
+        "(CASE-in-SUM form). Covers IN predicates and the "
+        "join-then-pivot-count shape; date filter pushed to the "
+        "lineitem scan."
+    ),
+    tags=("join", "case-when", "in-list", "aggregates"),
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority"),
+        )
+    )
+
+
+@register(
     "top_orders_by_revenue",
     oracle="""
 SELECT

@@ -151,6 +151,47 @@ def test_hop_stream_append_matches_batch_closed_windows(
     assert sorted(map(tuple, mem.rows)) == sorted(map(tuple, closed.collect()))
 
 
+def test_leaderboard_overlap_accumulation(spark, events_dir, tmp_path):
+    """Reference-parity semantics note (SURVEY §2.9): the Redis sink
+    ZINCRBYs on every window firing, so with overlapping HOP windows a
+    key's score accumulates ~overlap-factor times its true sum. Feed
+    the streaming HOP output into the leaderboard sink and check the
+    accumulated score equals the sum over emitted windows — the
+    documented sink behavior, distinct from the declared A1 query."""
+    board = sk.RedisLeaderboardSink(key="user_id", measure="engagement_sum")
+    sp.run_windowed(
+        spark,
+        events_dir,
+        board,
+        str(tmp_path / "ckpt-lb"),
+        size="10 minutes",
+        slide="5 minutes",
+    )
+    events = load_table(spark, SF, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - datetime.timedelta(minutes=1)
+    expect = {
+        r["user_id"]: r["s"]
+        for r in events.groupBy(F.window("ts", "10 minutes", "5 minutes"), "user_id")
+        .agg(F.sum("value").alias("s"))
+        .filter(F.col("window.end") <= F.lit(watermark))
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+        if r["s"] is not None and r["s"] != 0
+    }
+    got = dict(board.scores)
+    assert set(got) == set(expect)
+    for uid, s in expect.items():
+        assert got[uid] == pytest.approx(s, rel=1e-9)
+    # overlap factor ~2 (10min/5min): accumulated total is ~2x the
+    # true engagement total over the closed-window span
+    true_total = sum(
+        r["value"] for r in events.collect() if r["ts"] <= watermark and r["value"]
+    )
+    assert sum(got.values()) > 1.5 * true_total * 0.8
+
+
 def test_proc_time_column(spark):
     events = load_table(spark, SF, "events").limit(10)
     out = sp.with_proc_time(events)
