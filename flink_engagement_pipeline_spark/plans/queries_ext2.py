@@ -117,6 +117,70 @@ def q_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_from_buyers",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id)
+""",
+    doc=(
+        "LEFT SEMI join: events whose user has at least one order "
+        "(EXISTS). Broadcast the distinct key side; no fact shuffle."
+    ),
+    tags=("join", "semi"),
+)
+def q_events_from_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return events.join(
+        F.broadcast(orders), events.user_id == orders.o_custkey, "left_semi"
+    ).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "events_from_non_buyers",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id)
+""",
+    doc="LEFT ANTI join: events whose user has no order (NOT EXISTS).",
+    tags=("join", "anti"),
+)
+def q_events_from_non_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return events.join(
+        F.broadcast(orders), events.user_id == orders.o_custkey, "left_anti"
+    ).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "heavy_users",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= 80
+""",
+    doc="HAVING clause: post-aggregation filter on the group count.",
+    tags=("aggregates", "having"),
+)
+def q_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .filter(F.col("n_events") >= 80)
+    )
+
+
+@register(
     "user_value_median",
     oracle="""
 SELECT user_id,
