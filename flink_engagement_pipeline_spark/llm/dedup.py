@@ -33,9 +33,10 @@ from .text import fingerprint_md5, normalize, shingles, words
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     """Group documents by md5(normalized text): survivor (min doc_id) +
     multiplicity per distinct content."""
+    # no fan_out here: md5+groupBy is cheap per row, and the extra
+    # repartition measurably costs more than the parallelism buys
     return (
-        fan_out(docs.select("doc_id", "text"))
-        .select(F.col("doc_id"), fingerprint_md5("text").alias("text_hash"))
+        docs.select(F.col("doc_id"), fingerprint_md5("text").alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
     )
