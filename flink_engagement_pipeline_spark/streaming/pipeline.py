@@ -82,13 +82,24 @@ def run_enriched_fanout(
     sf_dir: str,
     sinks: dict[str, Sink],
     checkpoint_dir: str,
+    cross_batch_dedup: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Multi-sink fan-out (T6): one foreachBatch, N sinks.
 
     The batch is persisted so N sink writes cost one scan; unpersist
     in a finally so a failing sink can't leak executor memory.
+
+    ``cross_batch_dedup`` turns on *stateful* key dedup
+    (``dropDuplicates`` on the upsert key): a key replayed in a later
+    micro-batch is suppressed — the reference's PRIMARY-KEY-upsert
+    semantics across batches, not just within one. State grows with
+    the key space; a production deployment with unbounded keys bounds
+    it via ``dropDuplicatesWithinWatermark`` instead.
     """
-    stream = read_events_stream(spark, events_dir)
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger)
+    if cross_batch_dedup:
+        stream = stream.dropDuplicates(["event_id"])
     dim = load_table(spark, sf_dir, "customer")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

@@ -66,6 +66,24 @@ def test_stream_dedups_replayed_duplicates(spark, doubled_events_dir, tmp_path):
     assert sorted(map(tuple, mem.rows)) == _batch_enriched_rows(spark)
 
 
+def test_cross_batch_stateful_dedup(spark, doubled_events_dir, tmp_path):
+    """Duplicates split across micro-batches (maxFilesPerTrigger=1):
+    per-batch dedup alone would emit each event twice; stateful
+    dropDuplicates must suppress the replayed batch entirely."""
+    mem = sk.MemorySink()
+    sp.run_enriched_fanout(
+        spark,
+        doubled_events_dir,
+        SF,
+        {"mem": mem},
+        str(tmp_path / "ckpt"),
+        cross_batch_dedup=True,
+        max_files_per_trigger=1,
+    )
+    assert len(mem.batches) >= 2
+    assert sorted(map(tuple, mem.rows)) == _batch_enriched_rows(spark)
+
+
 def test_multi_sink_fanout(spark, events_dir, tmp_path):
     mem = sk.MemorySink()
     pq = sk.ParquetSink(str(tmp_path / "out-parquet"))
