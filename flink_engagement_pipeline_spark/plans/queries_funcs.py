@@ -1,0 +1,121 @@
+"""Scalar-function and set-operation surface breadth: string functions,
+date/time functions, null-handling, and INTERSECT/EXCEPT — each
+expression chosen to be semantically identical in Spark and DuckDB
+(verified by the hash gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "part_string_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand)                                   AS brand_upper,
+       lower(p_type)                                    AS type_lower,
+       substr(p_name, 1, 8)                             AS name_prefix,
+       length(p_name)                                   AS name_len,
+       concat(p_brand, ':', p_type)                     AS brand_type,
+       replace(p_brand, 'Brand#', 'B')                  AS brand_short,
+       lpad(CAST(p_size AS VARCHAR), 4, '0')            AS size_padded,
+       (p_type LIKE '%PROMO%')                          AS is_promo,
+       coalesce(p_size, -1)                             AS size_or_default,
+       nullif(p_size, 0)                                AS size_nullable
+FROM part
+""",
+    doc=(
+        "String/null-function surface: upper, lower, substring, "
+        "length, concat, replace, lpad, LIKE, coalesce, nullif — all "
+        "JVM built-ins, pure projection, no shuffle."
+    ),
+    tags=("functions", "string", "projection"),
+)
+def q_part_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.col("p_type").like("%PROMO%").alias("is_promo"),
+        F.coalesce(F.col("p_size"), F.lit(-1)).alias("size_or_default"),
+        F.nullif(F.col("p_size"), F.lit(0)).alias("size_nullable"),
+    )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER)  AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       date_trunc('month', o_orderdate)    AS month_start,
+       COUNT(*)                            AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2, 3
+""",
+    doc=(
+        "Date/time function surface: year, month, date_trunc grouped "
+        "aggregation over orders (decimal-exact sums)."
+    ),
+    tags=("functions", "datetime", "aggregates"),
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice", "decimal(14,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "clickers_also_purchasing",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+    doc="INTERSECT set operation on user key sets.",
+    tags=("set-ops",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "clickers_never_erroring",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+    doc="EXCEPT set operation on user key sets.",
+    tags=("set-ops",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    errs = events.filter(F.col("event_type") == "error").select("user_id")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep bag-count
+    # leftovers and diverge from SQL EXCEPT)
+    return clicks.subtract(errs)

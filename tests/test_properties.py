@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): operator semantics verified
+against brute-force Python reimplementations on randomized inputs —
+catches edge cases the fixture data can't (empty groups, ties, single
+rows, all-duplicate keys)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_engagement_pipeline_spark.operators.asof import asof_join_backward
+from flink_engagement_pipeline_spark.operators.dedup import latest_per_key
+
+BASE = datetime.datetime(2024, 1, 1)
+
+# small scalar domains force key/timestamp collisions (the hard cases)
+_key = st.integers(min_value=0, max_value=3)
+_t_off = st.integers(min_value=0, max_value=10)
+_val = st.integers(min_value=0, max_value=5)
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 5), _key, _t_off, _val), min_size=1, max_size=12
+)
+orders_strategy = st.lists(st.tuples(_key, _t_off, _val), min_size=0, max_size=12)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _ts(off: int) -> datetime.datetime:
+    return BASE + datetime.timedelta(hours=off)
+
+
+@given(rows=events_strategy)
+@_SETTINGS
+def test_latest_per_key_property(spark, rows):
+    df = spark.createDataFrame(
+        [
+            (eid, _ts(t), key, "view", float(v), "{}")
+            for eid, key, t, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r["event_id"]: (r["ts"], r["value"], r["user_id"])
+        for r in latest_per_key(df, key="event_id", version="ts").collect()
+    }
+    # brute force: per event_id pick the max under the operator's full
+    # descending total order (ts, value, [const event_type], user_id)
+    expect: dict = {}
+    for eid, key, t, v in rows:
+        cand = (_ts(t), float(v), key)
+        if eid not in expect or cand > expect[eid]:
+            expect[eid] = cand
+    assert set(got) == set(expect)
+    for eid in expect:
+        assert got[eid] == expect[eid]
+
+
+@given(left=events_strategy, right=orders_strategy)
+@_SETTINGS
+def test_asof_join_property(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(eid, key, _ts(t), float(v)) for eid, key, t, v in left],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    rdf = spark.createDataFrame(
+        [(key, _ts(t), 1000 + i, float(v)) for i, (key, t, v) in enumerate(right)],
+        "o_custkey long, o_orderdate timestamp, o_orderkey long, o_totalprice double",
+    )
+    got = {
+        (r["event_id"], r["user_id"], r["ts"]): r["o_orderkey"]
+        for r in asof_join_backward(
+            ldf,
+            rdf,
+            left_key="user_id",
+            right_key="o_custkey",
+            left_time="ts",
+            right_time="o_orderdate",
+            payload_cols=["o_orderkey", "o_totalprice"],
+            tiebreak="o_orderkey",
+        ).collect()
+    }
+    assert len(got) >= len({(e, k, t) for e, k, t, _ in left}) or len(left) >= len(got)
+    for eid, key, t, v in left:
+        # brute force: latest order (by date, then orderkey) with
+        # matching key and date <= event time
+        cands = [
+            (_ts(rt), 1000 + i)
+            for i, (rk, rt, _) in enumerate(right)
+            if rk == key and _ts(rt) <= _ts(t)
+        ]
+        expect = max(cands)[1] if cands else None
+        assert got[(eid, key, _ts(t))] == expect, (eid, key, t)
