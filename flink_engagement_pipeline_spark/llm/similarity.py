@@ -105,6 +105,101 @@ def bucketize(emb: DataFrame, planes: np.ndarray | None = None) -> DataFrame:
     return emb.withColumn("bucket", _bucket_expr(F.col("embedding"), planes))
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+IVF_LISTS = 16
+IVF_PROBES = 2
+
+
+def _centroids(emb: DataFrame, k: int = IVF_LISTS) -> list[list[float]]:
+    """Deterministic coarse centroids: k evenly-strided corpus vectors
+    refined by one Lloyd step (assign + per-cluster mean), all as
+    DataFrame ops. The only driver-side materialization is the k
+    centroid vectors themselves — bounded by k, never by corpus size.
+    """
+    n = emb.count()
+    stride = max(1, n // k)
+    seed_ids = [i * stride for i in range(k)]
+    seeds = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(seed_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    seed_vecs = [list(map(float, v)) for _, v in sorted(seeds)][:k]
+
+    assigned = _assign(emb, seed_vecs)
+    means = (
+        assigned.groupBy("list_id")
+        .agg(
+            *[
+                F.avg(F.col("embedding").getItem(d)).alias(f"d{d}")
+                for d in range(DIM)
+            ]
+        )
+        .collect()
+    )
+    refined = {
+        r["list_id"]: [float(r[f"d{d}"]) for d in range(DIM)] for r in means
+    }
+    # clusters that lost all members keep their seed vector
+    return [refined.get(i, seed_vecs[i]) for i in range(len(seed_vecs))]
+
+
+def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """argmin-distance list assignment via array_min over (dist, idx)
+    structs — lexicographic struct ordering gives the argmin without
+    leaving the JVM. Narrow projection; zero shuffle."""
+    e = _as_double(F.col("embedding"))
+    pairs = F.array(
+        *[
+            F.struct(
+                _dot(
+                    F.zip_with(e, F.array(*[F.lit(x) for x in c]), lambda a, b: a - b),
+                    F.zip_with(e, F.array(*[F.lit(x) for x in c]), lambda a, b: a - b),
+                ).alias("dist"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return emb.withColumn("list_id", F.array_min(pairs)["idx"])
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into IVF_LISTS
+    inverted lists, probe the IVF_PROBES lists nearest the query,
+    exact cosine inside the probed lists only.
+
+    Same plan shape as a trained FAISS IVF at cluster scale: assign =
+    narrow projection, probe = pruned scan of ~probes/lists of the
+    corpus, exact math only on candidates.
+    """
+    cents = _centroids(emb)
+    assigned = _assign(emb, cents)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    dists = [
+        (sum((a - b) ** 2 for a, b in zip(qvec, c)), i) for i, c in enumerate(cents)
+    ]
+    probes = [i for _, i in sorted(dists)[:IVF_PROBES]]
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    candidates = assigned.filter(F.col("list_id").isin(probes)).drop("list_id")
+    return (
+        cosine_to_query(candidates, query)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def ann_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket + Hamming-1
     neighbors, exact cosine inside the candidate set only.

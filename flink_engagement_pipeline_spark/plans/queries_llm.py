@@ -246,6 +246,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ann_ivf",
+    oracle=None,  # approximate; recall-tested vs embedding_cosine_topk
+    doc=(
+        "IVF-flat ANN top-10: 16 inverted lists (strided seeds + one "
+        "Lloyd refinement, all DataFrame ops), probe the 2 lists "
+        "nearest the query, exact cosine on candidates only — the "
+        "trained-quantizer counterpart to the LSH variant."
+    ),
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ls.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "media_features",
     oracle=lm.MEDIA_FEATURES_ORACLE,
     doc=(

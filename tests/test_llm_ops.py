@@ -100,6 +100,19 @@ def test_ann_lsh_prunes_and_recalls(emb):
     assert recall >= 0.2, f"ANN recall {recall}"
 
 
+def test_ivf_prunes_and_recalls(emb):
+    brute = [r["vec_id"] for r in ls.cosine_topk(emb, k=10).collect()]
+    approx = [r["vec_id"] for r in ls.ivf_topk(emb, k=10).collect()]
+    assert approx[0] == 0  # the query finds itself
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.2, f"IVF recall {recall}"
+    # the probed candidate set must be a strict subset of the corpus
+    cents = ls._centroids(emb)
+    assigned = ls._assign(emb, cents)
+    sizes = {r["list_id"]: r["n"] for r in assigned.groupBy("list_id").count().withColumnRenamed("count", "n").collect()}
+    assert len(sizes) > 1, "all vectors fell into one list"
+
+
 def test_media_decode_stub_raises(docs):
     media = lm.docs_as_media(docs.limit(5))
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
