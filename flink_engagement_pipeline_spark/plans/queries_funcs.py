@@ -86,6 +86,60 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_array_ops",
+    oracle="""
+SELECT vec_id,
+       len(embedding)                                   AS dim,
+       CAST(embedding[1] AS DOUBLE)                     AS first_component,
+       CAST(embedding[64] AS DOUBLE)                    AS last_component,
+       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS l2_norm,
+       label                                            AS label
+FROM embeddings
+""",
+    doc=(
+        "Array-function surface over the embedding column: size, "
+        "element_at, and an L2 norm via the sequential fold (verified "
+        "bit-identical to DuckDB list_dot_product). Pure projection."
+    ),
+    tags=("functions", "array", "projection"),
+)
+def q_embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at(e, 1).alias("first_component"),
+        F.element_at(e, 64).alias("last_component"),
+        F.sqrt(dot).alias("l2_norm"),
+        "label",
+    )
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle=None,  # approximate sketch; tolerance-tested in pytest
+    doc=(
+        "approx_percentile sketch (p50/p95/p99 of value per "
+        "event_type) — the quantile-sketch family next to the HLL "
+        "distinct sketch; mergeable across partitions, the 100 TB "
+        "path for percentile monitoring. Tolerance-checked against "
+        "exact percentiles in tests."
+    ),
+    tags=("aggregates", "approx", "sketch"),
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p50_p95_p99")
+    )
+
+
+@register(
     "clickers_also_purchasing",
     oracle="""
 SELECT user_id FROM events WHERE event_type = 'click'

@@ -134,6 +134,32 @@ def test_media_decode_fake_shape(docs):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_approx_percentile_tolerance(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    approx = {
+        r["event_type"]: r["p"]
+        for r in events.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p"))
+        .collect()
+    }
+    # the sketch's guarantee is on RANK, not value: with accuracy
+    # 10000 the returned value's rank is within n/10000 of the target.
+    # Value-space tolerance would be wrong where the tail has big gaps
+    # between adjacent order statistics.
+    vals: dict = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for etype, ps in approx.items():
+        xs = sorted(vals[etype])
+        n = len(xs)
+        for target, a in zip([0.5, 0.95, 0.99], ps):
+            import bisect
+
+            lo = bisect.bisect_left(xs, a) / n
+            hi = bisect.bisect_right(xs, a) / n
+            assert lo - 0.02 <= target <= hi + 0.02, (etype, target, a, lo, hi)
+
+
 def test_approx_distinct_tolerance(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     exact = {
