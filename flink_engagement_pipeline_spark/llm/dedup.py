@@ -61,37 +61,56 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard >= threshold.
 
-    Exact set similarity via a same-shingle equi-join: explode distinct
-    shingles, self-join on the shingle, count common, join set sizes.
-    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — all integers until one double
-    division, so cross-engine exact.
+    Exact set similarity, single-pass: explode distinct shingles
+    carrying each doc's set size alongside, group by shingle collecting
+    (doc_id, n_sh) structs, generate the ordered pairs *inside the
+    array* (nested ``transform`` over the sorted struct list), then one
+    count-aggregate per pair. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — all
+    integers until one double division, so cross-engine exact.
+
+    Plan properties: the expensive shingle computation runs exactly once
+    per document (the earlier self-join formulation recomputed the
+    exploded relation three times — both join sides plus a size
+    aggregate — and needed two more joins to attach sizes; measured 64 s
+    vs ~6 s at sf0.01). Two shuffles total: by shingle, then by pair.
+    Hot shingles (shared by k docs) emit k*(k-1)/2 pair rows from one
+    grouped row — same asymptotic as the equi-join but no recompute.
+    This is the exact baseline; the *scale* path for 100 TB corpora is
+    the banded MinHash LSH below, whose bucket keys are 64-bit band
+    hashes rather than raw shingles.
     """
-    sh = fan_out(docs.select("doc_id", "text")).select(
-        F.col("doc_id"), F.explode(shingles("text", n)).alias("sh")
+    sh = fan_out(docs.select("doc_id", shingles("text", n).alias("shs"))).select(
+        "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    common = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ds = F.array_sort(F.collect_list(F.struct("doc_id", "n_sh")))
+    pair_list = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("na"),
+                    y["n_sh"].alias("nb"),
+                ),
+            ),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    )
+    pairs = (
+        sh.groupBy("sh")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pair_list).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common").cast("double") / (
-        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        common.join(
-            sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id")
-        )
-        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

@@ -200,6 +200,97 @@ def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (multi-table LSH + exact verify)
+# --------------------------------------------------------------------------
+
+NEARDUP_TABLES = 16
+NEARDUP_PLANES = 8  # bits per table; p_bit(cos .9)=.856 -> recall ~.93/8bits*16tables
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: cosine(a, b) >= threshold.
+
+    Candidate generation is multi-table random-hyperplane LSH: 16
+    independent tables of 8 sign bits; a pair is a candidate iff it
+    collides on *all* bits of at least one table (analytic recall at
+    cos=0.9 is ~0.93 per the (1-theta/pi)^bits s-curve; ~0.9998 at
+    cos=0.95). Candidates then pass an *exact* cosine filter, so
+    precision is 1.0 by construction — only recall is approximate.
+
+    Plan: one narrow projection computes all 128 sign bits, explodes to
+    (table, bucket) carrying the vector; one equi-join on (table,
+    bucket) with doc-id ordering; exact verify; pair-distinct. No
+    all-pairs comparison ever happens — this is the shape that survives
+    a 1B-vector corpus, unlike the brute-force oracle SQL (which is the
+    correctness baseline only).
+
+    The driver fixtures are i.i.d. random vectors (measured max
+    pairwise cosine ~0.51 at sf0.01), so this returns 0 rows on them at
+    any honest near-dup threshold — the recall property is proven on
+    planted near-dup clusters in tests/test_llm_ops.py instead.
+    """
+    planes = np.random.default_rng(11).standard_normal(
+        (NEARDUP_TABLES * NEARDUP_PLANES, DIM)
+    )
+    e = _as_double(F.col("embedding"))
+    bits = [
+        F.when(_dot(e, F.array(*[F.lit(float(x)) for x in w])) > 0, 1).otherwise(0)
+        for w in planes
+    ]
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                sum(
+                    (bits[t * NEARDUP_PLANES + j] * (1 << j))
+                    for j in range(NEARDUP_PLANES)
+                ).alias("bucket"),
+            )
+            for t in range(NEARDUP_TABLES)
+        ]
+    )
+    bucketed = emb.select(
+        F.col("vec_id"), F.col("embedding"), F.explode(tables).alias("tb")
+    ).select("vec_id", "embedding", "tb.t", "tb.bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = _dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding"))) / (
+        F.sqrt(_dot(_as_double(F.col("a.embedding")), _as_double(F.col("a.embedding"))))
+        * F.sqrt(_dot(_as_double(F.col("b.embedding")), _as_double(F.col("b.embedding"))))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+
+
+def near_dup_oracle_sql(threshold: float = 0.9) -> str:
+    """Exact brute-force counterpart (correctness baseline; the
+    registered Spark plan must agree wherever LSH recall is 1)."""
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= {threshold}
+"""
+
+
 def ann_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket + Hamming-1
     neighbors, exact cosine inside the candidate set only.

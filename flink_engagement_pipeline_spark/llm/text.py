@@ -44,15 +44,30 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (order-insensitive set for
     Jaccard/MinHash). Oracle: ``list_distinct(list_transform(range(1,
     len(ws)-(n-2)), i -> ws[i]||' '||...))``; docs shorter than n words
-    fall back to the single whole-text shingle."""
+    fall back to the single whole-text shingle.
+
+    Built by zipping the token array with its d-shifted slices rather
+    than per-index ``element_at`` lookups: higher-order-function lambda
+    bodies get no codegen subexpression elimination, so an
+    ``element_at(ws, i+d)`` gram would re-evaluate the whole
+    ``split(regexp_replace(...))`` subtree ~3x per shingle (~150x per
+    row — measured 34 ms/doc at sf0.01). The zip form references ``ws``
+    only ~n+2 times per row regardless of document length.
+    """
     ws = words(text)
-    idx = F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ws, i + F.lit(d)) for d in range(n)]
+    shifted = [ws] + [
+        F.slice(ws, d + 1, F.greatest(F.size(ws) - d, F.lit(0)))
+        for d in range(1, n)
+    ]
+    # trailing zip entries have null fields (shorter slices) — cut to
+    # the size(ws)-n+1 true gram positions before concatenating
+    z = F.slice(F.arrays_zip(*shifted), 1, F.size(ws) - (n - 1))
+    grams = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(d)] for d in range(n)])
     )
-    return F.when(
-        F.size(ws) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array(normalize(text)))
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+        F.array(normalize(text))
+    )
 
 
 def ws_token_count(text: Column | str) -> Column:

@@ -232,6 +232,24 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup",
+    oracle=ls.near_dup_oracle_sql(),
+    doc=(
+        "Embedding-cosine near-dup pairs (threshold 0.9): multi-table "
+        "random-hyperplane LSH candidates + exact cosine verify — "
+        "precision 1.0 by construction, recall ~0.93+ analytically. "
+        "The oracle is the exact brute-force SQL; the fixture corpus "
+        "is i.i.d. random (max pairwise cosine ~0.51) so both sides "
+        "are empty there — recall is proven on planted near-dup "
+        "clusters in tests/test_llm_ops.py."
+    ),
+    tags=("llm", "dedup", "similarity", "near-dup", "lsh"),
+)
+def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ls.near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "embedding_ann_lsh",
     oracle=None,  # approximate; recall-tested vs embedding_cosine_topk
     doc=(

@@ -233,6 +233,137 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Register the fixture table as a temp view for spark.sql queries
+    (the SQL front door — same Catalyst plans as the DataFrame API)."""
+    load_table(spark, sf_dir, table).createOrReplaceTempView(table)
+    return table
+
+
+@register(
+    "late_ship_priority_counts",
+    oracle="""
+SELECT o.o_orderpriority AS o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+""",
+    doc=(
+        "TPC-H q4-style correlated EXISTS (orders with an item shipped "
+        ">90 days after order date), via the spark.sql front door. "
+        "Catalyst decorrelates the subquery into a left-semi join on "
+        "l_orderkey with the date predicate as join condition — no "
+        "per-row re-execution, one shuffle; hash-matched against "
+        "DuckDB running the identical correlated form."
+    ),
+    tags=("subquery", "exists", "semi", "sql"),
+)
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders")
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+"""
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+    doc=(
+        "TPC-H q17-style correlated *scalar* subquery (per-part average "
+        "quantity threshold). Catalyst decorrelates to an aggregate-"
+        "then-join: one pass computes avg(l_quantity) per partkey, "
+        "joined back to the filtered fact — the subquery never "
+        "re-executes per row. Decimal sum for cross-engine exactness."
+    ),
+    tags=("subquery", "scalar", "aggregates", "sql"),
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    _view(spark, sf_dir, "part")
+    return spark.sql(
+        """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 20
+""",
+    doc=(
+        "TPC-H q18-style IN-subquery over an aggregated HAVING set. "
+        "Catalyst rewrites the IN to a left-semi join against the "
+        "grouped lineitem relation; the outer aggregate groups on the "
+        "already-shuffled orderkey. Top-20 is TakeOrderedAndProject."
+    ),
+    tags=("subquery", "in", "having", "topk", "sql"),
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        _view(spark, sf_dir, t)
+    return spark.sql(
+        """
+SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 20
+"""
+    )
+
+
 @register(
     "regional_revenue",
     oracle="""

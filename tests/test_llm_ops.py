@@ -100,6 +100,42 @@ def test_ann_lsh_prunes_and_recalls(emb):
     assert recall >= 0.2, f"ANN recall {recall}"
 
 
+def test_near_dup_planted_recall(spark, emb):
+    """The fixture corpus is i.i.d. random (no true near-dups), so the
+    registered query is verified here on planted clusters: duplicate a
+    sample of corpus vectors with small noise and require the LSH +
+    exact-verify pipeline to recover (almost) every planted pair with
+    zero sub-threshold false positives."""
+    np = pytest.importorskip("numpy")
+    rng = np.random.default_rng(3)
+    base = emb.select("vec_id", "embedding").limit(40).collect()
+    rows, planted = [], set()
+    for r in base:
+        v = np.array(r["embedding"], dtype=np.float64)
+        rows.append((int(r["vec_id"]), [float(x) for x in v]))
+        dup_id = int(r["vec_id"]) + 1_000_000
+        noisy = v + rng.standard_normal(v.shape) * 0.02 * np.linalg.norm(v) / np.sqrt(len(v))
+        cos = float(v @ noisy / (np.linalg.norm(v) * np.linalg.norm(noisy)))
+        if cos >= 0.95:  # only count confidently-planted pairs
+            planted.add((int(r["vec_id"]), dup_id))
+        rows.append((dup_id, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ls.near_dup_pairs(df, threshold=0.9).collect()
+    got_pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert planted, "noise level should yield confidently-planted pairs"
+    recall = len(planted & got_pairs) / len(planted)
+    assert recall >= 0.9, f"planted near-dup recall {recall:.2f}"
+    # exact verify => every returned pair really is >= threshold
+    for r in got:
+        assert r["cosine"] >= 0.9
+
+
+def test_near_dup_empty_on_random_fixture(emb):
+    """On the i.i.d. random fixture the exact oracle returns no pairs,
+    and so must the LSH pipeline (precision side of the contract)."""
+    assert ls.near_dup_pairs(emb, threshold=0.9).count() == 0
+
+
 def test_ivf_prunes_and_recalls(emb):
     brute = [r["vec_id"] for r in ls.cosine_topk(emb, k=10).collect()]
     approx = [r["vec_id"] for r in ls.ivf_topk(emb, k=10).collect()]
