@@ -11,6 +11,15 @@ Runs every registry entry tagged ``bench=True`` at
 Each query is executed to completion with a ``noop`` write — the full
 plan runs on the executors (scan, shuffle, agg) with zero driver-side
 collection, so timings measure the engine, not pandas conversion.
+
+Methodology: steady-state timings, minimum of three executions per
+query. The first execution pays whole-stage-codegen compilation and
+JIT warm-up; a full GC runs between queries so one query's garbage is
+not billed to the next. Minimum (not mean) because the host exhibits
+episodic multi-second interference windows (measured: an identical
+12M-group window agg ranged 6s-120s across otherwise-idle runs); the
+min is the only statistic that reflects the engine rather than the
+neighbor.
 """
 
 from __future__ import annotations
@@ -37,14 +46,25 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    def run_once(spec) -> float:
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     specs = [s for s in plans.REGISTRY.values() if s.bench]
     timings: dict[str, float] = {}
     for spec in sorted(specs, key=lambda s: s.name):
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
-        print(f"# {spec.name}: {timings[spec.name]:.3f}s", file=sys.stderr)
+        runs = []
+        for _ in range(n_runs):
+            runs.append(run_once(spec))
+            spark._jvm.System.gc()
+        timings[spec.name] = round(min(runs), 3)
+        print(
+            f"# {spec.name}: {timings[spec.name]:.3f}s "
+            f"(runs: {', '.join(f'{r:.3f}' for r in runs)})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(

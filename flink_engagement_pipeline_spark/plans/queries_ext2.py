@@ -258,3 +258,76 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df",
         F.round(F.col("tf") * idf, 6).alias("tfidf"),
     )
+
+
+@register(
+    "cdc_materialize",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_id
+        ORDER BY ts DESC NULLS LAST, value DESC NULLS LAST,
+                 event_type DESC NULLS LAST, user_id DESC NULLS LAST,
+                 props DESC NULLS LAST
+    ) AS rn
+    FROM events
+)
+WHERE rn = 1 AND (event_type <> 'error' OR event_type IS NULL)
+""",
+    doc=(
+        "Postgres-CDC-style ingestion (S1): rows are serialized to a "
+        "Debezium-style JSON envelope {op, after, ts_ms} (op='d' for "
+        "error events), parsed back with a declared from_json schema, "
+        "and materialized to current table state — latest change per "
+        "key wins, keys whose latest op is a delete are absent. The "
+        "oracle expresses the same changelog semantics directly over "
+        "events. Round-trips the full wire format, so JSON serde, "
+        "envelope schema, and upsert/delete semantics are all under "
+        "the hash check."
+    ),
+    tags=("cdc", "source", "json", "dedup", "sql"),
+)
+def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources import cdc
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    wire = cdc.to_cdc_envelope(
+        src,
+        op=F.when(F.col("event_type") == "error", "d").otherwise("u"),
+        ts_ms=F.expr("ts_us DIV 1000"),
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts_us", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    changes = cdc.parse_cdc_envelope(wire, row_schema)
+    state = cdc.materialize(
+        changes,
+        key="event_id",
+        order=["ts_us", "value", "event_type", "user_id", "props"],
+    )
+    return state.select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )

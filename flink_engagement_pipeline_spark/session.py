@@ -59,7 +59,10 @@ def get_spark(
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
         # -- quieter local runs -----------------------------------------
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # single-JVM local mode: driver heap IS executor memory for all
+        # 32 task threads; 12M-group window aggs at sf0.1 need GC
+        # headroom or cross-query full-GC debt distorts timings
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

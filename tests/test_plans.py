@@ -71,3 +71,40 @@ def test_no_python_udfs_in_declared_queries(spark, sf_dir):
     for name, spec in REGISTRY.items():
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
+
+
+def test_cdc_roundtrip_delete_resurrect(spark):
+    """CDC changelog semantics on crafted history: an early delete is
+    overridden by a later upsert (key resurrects); a trailing delete
+    removes the key; latest upsert wins for surviving keys."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from flink_engagement_pipeline_spark.sources import cdc
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("val", T.StringType(), True),
+            T.StructField("seq", T.LongType(), False),
+        ]
+    )
+    history = [
+        # key 1: upsert, upsert -> survives with latest val
+        (1, "a", 1), (1, "b", 2),
+        # key 2: upsert then delete (val=None marks the delete) -> absent
+        (2, "x", 1), (2, None, 2),
+        # key 3: delete then upsert -> resurrected
+        (3, None, 1), (3, "y", 2),
+    ]
+    rows = spark.createDataFrame(history, schema)
+    wire = cdc.to_cdc_envelope(
+        rows,
+        op=F.when(F.col("val").isNull(), "d").otherwise("u"),
+        ts_ms=F.col("seq"),
+    )
+    assert wire.columns == ["value"]  # JSON wire format only
+    parsed = cdc.parse_cdc_envelope(wire, schema)
+    state = cdc.materialize(parsed, key="id", order=["seq"])
+    got = {r["id"]: r["val"] for r in state.collect()}
+    assert got == {1: "b", 3: "y"}
