@@ -173,3 +173,79 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT DISTINCT (exceptAll would keep bag-count
     # leftovers and diverge from SQL EXCEPT)
     return clicks.subtract(errs)
+
+
+@register(
+    "user_running_totals",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+       COUNT(*) OVER w                                          AS running_n
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id
+    ORDER BY ts, event_id, value, props
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc=(
+        "Running cumulative SUM/COUNT per user over event time — the "
+        "ROWS-frame window surface (distinct from the rank/lag surface "
+        "already covered). Decimal accumulation for cross-engine "
+        "exactness; the ORDER BY is a total order (ts, event_id, "
+        "value, props) so frames are deterministic even for duplicate "
+        "ids. One shuffle on user_id + partition-local sort; at 100 TB "
+        "this is the standard sessionization/cumulative shape — no "
+        "self-join, no driver state."
+    ),
+    tags=("window-function", "frame", "running-aggregate"),
+)
+def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id", "value", "props")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(dec("value", "decimal(18,2)")).over(w).cast("double").alias("running_value"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+@register(
+    "value_percentiles_exact",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events
+GROUP BY event_type
+""",
+    doc=(
+        "Exact linear-interpolated percentiles per event_type — the "
+        "exact counterpart to the approx_percentile sketch query "
+        "(value_percentiles_by_type, rows-only). Spark percentile() "
+        "and DuckDB quantile_cont share the index = p*(n-1) linear "
+        "interpolation definition; ROUND(6) absorbs last-ulp noise. "
+        "Exact percentiles sort each group's values in state — the "
+        "scale path at 100 TB is the sketch variant; this is the "
+        "correctness baseline."
+    ),
+    tags=("aggregates", "percentile", "exact"),
+)
+def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(name)
+            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ]
+    )
