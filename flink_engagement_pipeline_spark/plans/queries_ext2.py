@@ -331,3 +331,50 @@ def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+@register(
+    "orders_events_interval_join",
+    oracle="""
+SELECT o.o_orderkey AS o_orderkey,
+       COUNT(e.event_id)                                        AS n_events,
+       CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+                                                                AS sum_value
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts <  o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+""",
+    doc=(
+        "Interval/range join: per order, activity of the same user in "
+        "the 7 days after the order (LEFT, so orderless-event weeks "
+        "keep count 0). Plan shape that survives 100 TB: the *equi* "
+        "half (user_id = o_custkey) drives the shuffle partitioning, "
+        "the range predicate rides along as a join filter — never a "
+        "cross product; a theta-only formulation would be BNLJ and is "
+        "exactly what this query avoids. Skew note: a viscerally hot "
+        "user concentrates one partition — salt via operators/skew.py "
+        "at real scale."
+    ),
+    tags=("join", "range", "interval", "aggregates"),
+)
+def q_orders_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    joined = orders.join(
+        ev,
+        (ev["user_id"] == orders["o_custkey"])
+        & (ev["ts"] >= orders["o_orderdate"])
+        & (ev["ts"] < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")),
+        "left",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("event_id").alias("n_events"),
+        F.coalesce(F.sum(dec("value", "decimal(18,2)")), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
