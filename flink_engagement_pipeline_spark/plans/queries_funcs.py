@@ -249,3 +249,68 @@ def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
         ]
     )
+
+
+@register(
+    "activity_union_all",
+    oracle="""
+SELECT 'click' AS src, event_id, user_id, value FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'purchase' AS src, event_id, user_id, value FROM events WHERE event_type = 'purchase'
+""",
+    doc=(
+        "UNION ALL with a source-tag literal — completes the set-op "
+        "surface (INTERSECT/EXCEPT are covered by the clickers_* "
+        "queries). Catalyst plans a Union of two pushed-down scans; no "
+        "shuffle, no dedup pass (that would be UNION DISTINCT)."
+    ),
+    tags=("set-ops", "union"),
+)
+def q_activity_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pick = lambda t: ev.filter(F.col("event_type") == t).select(  # noqa: E731
+        F.lit(t).alias("src"), "event_id", "user_id", "value"
+    )
+    return pick("click").unionAll(pick("purchase"))
+
+
+@register(
+    "grouping_sets_engagement",
+    oracle="""
+SELECT event_type, device,
+       GROUPING(event_type) AS g_type, GROUPING(device) AS g_device,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'mobile' ELSE 'web' END AS device,
+             value
+      FROM events)
+GROUP BY GROUPING SETS ((event_type), (device), ())
+""",
+    doc=(
+        "Explicit GROUPING SETS ((a),(b),()) with GROUPING() null "
+        "markers — the surface cube/rollup don't cover (arbitrary set "
+        "lists), via the spark.sql front door. The synthetic device "
+        "column stands in for the reference's device field "
+        "(src/process.py:169) which the fixtures don't carry. One "
+        "Expand(3) + hash agg; at 100 TB grouping-set expansion "
+        "multiplies pre-agg rows by the set count, so the map-side "
+        "combine is what keeps the shuffle bounded."
+    ),
+    tags=("grouping-sets", "aggregates", "sql"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+SELECT event_type, device,
+       GROUPING(event_type) AS g_type, GROUPING(device) AS g_device,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'mobile' ELSE 'web' END AS device,
+             value
+      FROM events)
+GROUP BY GROUPING SETS ((event_type), (device), ())
+"""
+    )
