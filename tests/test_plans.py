@@ -108,3 +108,22 @@ def test_cdc_roundtrip_delete_resurrect(spark):
     state = cdc.materialize(parsed, key="id", order=["seq"])
     got = {r["id"]: r["val"] for r in state.collect()}
     assert got == {1: "b", 3: "y"}
+
+
+def test_interval_and_subquery_joins_stay_equi(spark, sf_dir):
+    """The range predicate must ride an equi-join (hash/sort-merge),
+    never degrade to a nested-loop cross product; correlated
+    subqueries must decorrelate to joins (no per-row re-execution)."""
+    for name in (
+        "orders_events_interval_join",
+        "late_ship_priority_counts",
+        "small_quantity_revenue",
+        "large_volume_customers",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert any(
+            j in plan
+            for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        ), name
