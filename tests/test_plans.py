@@ -127,3 +127,50 @@ def test_interval_and_subquery_joins_stay_equi(spark, sf_dir):
             j in plan
             for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
         ), name
+
+
+def test_multiformat_source_roundtrip(spark, sf_dir, tmp_path):
+    """JSON-lines and CSV sources with declared schemas reproduce the
+    parquet source exactly (timestamps at full microsecond precision,
+    NULLs preserved)."""
+    from flink_engagement_pipeline_spark.sources import files as fsrc
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(map(tuple, ev.collect()))
+    jdir, cdir = str(tmp_path / "ev_json"), str(tmp_path / "ev_csv")
+    fsrc.write_events_json(ev, jdir)
+    fsrc.write_events_csv(ev, cdir)
+    got_j = sorted(map(tuple, fsrc.read_events_json(spark, jdir).collect()))
+    got_c = sorted(map(tuple, fsrc.read_events_csv(spark, cdir).collect()))
+    assert got_j == want
+    assert got_c == want
+
+
+def test_rollup_reuse_two_tier_aggregation(spark, sf_dir):
+    """Continuous-aggregate pattern: a 1-minute rollup re-aggregated to
+    10-minute windows equals direct 10-minute aggregation — the
+    incremental-materialization identity that makes 100 TB dashboards
+    affordable (decimal sums are associative, so re-aggregation is
+    lossless; doubles would not guarantee this)."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.functions.exact import dec
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    minute = (F.expr("unix_micros(ts) DIV 60000000") * 60000000).alias("m_us")
+    rollup_1m = ev.groupBy(minute, "event_type").agg(
+        F.sum(dec("value")).alias("v"), F.count("*").alias("n")
+    )
+    ten = (F.expr("m_us DIV 600000000") * 600000000).alias("w_us")
+    from_rollup = rollup_1m.groupBy(ten, "event_type").agg(
+        F.sum("v").cast("double").alias("sum_value"), F.sum("n").alias("n")
+    )
+    direct = ev.groupBy(
+        (F.expr("unix_micros(ts) DIV 600000000") * 600000000).alias("w_us"),
+        "event_type",
+    ).agg(F.sum(dec("value")).cast("double").alias("sum_value"), F.count("*").alias("n"))
+    a = sorted(map(tuple, from_rollup.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 0
