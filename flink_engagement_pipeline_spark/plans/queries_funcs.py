@@ -314,3 +314,67 @@ FROM (SELECT event_type,
 GROUP BY GROUPING SETS ((event_type), (device), ())
 """
     )
+
+
+@register(
+    "minute_rollup",
+    oracle="""
+SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) * 60000000)
+           AS minute_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc=(
+        "Continuous-aggregate (hypertable-style) 1-minute rollup per "
+        "event_type — the materialization tier coarser windows "
+        "re-aggregate from instead of rescanning raw events (decimal "
+        "sums are associative, so re-aggregation is lossless; "
+        "tests/test_plans.py::test_rollup_reuse_two_tier_aggregation "
+        "proves the identity). At 100 TB this is the difference "
+        "between dashboards scanning 100 TB and scanning the ~0.1% "
+        "rollup."
+    ),
+    bench=False,
+    tags=("rollup", "continuous-aggregate", "window-agg", "aggregates"),
+)
+def q_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    minute = F.timestamp_micros(
+        F.expr("unix_micros(ts) DIV 60000000") * 60000000
+    ).alias("minute_start")
+    return ev.groupBy(minute, "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value", "decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "hll_user_reach",
+    oracle=None,  # sketch estimates; tolerance-tested vs exact in pytest
+    doc=(
+        "HLL sketch surface (Apache DataSketches via Spark 4 "
+        "hll_sketch_agg): per-event-type user-reach sketches plus the "
+        "deduplicated total via hll_union_agg — the mergeable-sketch "
+        "pattern that lets 1000 executors compute global distincts "
+        "with constant-size state instead of a count_distinct shuffle "
+        "of every key. Estimates are tolerance-tested against exact "
+        "count_distinct in tests/test_llm_ops.py."
+    ),
+    tags=("aggregates", "approx", "sketch", "hll"),
+)
+def q_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = per_type.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("__total__").alias("event_type"),
+        F.hll_sketch_estimate("u").alias("est_users"),
+    )
+    return est.unionAll(total)

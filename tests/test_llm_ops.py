@@ -212,3 +212,28 @@ def test_approx_distinct_tolerance(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.1
+
+
+def test_hll_reach_tolerance(spark, sf_dir):
+    """Sketch estimates must be within HLL error bounds of exact
+    distinct counts, and the union must equal the global distinct."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.plans import REGISTRY
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r["est_users"]
+        for r in REGISTRY["hll_user_reach"].spark(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__total__"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.05 * n), (k, got[k], n)
