@@ -292,3 +292,53 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = lm.docs_as_media(load_table(spark, sf_dir, "documents"))
     return lm.extract_features(media)
+
+
+@register(
+    "embedding_norms_pandas",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 9) AS l2_norm,
+       round(list_sum(CAST(embedding AS DOUBLE[]))
+             / len(embedding), 9)                                    AS mean_component
+FROM embeddings
+""",
+    doc=(
+        "Vectorized *scalar* pandas_udf (completes the SURVEY §2.11 UDF "
+        "taxonomy beside grouped-map user_value_median, mapInPandas "
+        "media_features, and applyInPandasWithState): per-row L2 norm "
+        "and mean component computed in numpy over Arrow batches. "
+        "ROUND(9) absorbs summation-order float noise (numpy pairwise "
+        "vs sequential fold). The JVM-side zip_with/aggregate form is "
+        "the production path (embedding_array_ops); this entry "
+        "demonstrates the Python-boundary contract: Arrow transfer, "
+        "batch shape, and zero driver-side loops."
+    ),
+    tags=("llm", "pandas-udf", "scalar", "array"),
+)
+def q_embedding_norms_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: with `from __future__ import annotations` the
+    # hint strings can't resolve against function-local imports, so the
+    # UDF type is declared via the returnType + default SCALAR eval
+    @pandas_udf("double")
+    def l2_norm(vs):
+        return pd.Series([float(np.sqrt(np.dot(v, v))) for v in vs])
+
+    @pandas_udf("double")
+    def mean_component(vs):
+        return pd.Series(
+            [float(np.asarray(v, dtype=np.float64).sum() / len(v)) for v in vs]
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(e), 9).alias("l2_norm"),
+        F.round(mean_component(e), 9).alias("mean_component"),
+    )

@@ -270,3 +270,27 @@ def test_leaderboard_deltas_drop_zero_and_null(spark):
     # user 1 sums to 0.0 -> dropped (reference src/process.py:90 falsy
     # filter); NULL member dropped; user 2 kept
     assert got == {2: 3.0}
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, events_dir, tmp_path):
+    """Exactly-once file-source semantics across restarts: a second run
+    from the same checkpoint must process only files that arrived after
+    the first run — never re-deliver already-committed batches (the
+    recovery guarantee the reference's at-least-once HTTP/Redis sinks
+    lack, SURVEY §2.12)."""
+    ckpt = str(tmp_path / "ckpt")
+    first = sk.MemorySink()
+    sp.run_enriched_fanout(spark, events_dir, SF, {"m": first}, ckpt)
+    n_first = len(first.rows)
+    assert n_first > 0
+
+    # restart with NO new input: nothing may be re-delivered
+    second = sk.MemorySink()
+    sp.run_enriched_fanout(spark, events_dir, SF, {"m": second}, ckpt)
+    assert len(second.rows) == 0
+
+    # a new file arrives; only its contents flow
+    shutil.copy(f"{SF}/events.parquet", events_dir + "/late-arrival.parquet")
+    third = sk.MemorySink()
+    sp.run_enriched_fanout(spark, events_dir, SF, {"m": third}, ckpt)
+    assert len(third.rows) == n_first  # same file content, processed once
