@@ -174,3 +174,27 @@ def test_rollup_reuse_two_tier_aggregation(spark, sf_dir):
     a = sorted(map(tuple, from_rollup.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b and len(a) > 0
+
+
+def test_catalog_ddl_ctas_roundtrip(spark, sf_dir, tmp_path):
+    """Sink-side DDL bootstrap (SURVEY §2 K5, the ClickHouse
+    CREATE-TABLE-IF-NOT-EXISTS analog): CTAS into a parquet-backed
+    catalog table at an explicit location, idempotent re-create,
+    INSERT INTO append, read-back via the catalog."""
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_src")
+    loc = str(tmp_path / "warehouse" / "enriched")
+    spark.sql("DROP TABLE IF EXISTS engagement_rollup")
+    spark.sql(
+        f"""
+        CREATE TABLE engagement_rollup USING parquet LOCATION '{loc}'
+        AS SELECT event_type, count(*) AS n FROM events_src GROUP BY event_type
+        """
+    )
+    spark.sql(f"CREATE TABLE IF NOT EXISTS engagement_rollup USING parquet LOCATION '{loc}'")
+    n_types = spark.table("engagement_rollup").count()
+    assert n_types > 0
+    spark.sql("INSERT INTO engagement_rollup SELECT 'synthetic', 1")
+    assert spark.table("engagement_rollup").count() == n_types + 1
+    spark.sql("DROP TABLE engagement_rollup")
