@@ -176,3 +176,73 @@ def run_windowed(
         .awaitTermination()
     )
     sink.close()
+
+
+def click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream event-time inner join (beyond the reference, which
+    has only the stream-static lookup join J1): purchases within one
+    hour after a click by the same user.
+
+    Works identically on batch and streaming frames. In streaming both
+    sides carry watermarks and the join condition bounds the time
+    range, so Spark can expire buffered state: click-side rows are
+    droppable once the watermark passes click_ts + 1h — without the
+    range bound, stream-stream join state grows forever. That state
+    bound IS the 100 TB design; the equi half (user_id) drives the
+    shuffle partitioning exactly as in the batch interval join.
+    """
+    # withWatermark is a documented no-op on batch frames, so the same
+    # code path serves the batch oracle and the stream
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_stream_stream_join(
+    spark: SparkSession, events_dir: str, sink: Sink, checkpoint_dir: str
+) -> None:
+    """Drive the stream-stream join over the file-source stream: the
+    same source is filtered into two event-time streams and joined."""
+    ev = read_events_stream(spark, events_dir)
+    out = click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sink.write_batch(batch_df, batch_id)
+
+    (
+        out.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sink.close()

@@ -294,3 +294,21 @@ def test_checkpoint_recovery_no_reprocessing(spark, events_dir, tmp_path):
     third = sk.MemorySink()
     sp.run_enriched_fanout(spark, events_dir, SF, {"m": third}, ckpt)
     assert len(third.rows) == n_first  # same file content, processed once
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream event-time join (clicks -> purchases within 1h,
+    same user) must produce exactly the batch join's rows when the
+    whole fixture is replayed. Both sides are watermarked and the join
+    range-bounds event time, so streaming state is expirable — the
+    property that makes this join runnable forever."""
+    mem = sk.MemorySink()
+    sp.run_stream_stream_join(spark, events_dir, mem, str(tmp_path / "ckpt-ss"))
+    ev = load_table(spark, SF, "events")
+    batch = sp.click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    expect = sorted(map(tuple, batch.collect()))
+    assert sorted(map(tuple, mem.rows)) == expect
+    assert len(expect) > 0
