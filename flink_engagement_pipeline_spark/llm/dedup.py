@@ -272,3 +272,105 @@ def simhash(docs: DataFrame) -> DataFrame:
         # top-12-bit prefix bucket: cheap blocking key for near-dup scan
         F.shiftright(sig, SIMHASH_BITS - 12).alias("simhash_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering: connected components + survivor selection
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, all_ids: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: every node's label converges to the minimum
+    doc_id reachable from it. Returns (doc_id, cluster_id) for EVERY id
+    in ``all_ids`` (singletons label themselves).
+
+    Scale shape: each iteration is one equi-join + one groupBy on the
+    edge list — all shuffles on the node key, no driver-side graph.
+    Iteration count is bounded by component diameter (near-dup clusters
+    are shallow; 25 covers pathological chains). Each round materializes
+    via localCheckpoint to cut the growing lineage — the standard Spark
+    iterative-algorithm discipline (GraphX/GraphFrames CC is this same
+    loop industrialized).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = all_ids.select(
+        F.col("doc_id"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup clustering + survivor selection: Jaccard>=threshold
+    pairs -> connected components -> keep the minimum doc_id per
+    cluster. The step that turns pairwise dedup output into an actual
+    keep/drop decision for a training corpus."""
+    pairs = ngram_jaccard_pairs(docs, n, threshold).select("doc_a", "doc_b")
+    cc = connected_components(pairs, docs.select("doc_id"))
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+def dedup_clusters_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """Exact oracle: transitive closure via recursive CTE, min
+    reachable id per node (tractable because true near-dup clusters in
+    the fixture are tiny)."""
+    return f"""
+WITH RECURSIVE jp AS (
+    SELECT doc_a, doc_b FROM ({jaccard_oracle_sql(n, threshold)})
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jp
+    UNION
+    SELECT doc_b, doc_a FROM jp
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id)              AS cluster_id,
+       COALESCE(l.cluster_id, d.doc_id) = d.doc_id   AS is_survivor
+FROM documents d LEFT JOIN labels l USING (doc_id)
+"""

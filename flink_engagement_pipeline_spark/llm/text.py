@@ -144,3 +144,23 @@ def fingerprint_min_shingle(text: Column | str, n: int = 3) -> Column:
     document's word n-gram shingles (a 1-hash MinHash). Oracle:
     ``list_min(list_transform(<shingles>, s -> md5(s)))``."""
     return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+# Cleaning regexes shared verbatim by the Spark expression and the
+# DuckDB oracle (syntax subset valid in both Java regex and RE2).
+URL_RE = "https?://[^\\s]+"
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PUNCT_RUN_RE = "[!?.,;:]{3,}"
+
+
+def clean_text(text: Column | str) -> Column:
+    """Boilerplate stripping for training data: URLs and e-mail
+    addresses replaced by a space, shouting punctuation runs collapsed
+    to one character, whitespace re-normalized. Pure JVM regex chain —
+    one projection, no shuffle, and at 100 TB this runs inside the scan
+    stage."""
+    c = F.col(text) if isinstance(text, str) else text
+    no_url = F.regexp_replace(c, URL_RE, " ")
+    no_mail = F.regexp_replace(no_url, EMAIL_RE, " ")
+    collapsed = F.regexp_replace(no_mail, PUNCT_RUN_RE, ".")
+    return F.trim(F.regexp_replace(collapsed, r"\s+", " "))

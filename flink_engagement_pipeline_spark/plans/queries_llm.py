@@ -342,3 +342,60 @@ def q_embedding_norms_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm(e), 9).alias("l2_norm"),
         F.round(mean_component(e), 9).alias("mean_component"),
     )
+
+
+@register(
+    "docs_clean",
+    oracle=f"""
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{lt.URL_RE}', ' ', 'g'),
+                   '{lt.EMAIL_RE}', ' ', 'g'),
+               '{lt.PUNCT_RUN_RE}', '.', 'g'),
+           '\\s+', ' ', 'g'))                       AS clean,
+       length(text) - length(trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{lt.URL_RE}', ' ', 'g'),
+                   '{lt.EMAIL_RE}', ' ', 'g'),
+               '{lt.PUNCT_RUN_RE}', '.', 'g'),
+           '\\s+', ' ', 'g')))                      AS n_removed
+FROM documents
+""",
+    doc=(
+        "Text cleaning for training data: strip URLs and e-mail "
+        "addresses, collapse punctuation runs, re-normalize whitespace "
+        "— the boilerplate-removal pass that precedes dedup in a "
+        "corpus pipeline. Identical regex chain in both engines (RE2/"
+        "Java-compatible subset); pure projection, zero shuffle."
+    ),
+    tags=("llm", "text", "cleaning"),
+)
+def q_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = lt.clean_text("text")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean"),
+        (F.length("text") - F.length(clean)).alias("n_removed"),
+    )
+
+
+@register(
+    "docs_dedup_clusters",
+    oracle=ld.dedup_clusters_oracle_sql(),
+    doc=(
+        "Near-dup clustering + survivor selection: Jaccard>=0.5 pairs "
+        "-> connected components (iterative min-label propagation, one "
+        "equi-join + groupBy per round, lineage cut via "
+        "localCheckpoint) -> keep min doc_id per cluster. The step "
+        "that turns pairwise dedup output into keep/drop decisions. "
+        "Oracle: recursive-CTE transitive closure in DuckDB — exact "
+        "hash match including singleton self-clusters."
+    ),
+    tags=("llm", "dedup", "clustering", "iterative"),
+)
+def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ld.dedup_clusters(load_table(spark, sf_dir, "documents"))

@@ -237,3 +237,37 @@ def test_hll_reach_tolerance(spark, sf_dir):
     assert set(got) == set(exact)
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(2, 0.05 * n), (k, got[k], n)
+
+
+def test_dedup_clusters_match_union_find(spark, docs):
+    """Connected components must agree with a pure-Python union-find
+    over the exact Jaccard pairs (min-id canonical labels)."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in ld.ngram_jaccard_pairs(docs).select("doc_a", "doc_b").collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    expect = {i: find(i) for i in all_ids}
+    # path-compress to true roots (min id per component)
+    expect = {i: find(i) for i in all_ids}
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in ld.dedup_clusters(docs).collect()
+    }
+    assert got == expect
+    assert any(v != k for k, v in got.items()), "fixture has near-dup clusters"
