@@ -102,3 +102,40 @@ def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def sample_frames(media: DataFrame, every_k: int = 4, *, fake: bool = False) -> DataFrame:
+    """Frame-sampling stub: every k-th frame of a video payload as its
+    own output row — the 1->N mapInPandas shape (one input blob, many
+    frame rows), which is how video decode fans out at scale. Real
+    frame extraction needs libav (absent here); ``fake=True`` derives a
+    deterministic frame count and per-frame digest from the payload so
+    the fan-out plumbing is fully testable. Arrow batches bound memory
+    per task regardless of fan-out factor.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires video codecs not present in this "
+                    "environment; pass fake=True for the deterministic test double"
+                )
+            out_ids, out_idx, out_md5 = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = hashlib.md5(payload).digest()
+                n_frames = 1 + d[2] % 32
+                for idx in range(0, n_frames, every_k):
+                    out_ids.append(doc_id)
+                    out_idx.append(idx)
+                    out_md5.append(
+                        hashlib.md5(payload + idx.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return media.mapInPandas(_sample, schema=FRAMES_SCHEMA)

@@ -378,3 +378,48 @@ def q_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("u").alias("est_users"),
     )
     return est.unionAll(total)
+
+
+@register(
+    "user_value_ranking",
+    oracle="""
+SELECT user_id, total_value,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist()    OVER w, 9) AS cume
+FROM (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+)
+WINDOW w AS (ORDER BY total_value DESC, user_id ASC)
+""",
+    doc=(
+        "Distribution-ranking surface: ntile quartiles, percent_rank, "
+        "cume_dist over per-user engagement totals — completes the "
+        "OVER-clause family beside row_number/rank/lag/frames. The "
+        "ORDER BY (exact decimal total desc, user_id) is a total "
+        "order, so every rank is deterministic. Unpartitioned global "
+        "ranking collapses to one task by construction; at 100 TB the "
+        "pattern is rank-within-partition (see top_users_per_type) or "
+        "approx quantiles (value_percentiles_by_type) — this query is "
+        "the semantic surface, sized to a post-aggregation relation "
+        "(|users|, not |events|)."
+    ),
+    tags=("window-function", "ntile", "ranking"),
+)
+def q_user_value_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(dec("value", "decimal(18,2)")).cast("double").alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return totals.select(
+        "user_id",
+        "total_value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )

@@ -271,3 +271,21 @@ def test_dedup_clusters_match_union_find(spark, docs):
     }
     assert got == expect
     assert any(v != k for k, v in got.items()), "fixture has near-dup clusters"
+
+
+def test_frame_sampling_fanout(docs):
+    """1->N frame sampling: deterministic fan-out, every_k stride
+    respected, per-frame digests stable across runs."""
+    media = lm.docs_as_media(docs.limit(10))
+    with pytest.raises(Exception, match="NotImplementedError|frame sampling"):
+        lm.sample_frames(media, fake=False).collect()
+    rows = lm.sample_frames(media, every_k=4, fake=True).collect()
+    assert len(rows) >= 10  # at least one frame per doc
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for idxs in by_doc.values():
+        assert sorted(idxs) == list(range(0, max(idxs) + 1, 4))[: len(idxs)]
+        assert all(i % 4 == 0 for i in idxs)
+    again = lm.sample_frames(media, every_k=4, fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -198,3 +198,13 @@ def test_catalog_ddl_ctas_roundtrip(spark, sf_dir, tmp_path):
     spark.sql("INSERT INTO engagement_rollup SELECT 'synthetic', 1")
     assert spark.table("engagement_rollup").count() == n_types + 1
     spark.sql("DROP TABLE engagement_rollup")
+
+
+def test_hop_single_exchange(spark, sf_dir):
+    """The sliding-window agg must keep its ONE pre-explode shuffle:
+    Exchange appears exactly once (plus AQE read nodes), and the 120x
+    explode runs after it — the property that makes the plan survive
+    100 TB. A regression to F.window-style Expand would add a
+    post-explode exchange."""
+    plan = _plan(spark, sf_dir, "hop_engagement_sum")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
