@@ -399,3 +399,30 @@ def q_docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ld.dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_word_positions",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, {_WORDS} AS ws
+    FROM documents
+    WHERE doc_id < 50
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS word
+FROM base, UNNEST(range(1, len(ws) + 1)) AS t(i)
+""",
+    doc=(
+        "posexplode / generate-with-ordinality surface: (position, "
+        "word) rows per document — the indexed-explode shape sequence "
+        "labeling and span extraction build on. Generate preserves the "
+        "child's partitioning (no shuffle); the doc_id<50 filter is "
+        "pushed into the scan."
+    ),
+    tags=("llm", "text", "explode", "posexplode"),
+)
+def q_docs_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(lt.words("text")).alias("pos", "word")
+    )
