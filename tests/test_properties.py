@@ -97,3 +97,62 @@ def test_asof_join_property(spark, left, right):
         ]
         expect = max(cands)[1] if cands else None
         assert got[(eid, key, _ts(t))] == expect, (eid, key, t)
+
+
+cdc_strategy = st.lists(
+    st.tuples(
+        _key,                              # row key
+        st.sampled_from(["u", "d"]),       # op
+        st.integers(min_value=0, max_value=8),  # seq (collisions likely)
+        _val,
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(history=cdc_strategy)
+@_SETTINGS
+def test_cdc_materialize_property(spark, history):
+    """materialize == (latest change per key under the (seq, val) total
+    order; drop keys whose latest op is a delete) — brute-forced on
+    random histories with heavy seq collisions. Histories where a 'u'
+    and a 'd' tie on the full (seq, val) order are skipped: the
+    survivor op is genuinely undefined there."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from flink_engagement_pipeline_spark.sources import cdc
+
+    row_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("val", T.LongType(), True),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("op_tag", T.StringType(), True),
+        ]
+    )
+    full = spark.createDataFrame(
+        [(k, v, s, op) for k, op, s, v in history],
+        "id long, val long, seq long, op_tag string",
+    )
+    wire = cdc.to_cdc_envelope(full, op=F.col("op_tag"), ts_ms=F.col("seq"))
+    parsed = cdc.parse_cdc_envelope(wire, row_schema)
+    got = {
+        r["id"]: r["val"]
+        for r in cdc.materialize(
+            parsed.drop("op_tag"), key="id", order=["seq", "val"]
+        ).collect()
+    }
+    best: dict = {}
+    ambiguous = False
+    for k, op, s, v in history:
+        cand = (s, v)
+        if k not in best or cand > best[k][0]:
+            best[k] = (cand, op)
+        elif cand == best[k][0] and op != best[k][1]:
+            ambiguous = True
+    if ambiguous:
+        return
+    expect = {k: c[0][1] for k, c in best.items() if c[1] != "d"}
+    assert got == expect
