@@ -119,12 +119,16 @@ def quality_score(text: Column | str) -> dict[str, Column]:
     n_alpha_chars = F.length(F.regexp_replace(norm, " ", ""))
     avg_token_len = n_alpha_chars.cast("double") / n_tokens
     stop_ratio = stopword_hits(c, "en").cast("double") / n_tokens
-    score = F.round(
+    raw = (
         F.least(n_tokens.cast("double") / 200.0, F.lit(1.0)) * 0.4
         + stop_ratio * 0.3
-        + F.least(avg_token_len / 8.0, F.lit(1.0)) * 0.3,
-        6,
+        + F.least(avg_token_len / 8.0, F.lit(1.0)) * 0.3
     )
+    # explicit floor(x*1e6 + 0.5)/1e6 instead of ROUND(x, 6): engines
+    # disagree on ROUND half-ties (Spark rounds the shortest decimal
+    # repr, DuckDB the binary value — 3 of 5000 sf0.1 docs diverged);
+    # the floor form is the same IEEE ops in both, so it cannot drift
+    score = F.floor(raw * 1_000_000 + F.lit(0.5)) / 1_000_000
     return {
         "n_tokens": n_tokens,
         "avg_token_len": avg_token_len,

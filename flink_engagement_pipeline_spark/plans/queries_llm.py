@@ -73,12 +73,12 @@ SELECT doc_id,
        CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE) / len({_WORDS})
            AS avg_token_len,
        CAST({_hits('en')} AS DOUBLE) / len({_WORDS}) AS stop_ratio,
-       round(
+       floor((
            least(CAST(len({_WORDS}) AS DOUBLE) / 200.0, 1.0) * 0.4
            + (CAST({_hits('en')} AS DOUBLE) / len({_WORDS})) * 0.3
            + least((CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE)
-                    / len({_WORDS})) / 8.0, 1.0) * 0.3,
-           6) AS quality_score
+                    / len({_WORDS})) / 8.0, 1.0) * 0.3
+       ) * 1000000 + 0.5) / 1000000 AS quality_score
 FROM documents
 """,
     doc=(
