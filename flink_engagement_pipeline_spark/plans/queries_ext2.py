@@ -230,7 +230,7 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT tf.doc_id, tf.term, tf.tf, df.df,
-       round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 6) AS tfidf
+       floor(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)) * 1000000 + 0.5) / 1000000 AS tfidf
 FROM tf JOIN df USING (term) CROSS JOIN n
 """,
     doc=(
@@ -256,7 +256,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         "tf",
         "df",
-        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        (F.floor(F.col("tf") * idf * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("tfidf"),
     )
 
 

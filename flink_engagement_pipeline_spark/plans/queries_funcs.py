@@ -222,10 +222,10 @@ def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_percentiles_exact",
     oracle="""
 SELECT event_type,
-       round(quantile_cont(value, 0.25), 6) AS p25,
-       round(quantile_cont(value, 0.50), 6) AS p50,
-       round(quantile_cont(value, 0.75), 6) AS p75,
-       round(quantile_cont(value, 0.95), 6) AS p95
+       floor(quantile_cont(value, 0.25) * 1000000 + 0.5) / 1000000 AS p25,
+       floor(quantile_cont(value, 0.50) * 1000000 + 0.5) / 1000000 AS p50,
+       floor(quantile_cont(value, 0.75) * 1000000 + 0.5) / 1000000 AS p75,
+       floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95
 FROM events
 GROUP BY event_type
 """,
@@ -245,7 +245,7 @@ def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         *[
-            F.round(F.percentile("value", F.lit(p)), 6).alias(name)
+            (F.floor(F.percentile("value", F.lit(p)) * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(name)
             for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
         ]
     )
@@ -385,8 +385,8 @@ def q_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, total_value,
        ntile(4)       OVER w AS quartile,
-       round(percent_rank() OVER w, 9) AS pct_rank,
-       round(cume_dist()    OVER w, 9) AS cume
+       floor(percent_rank() OVER w * 1000000000 + 0.5) / 1000000000 AS pct_rank,
+       floor(cume_dist()    OVER w * 1000000000 + 0.5) / 1000000000 AS cume
 FROM (
     SELECT user_id,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -420,6 +420,6 @@ def q_user_value_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "total_value",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        (F.floor(F.percent_rank().over(w) * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("cume"),
     )

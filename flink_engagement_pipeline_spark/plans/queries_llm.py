@@ -298,10 +298,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_norms_pandas",
     oracle="""
 SELECT vec_id,
-       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))), 9) AS l2_norm,
-       round(list_sum(CAST(embedding AS DOUBLE[]))
-             / len(embedding), 9)                                    AS mean_component
+       floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) * 1000000000 + 0.5)
+           / 1000000000                                              AS l2_norm,
+       floor(list_sum(CAST(embedding AS DOUBLE[]))
+             / len(embedding) * 1000000000 + 0.5) / 1000000000       AS mean_component
 FROM embeddings
 """,
     doc=(
@@ -339,8 +340,8 @@ def q_embedding_norms_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("embedding").cast("array<double>")
     return emb.select(
         "vec_id",
-        F.round(l2_norm(e), 9).alias("l2_norm"),
-        F.round(mean_component(e), 9).alias("mean_component"),
+        (F.floor(l2_norm(e) * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("l2_norm"),
+        (F.floor(mean_component(e) * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("mean_component"),
     )
 
 
