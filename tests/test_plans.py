@@ -208,3 +208,37 @@ def test_hop_single_exchange(spark, sf_dir):
     post-explode exchange."""
     plan = _plan(spark, sf_dir, "hop_engagement_sum")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing co-locates join keys at write time: two tables
+    bucketed by the join key join with NO Exchange in the plan — the
+    write-once-join-many pattern that removes the dominant shuffle for
+    repeated fact-fact joins at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    spark.sql("DROP TABLE IF EXISTS ev_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    load_table(spark, sf_dir, "events").select("event_id", "user_id", "value") \
+        .write.bucketBy(8, "user_id").sortBy("user_id") \
+        .option("path", str(tmp_path / "ev_b")).saveAsTable("ev_b")
+    load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey") \
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey") \
+        .option("path", str(tmp_path / "ord_b")).saveAsTable("ord_b")
+    # disable broadcast so the join strategy decision is about shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("ev_b").join(
+            spark.table("ord_b"),
+            F.col("user_id") == F.col("o_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS ev_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
