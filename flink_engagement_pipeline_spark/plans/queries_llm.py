@@ -427,3 +427,20 @@ def q_docs_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(lt.words("text")).alias("pos", "word")
     )
+
+
+@register(
+    "docs_simhash_pairs",
+    oracle=None,  # signature scheme is engine-defined; recall-tested in pytest
+    doc=(
+        "SimHash near-dup pairs: 12-bit prefix-bucket equi-join + "
+        "exact Hamming verify (bit_count(xor) <= 8) — completes the "
+        "SimHash path from signatures to pair output with the same "
+        "never-all-pairs join shape as the MinHash and hyperplane LSH "
+        "variants. Recall vs the exact Jaccard baseline is asserted "
+        "in tests/test_llm_ops.py."
+    ),
+    tags=("llm", "dedup", "simhash", "pairs"),
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ld.simhash_near_pairs(load_table(spark, sf_dir, "documents"))

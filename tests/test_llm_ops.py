@@ -289,3 +289,18 @@ def test_frame_sampling_fanout(docs):
         assert all(i % 4 == 0 for i in idxs)
     again = lm.sample_frames(media, every_k=4, fake=True).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_simhash_pairs_recall_vs_jaccard(docs):
+    """The SimHash pair path must recover most high-Jaccard pairs
+    (sig agreement follows content overlap) while pruning hard."""
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ld.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    got = {(r["doc_a"], r["doc_b"]) for r in ld.simhash_near_pairs(docs).collect()}
+    assert true_pairs
+    recall = len(true_pairs & got) / len(true_pairs)
+    assert recall >= 0.7, f"simhash pair recall {recall:.2f}"
+    n = docs.count()
+    assert len(got) < n * (n - 1) / 2 * 0.05  # it prunes
