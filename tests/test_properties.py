@@ -156,3 +156,48 @@ def test_cdc_materialize_property(spark, history):
         return
     expect = {k: c[0][1] for k, c in best.items() if c[1] != "d"}
     assert got == expect
+
+
+hop_events = st.lists(
+    st.tuples(_key, st.integers(min_value=0, max_value=40), _val),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(rows=hop_events)
+@_SETTINGS
+def test_hop_two_phase_property(spark, rows):
+    """The two-phase single-shuffle HOP plan must equal the brute-force
+    definition: an event at t belongs to every window starting at
+    floor(t/slide)*slide - k*slide, k in [0, size/slide)."""
+    from decimal import Decimal
+
+    from flink_engagement_pipeline_spark.operators.windows import (
+        hop_engagement_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, key, _ts(0) + datetime.timedelta(seconds=t), float(v), "view", "{}")
+         for i, (key, t, v) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, value double, event_type string, props string",
+    )
+    size_s, slide_s = 20, 5
+    got = {
+        (r["window_start"], r["user_id"]): Decimal(str(r["engagement_sum"]))
+        for r in hop_engagement_sum(
+            df, size=f"{size_s} seconds", slide=f"{slide_s} seconds"
+        ).collect()
+    }
+    expect: dict = {}
+    for key, t, v in rows:
+        t_abs = _ts(0) + datetime.timedelta(seconds=t)
+        slide_start = _ts(0) + datetime.timedelta(
+            seconds=(t // slide_s) * slide_s
+        )
+        for k in range(size_s // slide_s):
+            ws = slide_start - datetime.timedelta(seconds=k * slide_s)
+            expect[(ws, key)] = expect.get((ws, key), Decimal(0)) + Decimal(v)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == expect[k], k
