@@ -423,3 +423,80 @@ def q_user_value_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.percent_rank().over(w) * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("pct_rank"),
         (F.floor(F.cume_dist().over(w) * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("cume"),
     )
+
+
+@register(
+    "minute_rollup_gapfill",
+    oracle="""
+WITH per_min AS (
+    SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) * 60000000)
+               AS minute_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(minute_start) AS lo, max(minute_start) AS hi FROM per_min),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute_start
+    FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT s.minute_start AS minute_start,
+       t.event_type   AS event_type,
+       COALESCE(p.n, 0)          AS n,
+       COALESCE(p.sum_value, 0.0) AS sum_value,
+       last_value(p.sum_value IGNORE NULLS)
+           OVER (PARTITION BY t.event_type ORDER BY s.minute_start) AS locf_value
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN per_min p
+       ON p.minute_start = s.minute_start AND p.event_type = t.event_type
+""",
+    doc=(
+        "Timescale-style gap-filled rollup: the 1-minute per-type "
+        "rollup joined onto a dense minute spine (sequence + explode "
+        "of the observed [min,max] range x distinct types), with "
+        "zero-fill counts and last-observation-carried-forward values "
+        "(last(ignorenulls) over the per-type time order). The spine "
+        "is generated from a 1-row bounds aggregate, so it is tiny "
+        "and broadcast; the only real shuffle is the rollup itself. "
+        "At 100 TB the spine stays minutes-sized (days x 1440) while "
+        "the fact side is pre-aggregated before the join - gap-fill "
+        "cost is O(spine), not O(events). LOCF window partitions by "
+        "type, so state is one value per type - no skew."
+    ),
+    tags=("rollup", "gapfill", "time-series", "window-function", "locf"),
+)
+def q_minute_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    minute = F.timestamp_micros(
+        F.expr("unix_micros(ts) DIV 60000000") * 60000000
+    ).alias("minute_start")
+    per_min = ev.groupBy(minute, "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value", "decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    bounds = per_min.agg(
+        F.min("minute_start").alias("lo"), F.max("minute_start").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 minute"))
+        ).alias("minute_start")
+    )
+    types = ev.select("event_type").distinct()
+    dense = F.broadcast(spine).crossJoin(F.broadcast(types))
+    w = Window.partitionBy("event_type").orderBy("minute_start")
+    return (
+        dense.join(per_min, ["minute_start", "event_type"], "left")
+        .select(
+            "minute_start",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+            F.last(F.col("sum_value"), ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )

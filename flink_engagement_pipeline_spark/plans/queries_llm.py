@@ -444,3 +444,74 @@ def q_docs_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ld.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_corpus_prep",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           md5({_NORM}) AS fp_md5,
+           len({_WORDS}) AS n_tokens,
+           floor((
+               least(CAST(len({_WORDS}) AS DOUBLE) / 200.0, 1.0) * 0.4
+               + (CAST({_hits('en')} AS DOUBLE) / len({_WORDS})) * 0.3
+               + least((CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE)
+                        / len({_WORDS})) / 8.0, 1.0) * 0.3
+           ) * 1000000 + 0.5) / 1000000 AS quality_score,
+           CASE WHEN {_hits('en')} >= {_hits('de')} AND {_hits('en')} >= {_hits('es')}
+                     AND {_hits('en')} >= {_hits('fr')} AND {_hits('en')} > 0 THEN 'en'
+                WHEN {_hits('de')} >= {_hits('es')} AND {_hits('de')} >= {_hits('fr')}
+                     AND {_hits('de')} > 0 THEN 'de'
+                WHEN {_hits('es')} >= {_hits('fr')} AND {_hits('es')} > 0 THEN 'es'
+                WHEN {_hits('fr')} > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM documents
+),
+filtered AS (
+    SELECT * FROM scored WHERE lang_pred = 'en' AND quality_score >= 0.3
+),
+dedup AS (
+    SELECT doc_id, n_tokens, quality_score, fp_md5,
+           row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn
+    FROM filtered
+)
+SELECT doc_id, n_tokens, quality_score, fp_md5 FROM dedup WHERE rn = 1
+""",
+    doc=(
+        "End-to-end training-corpus prep in one declarative plan: "
+        "score (token count + quality) -> language-filter (en) -> "
+        "quality-filter (>= 0.3) -> exact-dedup survivor selection "
+        "(min doc_id per normalized-text md5). The shape every "
+        "LLM-data pipeline runs before tokenization. All scoring is "
+        "projection (zero shuffle); the filters run before the one "
+        "dedup shuffle, so the exchange carries only the surviving "
+        "fraction — at 100 TB the filters typically drop 50-90% "
+        "before any data moves. quality_score is integer-derived and "
+        "floor-rounded, so the 0.3 threshold cuts identically in "
+        "both engines (no float-boundary flakiness)."
+    ),
+    bench=True,
+    tags=("llm", "text", "dedup", "pipeline"),
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = lt.quality_score("text")
+    scored = docs.select(
+        "doc_id",
+        lt.fingerprint_md5("text").alias("fp_md5"),
+        qs["n_tokens"].alias("n_tokens"),
+        qs["quality_score"].alias("quality_score"),
+        lt.lang_pred("text").alias("lang_pred"),
+    )
+    filtered = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.3)
+    )
+    w = Window.partitionBy("fp_md5").orderBy("doc_id")
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "quality_score", "fp_md5")
+    )

@@ -431,3 +431,161 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@register(
+    "returned_item_customers",
+    oracle="""
+SELECT
+    c.c_custkey                                    AS c_custkey,
+    c.c_name                                       AS c_name,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                                                   AS revenue,
+    CAST(c.c_acctbal AS DOUBLE)                    AS c_acctbal,
+    n.n_name                                       AS n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) DESC,
+         c.c_custkey ASC
+LIMIT 20
+""",
+    doc=(
+        "TPC-H q10-style returned-item reporting: which customers "
+        "returned the most revenue last quarter. The returnflag + date "
+        "filters are pushed into both fact scans, customer and nation "
+        "are broadcast, and the top-20 runs as TakeOrderedAndProject "
+        "on the exact decimal revenue (deterministic c_custkey "
+        "tie-break). The one shuffle is the orderkey join; the "
+        "customer-grain aggregate rides the AQE-sized exchange. "
+        "Mirrors the reference's ClickHouse read side (reference "
+        "src/process.py:17-31) as a warehouse ranking query."
+    ),
+    tags=("join", "broadcast", "topk", "aggregates", "pushdown"),
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev_dec = F.sum(
+        dec("l_extendedprice", _PRICE) * (_one() - dec("l_discount", _FRAC))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev_dec.alias("__rev_dec"))
+        .orderBy(F.col("__rev_dec").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("__rev_dec").cast("double").alias("revenue"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "brand_bracket_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1  AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+""",
+    doc=(
+        "TPC-H q19-style disjunctive bracket predicate: three OR'd "
+        "brand/size/quantity brackets across the part-lineitem join. "
+        "Catalyst extracts the common sub-predicates each side can "
+        "evaluate alone (p_brand IN (...) AND p_size ranges to the "
+        "part scan; the quantity envelope to the lineitem scan) and "
+        "pushes them into the parquet scans, keeping the full "
+        "disjunction as the post-join residual — the classic test "
+        "that OR predicates don't defeat pushdown. part is broadcast; "
+        "single-row decimal reduce, no further shuffle."
+    ),
+    tags=("join", "pushdown", "disjunction", "aggregates"),
+)
+def q_brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & size.between(1, 15) & (qty >= 1) & (qty <= 21))
+        | ((F.col("p_brand") == "Brand#23") & size.between(1, 25) & (qty >= 10) & (qty <= 30))
+        | ((F.col("p_brand") == "Brand#25") & size.between(1, 35) & (qty >= 20) & (qty <= 40))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(
+            F.sum(dec("l_extendedprice", _PRICE) * (_one() - dec("l_discount", _FRAC)))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "brand_supplier_counts",
+    oracle="""
+SELECT p.p_brand AS p_brand, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_size >= 40
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand
+""",
+    doc=(
+        "TPC-H q16-style supplier diversity: distinct suppliers per "
+        "brand for large parts, excluding blacklisted (negative-"
+        "balance) suppliers via NOT IN. Catalyst plans the NOT IN as "
+        "a null-aware anti join (BroadcastNestedLoopJoin degenerate "
+        "form is avoided because s_suppkey is non-null: it becomes a "
+        "broadcast anti hash join); count(DISTINCT) runs as the "
+        "standard two-shuffle expand-dedup-agg. Via the spark.sql "
+        "front door to exercise the SQL planner path."
+    ),
+    tags=("subquery", "not-in", "anti", "distinct", "aggregates", "sql"),
+)
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "lineitem", "supplier"):
+        _view(spark, sf_dir, t)
+    return spark.sql(
+        """
+SELECT p.p_brand AS p_brand, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_size >= 40
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand
+"""
+    )

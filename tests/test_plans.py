@@ -242,3 +242,56 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS ev_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_returned_item_customers_plan(spark, sf_dir):
+    """q10-style: returnflag + date filters pushed to the fact scans,
+    customer/nation broadcast, top-20 as TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "returned_item_customers")
+    assert "PushedFilters" in plan and "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_brand_bracket_disjunction_pushdown(spark, sf_dir):
+    """q19-style: Catalyst must extract per-side conjuncts from the OR
+    brackets and push them into both scans (brand IN-list to part, the
+    quantity envelope to lineitem) instead of evaluating the whole
+    disjunction post-join only."""
+    plan = _plan(spark, sf_dir, "brand_bracket_revenue")
+    # part side: the brand/size disjunction reaches the scan as a pushed
+    # Or-tree (plus the extracted common p_size >= 1 conjunct)
+    assert "PushedFilters" in plan
+    # the OR-tree reaches both scans (PushedFilters renders truncated in
+    # toString, so assert the un-truncated extracted conjunct plus the
+    # Or-tree prefix and the full Filter-node condition)
+    assert "GreaterThanOrEqual(p_size,1)" in plan, plan
+    assert "Or(Or(And(" in plan, plan
+    assert "= Brand#12)" in plan, plan
+    # lineitem side: the derived quantity envelope [1, 40] reaches the scan
+    # lineitem side: the quantity brackets reach the scan's DataFilters
+    # (full text in the Filter node; PushedFilters is truncated)
+    assert "(l_quantity#" in plan and "<= 40.0)" in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_brand_supplier_counts_null_aware_anti(spark, sf_dir):
+    """q16-style NOT IN: planned as a broadcast null-aware anti join —
+    never a nested-loop over the fact."""
+    plan = _plan(spark, sf_dir, "brand_supplier_counts")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    # count(DISTINCT) runs as expand/two-phase agg, still hash-based
+    assert "HashAggregate" in plan
+
+
+def test_gapfill_spine_is_broadcast(spark, sf_dir):
+    """Gap-fill: the dense minute spine joins the rollup via broadcast
+    (the spine is O(minutes), never shuffled with the fact side)."""
+    plan = _plan(spark, sf_dir, "minute_rollup_gapfill")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the rollup itself is the only hash-partitioned exchange before the
+    # LOCF window sort
+    assert "HashAggregate" in plan
