@@ -500,3 +500,98 @@ def q_minute_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last(F.col("sum_value"), ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+@register(
+    "event_stats_unpivot",
+    oracle="""
+WITH wide AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE)                            AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)   AS sum_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE)   AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE)   AS max_value
+    FROM events GROUP BY event_type
+)
+SELECT event_type, 'n_events'  AS metric, n_events  AS metric_value FROM wide
+UNION ALL
+SELECT event_type, 'sum_value' AS metric, sum_value AS metric_value FROM wide
+UNION ALL
+SELECT event_type, 'min_value' AS metric, min_value AS metric_value FROM wide
+UNION ALL
+SELECT event_type, 'max_value' AS metric, max_value AS metric_value FROM wide
+""",
+    doc=(
+        "UNPIVOT (wide->long) via stack(): per-type aggregate row "
+        "melted into (metric, metric_value) pairs — the inverse of "
+        "daily_event_pivot, completing the reshape pair. stack() is a "
+        "Generate (projection-time row fan-out, partition-preserving, "
+        "no shuffle beyond the aggregation itself); the oracle "
+        "expresses the same melt as UNION ALL, which DuckDB and "
+        "Spark both fold to the identical long relation. At 100 TB "
+        "the unpivot runs on the aggregated relation (|types| rows), "
+        "never the raw events."
+    ),
+    tags=("unpivot", "stack", "reshape", "aggregates"),
+)
+def q_event_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.sum(dec("value", "decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min(dec("value", "decimal(18,2)")).cast("double").alias("min_value"),
+        F.max(dec("value", "decimal(18,2)")).cast("double").alias("max_value"),
+    )
+    return wide.select(
+        "event_type",
+        F.expr(
+            "stack(4, 'n_events', n_events, 'sum_value', sum_value, "
+            "'min_value', min_value, 'max_value', max_value) "
+            "AS (metric, metric_value)"
+        ),
+    )
+
+
+@register(
+    "user_first_last_event",
+    oracle="""
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w                    AS first_type,
+       last_value(event_type)  OVER w_full               AS last_type,
+       nth_value(event_type, 2) OVER w_full              AS second_type,
+       CAST(first_value(ts) OVER w AS TIMESTAMP)         AS first_ts,
+       CAST(last_value(ts)  OVER w_full AS TIMESTAMP)    AS last_ts
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc=(
+        "Per-user session bookends: first/last/second event via "
+        "first_value, last_value and nth_value OVER a (ts, event_id)-"
+        "ordered full frame — completing the OVER-clause value-"
+        "function family beside rank/lag/frames. The (ts, event_id) "
+        "compound order makes every bookend deterministic under "
+        "duplicate timestamps. One shuffle on user_id; the DISTINCT "
+        "collapses the per-row window output to one row per user "
+        "without a second wide sort (Spark plans it as hash-"
+        "aggregate over the window output)."
+    ),
+    tags=("window-function", "first-value", "nth-value", "sql"),
+)
+def q_user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w                    AS first_type,
+       last_value(event_type)  OVER w_full               AS last_type,
+       nth_value(event_type, 2) OVER w_full              AS second_type,
+       first_value(ts) OVER w                            AS first_ts,
+       last_value(ts)  OVER w_full                       AS last_ts
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+    )
