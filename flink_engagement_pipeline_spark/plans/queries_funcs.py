@@ -595,3 +595,89 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
     )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500      AS bucket,
+       CAST((CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500) * 25.0 AS DOUBLE)
+                                                             AS bucket_lo,
+       COUNT(*)                                              AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)     AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc=(
+        "Equi-width histogram (25-unit bins) over event values. The "
+        "bin key is computed in integer cents (floor(value*100+0.5) "
+        "DIV 2500) — float division by the bin width would misbin "
+        "boundary values like 0.29 (0.29*100 = 28.999... truncates to "
+        "28), so binning goes through the exact-cents path both "
+        "engines compute identically. Map-side combine collapses to "
+        "|bins| rows before the shuffle — histogram cost at 100 TB "
+        "is the scan, not the agg."
+    ),
+    tags=("histogram", "aggregates", "binning"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 2500").alias("bucket"),
+    )
+    return ev.groupBy(
+        "bucket", (F.col("bucket") * 25.0).cast("double").alias("bucket_lo")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value", "decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "value_moments_by_type",
+    oracle="""
+WITH moments AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       s1 / n                                   AS mean_value,
+       (s2 - s1 * s1 / n) / (n - 1)             AS var_value,
+       sqrt((s2 - s1 * s1 / n) / (n - 1))       AS stddev_value
+FROM moments
+""",
+    doc=(
+        "Sample variance / stddev per event type via exact decimal "
+        "moments: SUM(value) and SUM(value^2) accumulate as decimals "
+        "(order-independent — 2-decimal inputs give 4-decimal "
+        "squares, exactly representable), and only the final "
+        "mean/variance formula runs in double, as the identical IEEE "
+        "expression in both engines. Plain stddev_samp() would NOT "
+        "hash-match: its float accumulation order differs between "
+        "Spark partials and DuckDB. Single map-side-combined "
+        "aggregation — the moments pattern is also the mergeable "
+        "form for distributed stats at 100 TB."
+    ),
+    tags=("statistics", "aggregates", "moments", "exactness"),
+)
+def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    moments = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value", "decimal(18,2)")).cast("double").alias("s1"),
+        F.sum(dec("value", "decimal(12,2)") * dec("value", "decimal(12,2)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return moments.select(
+        "event_type",
+        "n",
+        (s1 / n).alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+    )
