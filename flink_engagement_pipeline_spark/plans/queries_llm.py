@@ -515,3 +515,46 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_tokens", "quality_score", "fp_md5")
     )
+
+
+@register(
+    "docs_bigram_freq",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len({_WORDS})),
+                  i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1]))) AS ngram
+    FROM documents
+    WHERE len({_WORDS}) >= 2
+)
+SELECT ngram, count(*) AS doc_freq
+FROM grams
+GROUP BY ngram
+ORDER BY doc_freq DESC, ngram ASC
+LIMIT 50
+""",
+    doc=(
+        "Corpus bigram document frequency: distinct word-2-grams per "
+        "document (set semantics, so a gram counts once per doc), "
+        "global count, top-50 with a lexical tie-break. The per-doc "
+        "shingle set comes from the zip-slice construction (see "
+        "llm/text.py:shingles — no per-index re-evaluation of the "
+        "tokenizer), the count is one map-side-combined shuffle on "
+        "the gram string, and the top-50 is TakeOrderedAndProject. "
+        "The n-gram vocabulary statistics every tokenizer-training "
+        "and contamination-screening pipeline computes."
+    ),
+    tags=("llm", "text", "ngram", "topk"),
+)
+def q_docs_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.filter(F.size(lt.words("text")) >= 2)
+        .select(F.explode(lt.shingles("text", 2)).alias("ngram"))
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(50)
+    )

@@ -270,7 +270,6 @@ def test_brand_bracket_disjunction_pushdown(spark, sf_dir):
     assert "GreaterThanOrEqual(p_size,1)" in plan, plan
     assert "Or(Or(And(" in plan, plan
     assert "= Brand#12)" in plan, plan
-    # lineitem side: the derived quantity envelope [1, 40] reaches the scan
     # lineitem side: the quantity brackets reach the scan's DataFilters
     # (full text in the Filter node; PushedFilters is truncated)
     assert "(l_quantity#" in plan and "<= 40.0)" in plan, plan
