@@ -246,3 +246,25 @@ def run_stream_stream_join(
         .awaitTermination()
     )
     sink.close()
+
+
+def dedup_stream_bounded(
+    stream: DataFrame, key: str = "event_id", watermark: str = "1 hour"
+) -> DataFrame:
+    """Cross-batch keyed dedup with BOUNDED state (T4 at 100 TB).
+
+    Plain ``dropDuplicates`` keeps every key ever seen — state grows
+    with the key space and a month of 100 TB/day events OOMs the state
+    store. ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    event-time watermark passes its timestamp + delay: duplicates
+    arriving within the watermark horizon are suppressed, state for
+    older keys is evicted, and rows older than the watermark are
+    dropped as late data (the same contract every watermarked operator
+    has). The delay is the replay/out-of-orderness budget — an upsert
+    source that can replay a key hours later needs that horizon here.
+
+    tests/test_streaming.py::test_bounded_dedup_state_eviction pins the
+    observable semantics: in-horizon duplicates suppressed across
+    micro-batches, late replays beyond the horizon not re-emitted.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])

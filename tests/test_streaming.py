@@ -312,3 +312,65 @@ def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
     expect = sorted(map(tuple, batch.collect()))
     assert sorted(map(tuple, mem.rows)) == expect
     assert len(expect) > 0
+
+
+def test_bounded_dedup_state_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (bounded dedup state, T4 at
+    scale): duplicates arriving within the watermark horizon are
+    suppressed across micro-batches; a replay arriving after the
+    watermark passed the key's horizon is late data and is not
+    re-emitted — which is exactly what proves the key's state was
+    evicted (unbounded dropDuplicates would have kept it forever)."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(eid, minute, v):
+        return (eid, t0 + datetime.timedelta(minutes=minute), v)
+
+    src = tmp_path / "bounded-in"
+    src.mkdir()
+    batches = [
+        [mk(1, 0, 1.0), mk(2, 1, 2.0)],          # initial
+        [mk(1, 0, 1.0), mk(3, 2, 3.0)],          # e1 replayed in-horizon
+        [mk(4, 300, 4.0)],                        # +5h: watermark jumps
+        [mk(1, 0, 9.0)],                          # e1 beyond horizon: late
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}.parquet"))
+        os.utime(str(src / f"b{i}.parquet"), (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*.parquet"))
+    )
+    deduped = sp.dedup_stream_bounded(stream, watermark="1 hour")
+
+    got: list[tuple] = []
+    (
+        deduped.writeStream.foreachBatch(
+            lambda df, _id: got.extend(
+                (r["event_id"], r["value"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emitted = sorted(got)
+    # e1 exactly once (replay suppressed, late replay dropped), e2-e4 once
+    assert emitted == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], emitted
