@@ -589,3 +589,40 @@ WHERE p.p_size >= 40
 GROUP BY p.p_brand
 """
     )
+
+
+@register(
+    "dominant_event_types",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+HAVING SUM(CAST(value AS DECIMAL(18,2))) * 5 > (
+    SELECT SUM(CAST(value AS DECIMAL(18,2))) FROM events)
+""",
+    doc=(
+        "TPC-H q11-style HAVING against an uncorrelated scalar "
+        "subquery: event types carrying more than a 1/5 share of "
+        "global value. The threshold is written as sum*5 > global "
+        "(decimal multiply) rather than global/5 — decimal division "
+        "scale rules differ between engines, integer multiplication "
+        "doesn't. Catalyst evaluates the scalar subquery once "
+        "(ReusedSubquery/Subquery node), then filters the grouped "
+        "relation — two scans of events, one shuffle each, no per-"
+        "group re-execution. Via the spark.sql front door."
+    ),
+    tags=("subquery", "scalar", "having", "aggregates", "sql"),
+)
+def q_dominant_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+HAVING SUM(CAST(value AS DECIMAL(18,2))) * 5 > (
+    SELECT SUM(CAST(value AS DECIMAL(18,2))) FROM events)
+"""
+    )
