@@ -681,3 +681,45 @@ def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_value"),
         F.sqrt(var).alias("stddev_value"),
     )
+
+
+@register(
+    "user_trailing_7d_value",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+           RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_7d_value
+FROM events
+""",
+    doc=(
+        "Time-RANGE window frame: per-user 7-day trailing value sum — "
+        "the frame type ROWS frames can't express (the window extends "
+        "by event-time distance, not row count; ties are frame peers). "
+        "Spark's rangeBetween needs a numeric order key, so both "
+        "engines order by epoch microseconds with a 604800000000 us "
+        "preceding bound — identical frames by construction. Decimal "
+        "accumulation keeps every trailing sum exact. One shuffle on "
+        "user_id; per-partition state is the 7-day sliding set, "
+        "independent of history length — the pattern survives "
+        "unbounded retention at 100 TB."
+    ),
+    tags=("window-function", "range-frame", "time-series"),
+)
+def q_user_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value", "decimal(18,2)")).over(w).cast("double")
+        .alias("trailing_7d_value"),
+    )

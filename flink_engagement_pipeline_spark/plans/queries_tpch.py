@@ -626,3 +626,73 @@ HAVING SUM(CAST(value AS DECIMAL(18,2))) * 5 > (
     SELECT SUM(CAST(value AS DECIMAL(18,2))) FROM events)
 """
     )
+
+
+@register(
+    "nation_pair_trade",
+    oracle="""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+    doc=(
+        "TPC-H q7-style bilateral trade volume: revenue between a "
+        "nation pair (both directions kept distinct) by ship year. "
+        "Exercises year() extraction as a grouping key and a "
+        "disjunctive predicate spanning BOTH join sides — Catalyst "
+        "cannot push the pair condition to either scan alone, so it "
+        "must survive as a post-join filter while the per-side "
+        "IN ('NATION_3','NATION_7') residuals do push into the two "
+        "broadcast nation dims. lineitem-orders is the one big "
+        "shuffle; everything else is broadcast."
+    ),
+    tags=("join", "broadcast", "disjunction", "date-functions", "aggregates"),
+)
+def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("n_name").isin("NATION_3", "NATION_7")
+    n1 = nation.filter(pair).withColumnsRenamed(
+        {"n_nationkey": "n1_key", "n_name": "supp_nation"}
+    )
+    n2 = nation.filter(pair).withColumnsRenamed(
+        {"n_nationkey": "n2_key", "n_name": "cust_nation"}
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(dec("l_extendedprice", _PRICE) * (_one() - dec("l_discount", _FRAC)))
+        .cast("double")
+        .alias("revenue")
+    )
