@@ -723,3 +723,78 @@ def q_user_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value", "decimal(18,2)")).over(w).cast("double")
         .alias("trailing_7d_value"),
     )
+
+
+@register(
+    "user_event_type_sets",
+    oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',')
+           AS event_types,
+       len(list_distinct(list(event_type))) AS n_types
+FROM events
+GROUP BY user_id
+""",
+    doc=(
+        "Array aggregation: the sorted distinct event-type set per "
+        "user (collect_set + array_sort vs DuckDB list_distinct + "
+        "list_sort). Set-then-sort makes the result independent of "
+        "aggregation order, so an inherently order-sensitive "
+        "aggregate becomes hash-matchable. One map-side-combined "
+        "shuffle; per-group state is the distinct-type set, bounded "
+        "by the type vocabulary."
+    ),
+    tags=("aggregates", "array-agg", "collect-set"),
+)
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(types, ",").alias("event_types"),
+        F.size(types).alias("n_types"),
+    )
+
+
+@register(
+    "lateral_top_users",
+    oracle="""
+SELECT t.event_type AS event_type, l.user_id AS user_id, l.total_value AS total_value
+FROM (SELECT DISTINCT event_type FROM events) t,
+LATERAL (
+    SELECT e.user_id,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    WHERE e.event_type = t.event_type
+    GROUP BY e.user_id
+    ORDER BY SUM(CAST(e.value AS DECIMAL(18,2))) DESC, e.user_id ASC
+    LIMIT 2
+) l
+""",
+    doc=(
+        "Correlated LATERAL subquery join (top-2 users per event "
+        "type): the SQL-standard form of per-group top-k, planned by "
+        "Catalyst's lateral-join decorrelation instead of the window-"
+        "function form top_users_per_type uses — both shapes of the "
+        "same capability, both hash-checked. The exact decimal sum "
+        "orders the LIMIT, with user_id as tie-break, so the top-2 "
+        "cut is deterministic in both engines."
+    ),
+    tags=("subquery", "lateral", "topk", "sql"),
+)
+def q_lateral_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+SELECT t.event_type AS event_type, l.user_id AS user_id, l.total_value AS total_value
+FROM (SELECT DISTINCT event_type FROM events) t,
+LATERAL (
+    SELECT e.user_id,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    WHERE e.event_type = t.event_type
+    GROUP BY e.user_id
+    ORDER BY SUM(CAST(e.value AS DECIMAL(18,2))) DESC, e.user_id ASC
+    LIMIT 2
+) l
+"""
+    )
