@@ -378,3 +378,75 @@ def q_orders_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, ts, event_type FROM events
+    WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+),
+v AS (
+    SELECT user_id, min(ts) AS t1 FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click
+""",
+    doc=(
+        "Ordered conversion funnel (view -> click -> purchase): each "
+        "step counts only users whose step event strictly follows "
+        "their previous step's first occurrence — the canonical "
+        "engagement-analytics query over the reference's event "
+        "domain, scoped to the first day so the funnel discriminates "
+        "(56 -> 19 -> 3 users at sf0.01). Three chained min-aggregate "
+        "+ range-join stages, "
+        "each shuffling only (user_id, ts) pairs already reduced to "
+        "one row per user; Catalyst keeps every join an equi-join on "
+        "user_id with the time predicate as residual. At 100 TB the "
+        "funnel prunes monotonically (each stage's input is the "
+        "previous stage's survivors), so cost is dominated by the "
+        "first step's scan."
+    ),
+    tags=("funnel", "join", "aggregates", "engagement"),
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+        .select("user_id", "ts", "event_type")
+    )
+
+    def first_after(step: str, prev: DataFrame, prev_ts: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
