@@ -696,3 +696,219 @@ def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey AS c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+    doc=(
+        "TPC-H q13-style order-count distribution: LEFT OUTER join with "
+        "the filter folded into the join condition (NOT the WHERE clause "
+        "- putting it in WHERE would turn the outer join inner and drop "
+        "zero-order customers), COUNT over the nullable right key so "
+        "unmatched customers count 0, then a second aggregation over the "
+        "first's output. Scale: the first groupBy shuffles on c_custkey "
+        "(same key as the join, so AQE coalesces into one exchange "
+        "chain); the second input is one row per customer and the "
+        "distribution output is ~tens of rows - the classic two-level "
+        "agg whose second level is nearly free."
+    ),
+    tags=("join", "outer", "aggregates", "two-level"),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "top_revenue_supplier",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS tr
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+       CAST(r.tr AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.tr = (SELECT MAX(tr) FROM revenue)
+""",
+    doc=(
+        "TPC-H q15-style top supplier: aggregate a quarter's revenue per "
+        "supplier, then keep the row(s) equal to the MAX of that same "
+        "derived table. The max is computed on the exact DECIMAL (never "
+        "the double projection - a double max can tie-break differently "
+        "across engines), and the one-row max relation is broadcast back "
+        "against the aggregate rather than re-scanning lineitem. Scale: "
+        "one shuffle for the per-supplier agg; the max+filter is a "
+        "broadcast of a single row; supplier dim joins broadcast."
+    ),
+    tags=("subquery", "scalar", "aggregates", "broadcast"),
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice", _PRICE) * (_one() - dec("l_discount", _FRAC))).alias(
+            "tr"
+        )
+    )
+    mx = rev.agg(F.max("tr").alias("mx"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("tr") == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("tr").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "lone_late_suppliers",
+    oracle="""
+SELECT s.s_name AS s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1
+      FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+""",
+    doc=(
+        "TPC-H q21-style waiting-supplier blame: late lines (shipped "
+        ">60 days after the order date, finished orders) on multi-"
+        "supplier orders where no OTHER supplier was also late - the "
+        "supplier solely responsible for the wait. The fixture lacks "
+        "commit/receipt dates, so lateness is ship-vs-order-date "
+        "(reference semantics preserved: EXISTS another supplier, NOT "
+        "EXISTS another LATE supplier). Spark side decomposes the "
+        "quantifiers the way Catalyst itself would - EXISTS -> left_semi "
+        "against all lines, NOT EXISTS -> left_anti against the late "
+        "set's self-alias - keeping every join an equi-join on "
+        "l_orderkey with the <> supplier test as a residual (no "
+        "BroadcastNestedLoopJoin). Scale: the late set is a small "
+        "fraction of lineitem; both quantifier joins shuffle on "
+        "l_orderkey, the same key as the orders join, so the exchange "
+        "is reused across all three."
+    ),
+    tags=("subquery", "exists", "anti-join", "semi-join", "join"),
+)
+def q_lone_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    with_other = late.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    late_b = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    solo = with_other.join(
+        late_b,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        solo.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(12,2))
+        * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""",
+    doc=(
+        "TPC-H q22-style untapped customers: above-average-balance "
+        "customers with no urgent orders (every fixture customer has "
+        "SOME order, so the reference's no-orders-at-all anti join "
+        "would be vacuous; scoping the NOT EXISTS to '1-URGENT' keeps "
+        "the anti join selective). The above-average test is written "
+        "bal * count > sum in DECIMAL - dividing for a literal AVG "
+        "would compare doubles whose last-ulp rounding can disagree "
+        "across engines and flip membership at the boundary. Via the "
+        "spark.sql front door: Catalyst evaluates the two uncorrelated "
+        "scalar subqueries once each and rewrites NOT EXISTS into a "
+        "left-anti hash join on o_custkey. Scale: customer scans twice "
+        "(once per scalar, collapsible by AQE subquery reuse), the anti "
+        "join shuffles on custkey only."
+    ),
+    tags=("subquery", "scalar", "anti-join", "aggregates", "sql"),
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(12,2))
+        * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+    )
