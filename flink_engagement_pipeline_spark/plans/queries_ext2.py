@@ -450,3 +450,81 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
     )
+
+
+@register(
+    "events_profile",
+    oracle="""
+SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(event_id) AS n_null,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       CAST(MIN(event_id) AS DOUBLE) AS min_v, CAST(MAX(event_id) AS DOUBLE) AS max_v
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+       COUNT(DISTINCT user_id),
+       CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+       COUNT(DISTINCT value),
+       MIN(value), MAX(value)
+FROM events
+UNION ALL
+SELECT 'ts_us', COUNT(*), COUNT(*) - COUNT(ts),
+       COUNT(DISTINCT epoch_us(CAST(ts AS TIMESTAMP))),
+       CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS DOUBLE),
+       CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS DOUBLE)
+FROM events
+""",
+    doc=(
+        "Single-pass table profiling (per-column row/null/exact-"
+        "distinct/min/max), the data-quality screen a corpus runs "
+        "before training ingestion. The oracle is four UNION ALL "
+        "scans for SQL clarity, but the Spark side computes ALL "
+        "columns' statistics in ONE aggregation - Catalyst plans the "
+        "multi-distinct via a single Expand (4x internal row growth, "
+        "one scan, one shuffle) instead of four scans - then "
+        "unpivots the 1-row result with stack(). Epoch-microsecond "
+        "longs stand in for the timestamp min/max (exactly "
+        "representable in DOUBLE < 2^53; formatted timestamps would "
+        "hash differently across engines). Scale: one scan of the "
+        "fact table regardless of how many columns are profiled; "
+        "exact COUNT(DISTINCT) is the expensive honest answer - the "
+        "approx_distinct_users query is the sketch-based cheap one."
+    ),
+    tags=("profiling", "aggregates", "distinct", "unpivot"),
+)
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    one = ev.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count("event_id")).alias("null_eid"),
+        F.countDistinct("event_id").alias("nd_eid"),
+        F.min("event_id").cast("double").alias("min_eid"),
+        F.max("event_id").cast("double").alias("max_eid"),
+        (F.count("*") - F.count("user_id")).alias("null_uid"),
+        F.countDistinct("user_id").alias("nd_uid"),
+        F.min("user_id").cast("double").alias("min_uid"),
+        F.max("user_id").cast("double").alias("max_uid"),
+        (F.count("*") - F.count("value")).alias("null_val"),
+        F.countDistinct("value").alias("nd_val"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+        (F.count("*") - F.count("ts_us")).alias("null_ts"),
+        F.countDistinct("ts_us").alias("nd_ts"),
+        F.min("ts_us").cast("double").alias("min_ts"),
+        F.max("ts_us").cast("double").alias("max_ts"),
+    )
+    return one.select(
+        F.expr(
+            """stack(4,
+            'event_id', n, null_eid, nd_eid, min_eid, max_eid,
+            'user_id',  n, null_uid, nd_uid, min_uid, max_uid,
+            'value',    n, null_val, nd_val, min_val, max_val,
+            'ts_us',    n, null_ts,  nd_ts,  min_ts,  max_ts)
+            AS (col_name, n_rows, n_null, n_distinct, min_v, max_v)"""
+        )
+    )

@@ -558,3 +558,91 @@ def q_docs_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
         .limit(50)
     )
+
+
+@register(
+    "docs_train_split",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN h < 'cc' THEN 'train'
+            WHEN h < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, lang,
+           substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+    FROM documents
+) hashed
+""",
+    doc=(
+        "Deterministic hash-based train/val/test split (~80/10/10): "
+        "the assignment is a pure function of the document key "
+        "(md5 of a salted key string; the salt 'split-v1:' versions "
+        "the split so re-runs and late-arriving docs land "
+        "identically). The two-hex-char prefix compares LEXICALLY "
+        "('00'..'cb' = 204/256 ~ 80% train, 'cc'..'e5' ~ 10% val) — "
+        "string comparison is engine-exact where a float threshold "
+        "on hash/2^128 would not be. Scale: narrow projection, no "
+        "shuffle at all — the split is embarrassingly parallel and "
+        "stable under repartitioning, the property a 100 TB corpus "
+        "split must have (no sampling, no global ordering)."
+    ),
+    tags=("llm", "split", "hash", "deterministic"),
+)
+def q_docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.substring(
+        F.md5(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "docs_chunks",
+    oracle="""
+SELECT doc_id,
+       chunk_start,
+       length(substr(text, chunk_start, 256)) AS chunk_len,
+       md5(substr(text, chunk_start, 256)) AS chunk_md5
+FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, n_chars, 192)) AS chunk_start
+    FROM documents
+    WHERE n_chars >= 1
+) starts
+""",
+    doc=(
+        "Overlapping fixed-size document chunking (size 256, stride "
+        "192 => 64-char overlap), the canonical pre-tokenization step "
+        "for context-window-bounded training and RAG indexing. "
+        "Spark side: explode(sequence(1, n_chars, 192)) computes "
+        "chunk starts ARITHMETICALLY from the stored length - the "
+        "fan-out never re-materializes the text per chunk until the "
+        "final substring, and emits md5 fingerprints rather than the "
+        "chunk bodies so the result stays narrow (the chunk text "
+        "itself is derivable; shipping hashes keeps the verify/dedup "
+        "path cheap). Scale: zero shuffle - pure per-row generate + "
+        "project, splittable at any partitioning; the 1->N explode "
+        "is bounded by n_chars/stride ~ 3 rows per fixture doc."
+    ),
+    tags=("llm", "chunking", "explode", "text"),
+)
+def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    starts = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_chars"), F.lit(192).cast("long"))
+        ).alias("chunk_start"),
+    )
+    chunk = F.substring(F.col("text"), F.col("chunk_start").cast("int"), F.lit(256))
+    return starts.select(
+        "doc_id",
+        "chunk_start",
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
