@@ -78,3 +78,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+class RunningTotalsProcessor:
+    """Spark 4 ``StatefulProcessor`` form of the same running-totals
+    operator (``transformWithStateInPandas``): the successor API to
+    ``applyInPandasWithState`` with explicit typed state handles
+    (ValueState/ListState/MapState), timers, and TTL support — the
+    engine keeps BOTH forms because the reference's per-key
+    accumulator (Redis ZINCRBY, reference src/process.py:92) is the
+    semantics, and the processor API is the idiomatic Spark 4 home
+    for it.
+
+    Scale: identical state-partitioning story to
+    ``running_user_totals`` — per-key ValueState sharded across
+    executors, RocksDB-backed in production, Arrow-batched input.
+    """
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self._totals.get()
+        n, total = prev if prev is not None else (0, 0.0)
+        for pdf in rows:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            total += float(vals.sum()) if len(vals) else 0.0
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user running (count, sum) via the Spark 4
+    ``transformWithStateInPandas`` StatefulProcessor API.
+
+    Runtime dependency: the TWS state server speaks protobuf to the
+    Python worker, so this path needs ``google.protobuf`` installed
+    (its pytest skips where absent); ``running_user_totals`` is the
+    dependency-free equivalent."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # Subclassing at call time keeps the module importable even if a
+    # future pyspark moves the ABC; the processor itself is duck-typed.
+    proc = type(
+        "_RunningTotals", (RunningTotalsProcessor, StatefulProcessor), {}
+    )()
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
