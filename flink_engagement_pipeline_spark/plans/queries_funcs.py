@@ -798,3 +798,61 @@ LATERAL (
 ) l
 """
     )
+
+
+@register(
+    "value_hour_correlation",
+    oracle="""
+WITH m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(hour(CAST(ts AS TIMESTAMP))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(hour(CAST(ts AS TIMESTAMP)) AS DECIMAL(4,0))
+                    * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+           CAST(SUM(hour(CAST(ts AS TIMESTAMP)) * hour(CAST(ts AS TIMESTAMP))) AS DOUBLE) AS sx2,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sy2
+    FROM events GROUP BY event_type
+)
+SELECT event_type,
+       (n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+           AS corr_value_hour
+FROM m
+""",
+    doc=(
+        "Pearson correlation (value vs hour-of-day) per event type "
+        "from exact moments: the five sums accumulate as integers/"
+        "decimals (order-independent, partial-agg safe), then the "
+        "correlation formula runs once per group as the IDENTICAL "
+        "double expression in both engines. Built-in corr() would "
+        "never hash-match - its streaming covariance update is float "
+        "all the way down and partial-merge order differs. hour() "
+        "extraction is deterministic because load_table pins the "
+        "session to UTC. Single map-side-combined aggregation; the "
+        "moments are the mergeable form - this is how distributed "
+        "correlation works at 100 TB (combine 6 numbers per group, "
+        "not raw rows)."
+    ),
+    tags=("statistics", "aggregates", "moments", "date-functions"),
+)
+def q_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    hour_dec = hour.cast("decimal(4,0)")
+    val = dec("value", "decimal(12,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(hour).cast("double").alias("sx"),
+        F.sum(dec("value", "decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(hour_dec * val).cast("double").alias("sxy"),
+        F.sum(hour * hour).cast("double").alias("sx2"),
+        F.sum(val * val).cast("double").alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    return m.select(
+        "event_type",
+        ((n * sxy - sx * sy) / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).alias(
+            "corr_value_hour"
+        ),
+    )

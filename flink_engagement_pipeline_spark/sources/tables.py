@@ -28,13 +28,26 @@ from pyspark.sql import functions as F
 from ..schemas import EVENTS_RAW, TABLES
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_TZ_CONF = "spark.sql.session.timeZone"
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     """Runtime-settable; must be applied to whichever session runs the
-    read (the driver's own session included)."""
+    read (the driver's own session included).
+
+    Also pins the session timezone to UTC: hour()/year()/date_format()
+    and string->timestamp casts all render through the session TZ, and
+    the DuckDB oracle's TIMESTAMP is timezone-free (== UTC wall time).
+    A driver session in any other TZ would shift every date extraction
+    by the offset; pinning here (the query path) makes results
+    driver-config-independent."""
     if spark.conf.get(_NANOS_CONF, "false") != "true":
         spark.conf.set(_NANOS_CONF, "true")
+    # Set unconditionally: for an UNSET key conf.get returns the
+    # caller's default, not the effective value (the JVM zone), so a
+    # read-before-write guard can skip the write exactly when it is
+    # needed. The set is an O(1) conf-map update.
+    spark.conf.set(_TZ_CONF, "UTC")
 
 
 def normalize_events(raw: DataFrame) -> DataFrame:
@@ -55,8 +68,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    _ensure_nanos_conf(spark)  # nanos + UTC: needed by every table with timestamps
     if name == "events":
-        _ensure_nanos_conf(spark)
         return normalize_events(spark.read.schema(EVENTS_RAW).parquet(path))
     return spark.read.schema(TABLES[name]).parquet(path)
 

@@ -326,3 +326,20 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     got = one_day.count()
     want = ev.filter(F.to_date("ts") == "2024-01-02").count()
     assert got == want and got > 0
+
+
+def test_load_table_pins_utc_session_timezone(spark, sf_dir):
+    """The driver calls queries with its own session in an arbitrary
+    timezone; hour()/date_format()/timestamp casts all render through
+    the session TZ, so load_table must pin UTC in the query path
+    (same contract as nanosAsLong)."""
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    tz_key = "spark.sql.session.timeZone"
+    original = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        load_table(spark, sf_dir, "events")
+        assert spark.conf.get(tz_key) == "UTC"
+    finally:
+        spark.conf.set(tz_key, original)
