@@ -343,3 +343,33 @@ def test_load_table_pins_utc_session_timezone(spark, sf_dir):
         assert spark.conf.get(tz_key) == "UTC"
     finally:
         spark.conf.set(tz_key, original)
+
+
+def test_jdbc_scan_options_partitioning_discipline():
+    """S3: the JDBC dim scan must be partitioned or loudly refuse —
+    a half-specified partitioning silently degrades to one connection."""
+    import pytest as _pytest
+
+    from flink_engagement_pipeline_spark.sources.jdbc import jdbc_scan_options
+
+    opts = jdbc_scan_options(
+        "jdbc:postgresql://db/engagement",
+        "content_dim",
+        partition_column="content_id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    assert opts["partitionColumn"] == "content_id"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000000")
+    assert opts["numPartitions"] == "16"
+    assert int(opts["fetchsize"]) >= 1000  # never driver-default row buffering
+
+    with _pytest.raises(ValueError, match="lower_bound"):
+        jdbc_scan_options("jdbc:x", "t", partition_column="id")
+    with _pytest.raises(ValueError, match="upper_bound"):
+        jdbc_scan_options(
+            "jdbc:x", "t", partition_column="id", lower_bound=5, upper_bound=5
+        )
+    with _pytest.raises(ValueError, match="no effect"):
+        jdbc_scan_options("jdbc:x", "t", num_partitions=4)
