@@ -157,6 +157,36 @@ WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= {threshold}
 """
 
 
+def contamination_oracle_sql(n: int = 5, bench_source: str = "src0") -> str:
+    """Exact oracle for the decontamination screen: corpus docs sharing
+    >=1 word-n-gram with the benchmark slice, with distinct-gram
+    counts. Joins on the raw gram string (the Spark side joins on
+    xxhash64 of it; 64-bit collisions are negligible at any realistic
+    vocabulary, the same trade the Jaccard pipeline makes)."""
+    grams = " || ' ' || ".join(f"ws[i+{d}]" for d in range(n))
+    return f"""
+WITH base AS (
+    SELECT doc_id, source,
+           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest(
+               CASE WHEN len(ws) >= {n}
+                    THEN list_distinct(list_transform(range(1, len(ws) - {n - 2}), i -> {grams}))
+                    ELSE [array_to_string(ws, ' ')] END
+           ) AS sh
+    FROM base
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE source = '{bench_source}'),
+corpus AS (SELECT DISTINCT doc_id, sh FROM sh WHERE source <> '{bench_source}')
+SELECT c.doc_id AS doc_id, COUNT(*) AS n_shared_grams
+FROM corpus c JOIN bench b ON c.sh = b.sh
+GROUP BY c.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # MinHash + banded LSH (the scale path)
 # --------------------------------------------------------------------------

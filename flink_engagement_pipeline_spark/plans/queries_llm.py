@@ -646,3 +646,68 @@ def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+@register(
+    "docs_lang_downsample",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5('ds-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE WHEN lang = 'en' THEN '40' ELSE 'g0' END
+""",
+    doc=(
+        "Per-language deterministic downsampling: corpus language "
+        "rebalancing keeps ~25% of the overrepresented language "
+        "('en': md5 prefix < '40' = 64/256) and 100% of the rest "
+        "(threshold 'g0' sorts above every hex digest). Same salted-"
+        "hash discipline as docs_train_split: membership is a pure "
+        "function of the key, so re-runs, retries, and partition "
+        "reshuffles keep the identical sample - rand()-based "
+        "sampleBy() can't promise that across engines or even runs. "
+        "Scale: stateless filter in the scan stage, zero shuffle."
+    ),
+    tags=("llm", "sampling", "hash", "deterministic"),
+)
+def q_docs_lang_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.substring(
+        F.md5(F.concat(F.lit("ds-v1:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    thresh = F.when(F.col("lang") == "en", "40").otherwise("g0")
+    return docs.filter(h < thresh)
+
+
+@register(
+    "docs_contamination",
+    oracle=ld.contamination_oracle_sql(n=5, bench_source="src0"),
+    doc=(
+        "Benchmark decontamination screen: documents outside the "
+        "designated benchmark slice (source='src0' stands in for the "
+        "eval set) that share at least one word-5-gram with it, with "
+        "the count of distinct shared grams. The canonical "
+        "train-on-test leak check run before any corpus ships. "
+        "Plan: explode 5-gram shingles once per side, join on "
+        "xxhash64(gram) (8-byte shuffle keys, same discipline as the "
+        "Jaccard pipeline), distinct-count per contaminated doc. The "
+        "benchmark side is tiny (1/20 of docs) so AQE broadcasts its "
+        "distinct gram set; the corpus side never self-joins - at "
+        "100 TB this is one scan + one broadcast-semi-ish join, no "
+        "quadratic blowup."
+    ),
+    tags=("llm", "decontamination", "ngram", "join"),
+)
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(lt.shingles("text", 5)).alias("sh")
+    ).select("doc_id", "source", F.xxhash64("sh").alias("shh"))
+    bench_grams = (
+        sh.filter(F.col("source") == "src0").select("shh").distinct()
+    )
+    corpus = sh.filter(F.col("source") != "src0").select("doc_id", "shh").distinct()
+    return (
+        corpus.join(bench_grams, "shh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
