@@ -711,3 +711,62 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+@register(
+    "docs_pack_sequences",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, len({_WORDS}) AS n_tokens
+    FROM documents
+),
+offs AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_off
+    FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       start_off // 512             AS seq_id,
+       start_off % 512              AS seq_offset
+FROM offs
+""",
+    doc=(
+        "Concat-and-split sequence packing (context 512): the "
+        "standard LLM pre-training batcher - concatenate the token "
+        "streams of documents in a deterministic order and cut every "
+        "C tokens; a document starting at global offset o lands in "
+        "sequence o DIV C at position o % C (straddling the boundary "
+        "like the real packer). Expressed as a running-sum window "
+        "(ROWS UNBOUNDED PRECEDING .. 1 PRECEDING) over integer "
+        "token counts - exact in both engines. Packing is per-"
+        "language (the realistic unit: monolingual sequences), so "
+        "the window partitions by lang and the shuffle is one "
+        "exchange on lang; within a 100 TB corpus you'd sub-salt "
+        "giant languages into (lang, shard) with per-shard sequence "
+        "namespaces - same plan shape, bounded partitions."
+    ),
+    tags=("llm", "packing", "window-function", "tokens"),
+)
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(lt.words("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = toks.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return offs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("start_off DIV 512").alias("seq_id"),
+        (F.col("start_off") % 512).alias("seq_offset"),
+    )
