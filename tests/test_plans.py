@@ -373,3 +373,29 @@ def test_jdbc_scan_options_partitioning_discipline():
         )
     with _pytest.raises(ValueError, match="no effect"):
         jdbc_scan_options("jdbc:x", "t", num_partitions=4)
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Sequence packing must be one shuffle (the lang window) — a
+    second Exchange would mean the running sum re-partitions."""
+    plan = _plan(spark, sf_dir, "docs_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_no_cartesian(spark, sf_dir):
+    """Decontamination joins exploded grams on the 64-bit hash —
+    an equi-join, never an all-pairs comparison."""
+    plan = _plan(spark, sf_dir, "docs_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lone_late_suppliers_all_equi_joins(spark, sf_dir):
+    """q21-style quantifier decomposition must stay equi-join
+    (semi/anti with the <> residual), never nested-loop."""
+    plan = _plan(spark, sf_dir, "lone_late_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
