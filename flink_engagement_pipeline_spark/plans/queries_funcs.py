@@ -856,3 +856,54 @@ def q_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_value_hour"
         ),
     )
+
+
+@register(
+    "user_retention_cohort",
+    oracle="""
+WITH activity AS (
+    SELECT DISTINCT user_id,
+           date_trunc('week', CAST(ts AS TIMESTAMP)) AS act_week
+    FROM events
+),
+cohorts AS (
+    SELECT user_id, act_week,
+           MIN(act_week) OVER (PARTITION BY user_id) AS cohort_week
+    FROM activity
+)
+SELECT cohort_week,
+       date_diff('day', cohort_week, act_week) // 7 AS week_offset,
+       COUNT(*) AS n_users
+FROM cohorts
+GROUP BY cohort_week, week_offset
+""",
+    doc=(
+        "Retention cohort matrix: users grouped by first-activity "
+        "week, counted in every subsequent week they return - the "
+        "standard product-analytics retention triangle. The week "
+        "offset is integer day arithmetic (datediff DIV 7 - never "
+        "months_between(), whose fractional-day semantics differ "
+        "across engines); activity is deduped to (user, week) BEFORE "
+        "the cohort window so a heavy user costs one row per month, "
+        "not one per event. Plan: one shuffle for the distinct, the "
+        "cohort MIN rides the same user_id partitioning, and the "
+        "final matrix is tiny. At 100 TB the distinct is the classic "
+        "partial-agg win: week-level dedup collapses the event "
+        "stream map-side."
+    ),
+    tags=("cohort", "window-function", "date-functions", "aggregates"),
+)
+def q_user_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    cohorts = activity.withColumn(
+        "cohort_week", F.min("act_week").over(Window.partitionBy("user_id"))
+    )
+    offset = F.expr("datediff(act_week, cohort_week) DIV 7")
+    return cohorts.groupBy("cohort_week", offset.alias("week_offset")).agg(
+        F.count("*").alias("n_users")
+    )
