@@ -399,3 +399,29 @@ def test_lone_late_suppliers_all_equi_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Registry-wide scale audit: no registered query may plan a
+    CartesianProduct — the operator that turns a 100 TB input into a
+    non-terminating job. BroadcastNestedLoopJoin is tolerated only on
+    an explicit allowlist of single-row / broadcast-tiny patterns
+    (scalar-count cross joins, gap-fill spines, the one-probe ANN
+    baseline); growing that list is a deliberate act, not drift."""
+    bnlj_allowed = {
+        "conversion_funnel",        # two 1-row scalar-count cross joins
+        "minute_rollup_gapfill",    # broadcast minute-spine x type dim
+        "embedding_cosine_topk",    # single probe row x corpus (baseline)
+        "embedding_near_dup",       # broadcast threshold pattern
+        "embedding_ann_lsh",        # single probe row x bucket-pruned candidates
+        "embedding_ann_ivf",        # single probe row x probed inverted lists
+    }
+    cartesian, stray_bnlj = [], []
+    for name, spec in sorted(REGISTRY.items()):
+        plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
+            stray_bnlj.append(name)
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not stray_bnlj, f"unexpected BroadcastNestedLoopJoin in: {stray_bnlj}"
