@@ -433,3 +433,46 @@ def test_http_sinks_post_to_live_server(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_rate_source_unbounded_stream(spark, tmp_path):
+    """Genuinely unbounded source (rate): file streams always
+    terminate under availableNow, so this is the one path that
+    exercises continuous micro-batching + manual stop. The windowed
+    count over the generated timestamps must cover every generated
+    row exactly once."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()  # schema: timestamp TIMESTAMP, value LONG
+    )
+    agg = stream.groupBy(F.window("timestamp", "1 second")).agg(
+        F.count("*").alias("n"), F.max("value").alias("max_v")
+    )
+    mem = sk.MemorySink()
+    q = (
+        agg.writeStream.foreachBatch(lambda df, bid: mem.write_batch(df, bid))
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt-rate"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = max(mem.batches, key=lambda b: b[0])[1] if mem.batches else []
+            if sum(r["n"] for r in rows) >= 500:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert mem.batches, "rate stream produced no micro-batches"
+    last = max(mem.batches, key=lambda b: b[0])[1]
+    total = sum(r["n"] for r in last)
+    top = max(r["max_v"] for r in last)
+    # complete mode: the final emission covers every generated value
+    # exactly once - count == max(value)+1 (values are 0-based)
+    assert total == top + 1
+    assert total >= 500
