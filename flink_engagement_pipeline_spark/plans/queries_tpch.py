@@ -912,3 +912,48 @@ WHERE CAST(c_acctbal AS DECIMAL(12,2))
 GROUP BY c_nationkey
 """
     )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+SELECT DISTINCT l_partkey, l_suppkey,
+       CAST(min_price AS DOUBLE) AS min_price
+FROM (
+    SELECT l_partkey, l_suppkey,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+           MIN(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY l_partkey) AS min_price
+    FROM lineitem
+) priced
+WHERE price = min_price
+""",
+    doc=(
+        "TPC-H q2-style groupwise minimum (the fixture has no "
+        "partsupp, so lineitem prices stand in for supply costs): "
+        "every supplier tied at a part's minimum price survives - "
+        "tie RETENTION is what separates this from a rank()=1 pick. "
+        "Plan: window MIN over l_partkey then filter - ONE shuffle, "
+        "where the naive self-join-to-aggregate form (q2's textbook "
+        "correlated subquery) shuffles twice and re-scans; Catalyst "
+        "does not do that rewrite itself, so the engine encodes it. "
+        "The min comparison is decimal = decimal (exact); the price "
+        "only casts to DOUBLE on output."
+    ),
+    tags=("window-function", "groupwise-min", "aggregates"),
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", dec("l_extendedprice", _PRICE).alias("price")
+    )
+    w = Window.partitionBy("l_partkey")
+    priced = li.withColumn("min_price", F.min("price").over(w))
+    return (
+        priced.filter(F.col("price") == F.col("min_price"))
+        .select(
+            "l_partkey", "l_suppkey", F.col("min_price").cast("double").alias("min_price")
+        )
+        .distinct()
+    )
