@@ -137,9 +137,33 @@ def windowed_stream(
     dropped (documented upgrade over the reference's proc-time HOP,
     whose results are irreproducible)."""
     win = F.window("ts", size, slide) if slide else F.window("ts", size)
+    return _windowed(events, win, watermark, key)
+
+
+def session_windowed_stream(
+    events: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    gap: str = "5 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Event-time SESSION window SUM: windows extend while events
+    arrive within ``gap`` of the last one and close at the first gap —
+    data-driven bounds, unlike fixed tumbling/HOP grids. In streaming,
+    a session stays open (buffered in the state store) until the
+    watermark passes its current end + gap; the watermark is what
+    makes session state evictable at all — unbounded-key session
+    tracking without it would grow forever. Batch/stream agnostic
+    like the fixed-window form."""
+    return _windowed(events, F.session_window("ts", gap), watermark, key)
+
+
+def _windowed(
+    events: DataFrame, win, watermark: str, key: str
+) -> DataFrame:
+    win_col = win.alias("window")
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(win, key)
+        .groupBy(win_col, key)
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("engagement_sum"))
         .select(
             F.col("window.start").alias("window_start"),

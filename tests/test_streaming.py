@@ -476,3 +476,45 @@ def test_rate_source_unbounded_stream(spark, tmp_path):
     # exactly once - count == max(value)+1 (values are 0-based)
     assert total == top + 1
     assert total >= 500
+
+
+def test_session_window_stream_matches_batch_closed_sessions(
+    spark, events_dir, tmp_path
+):
+    """Session windows (data-driven bounds) streaming==batch: append
+    mode must emit exactly the sessions the final watermark closed.
+    A session is closed once the watermark passes its end (the gap
+    already being part of the window bounds)."""
+    mem = sk.MemorySink()
+    stream = sp.read_events_stream(spark, events_dir)
+    agg = sp.session_windowed_stream(stream, gap="5 minutes")
+    (
+        agg.writeStream.foreachBatch(lambda df, bid: mem.write_batch(df, bid))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-sess"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    events = load_table(spark, SF, "events")
+    batch = (
+        events.groupBy(F.session_window("ts", "5 minutes").alias("window"), "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("engagement_sum")
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "user_id",
+            "engagement_sum",
+        )
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - datetime.timedelta(minutes=1)
+    closed = batch.filter(F.col("window_end") <= F.lit(watermark))
+    got = sorted(map(tuple, mem.rows))
+    expect = sorted(map(tuple, closed.collect()))
+    assert got == expect
+    assert len(got) > 0
