@@ -1,0 +1,127 @@
+"""Synthetic workload generator (SURVEY.md §3.3, reference
+src/datagen.py): the third entry point a reference user would need
+when switching engines.
+
+The reference drives load with a psycopg2 loop — one INSERT + commit
+per row, 0.1–1.0 s sleep, ~1–10 events/s (src/datagen.py:49-68).
+The Spark-native form generates the same value domains (src/datagen.py:
+27-47, 55-59 and sql/init.sql CHECK constraints) as a *distributed
+projection over spark.range*: every column is hash arithmetic on the
+row id with a fixed per-column salt, so output is deterministic
+(same n → bit-identical table, any partitioning, any retry), there is
+no Python in the row path, and generation scales to any size the
+cluster can write — the 100 TB fixture problem is exactly "generate
+deterministic data in parallel without a coordinator".
+
+``gen_events_stream`` swaps the base for the rate source: an
+unbounded stream with identical column derivations keyed on the
+generated ``value``, for soak tests at arbitrary events/s — the role
+of the reference's sleep loop, minus its single-connection ceiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CONTENT_TYPES = ("podcast", "newsletter", "video")
+EVENT_TYPES = ("play", "pause", "finish", "click")
+DEVICES = ("ios", "android", "web-safari", "web-chrome")
+
+
+def _pick(id_col, salt: int, choices: tuple[str, ...]):
+    """Deterministic uniform pick: salted hash modulo the choice list."""
+    idx = F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(len(choices)))
+    return F.element_at(F.array(*[F.lit(c) for c in choices]), (idx + 1).cast("int"))
+
+
+def _uniform_long(id_col, salt: int, lo: int, hi: int):
+    """Deterministic uniform long in [lo, hi] (inclusive)."""
+    return F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(hi - lo + 1)) + F.lit(lo)
+
+
+def gen_content(spark: SparkSession, n: int = 50) -> DataFrame:
+    """The dimension seed (reference src/datagen.py:27-47): n content
+    rows with type in the CHECK domain and length_seconds in [60, 3600]."""
+    base = spark.range(n).withColumnRenamed("id", "content_id")
+    cid = F.col("content_id")
+    return base.select(
+        cid,
+        F.concat(F.lit("content-"), cid.cast("string")).alias("title"),
+        _pick(cid, 1, CONTENT_TYPES).alias("content_type"),
+        _uniform_long(cid, 2, 60, 3600).alias("length_seconds"),
+    )
+
+
+def _event_columns(id_col, start_ts: str, events_per_second: int):
+    """The shared deterministic column derivations (reference
+    src/datagen.py:49-68 value domains)."""
+    etype = _pick(id_col, 11, EVENT_TYPES)
+    duration = F.when(
+        etype.isin("play", "finish"), _uniform_long(id_col, 12, 1000, 300000)
+    )  # NULL for pause/click, as in the reference
+    payload = F.to_json(
+        F.struct(
+            F.concat(F.lit("m-"), F.pmod(F.xxhash64(id_col, F.lit(13)), F.lit(1000)).cast("string")).alias("metadata"),
+            F.concat(
+                F.lit("10."),
+                F.pmod(F.xxhash64(id_col, F.lit(14)), F.lit(256)).cast("string"),
+                F.lit("."),
+                F.pmod(F.xxhash64(id_col, F.lit(15)), F.lit(256)).cast("string"),
+                F.lit(".1"),
+            ).alias("ip"),
+        )
+    )
+    ts = F.timestamp_micros(
+        (F.unix_micros(F.lit(start_ts).cast("timestamp"))
+         + (id_col * F.lit(1_000_000 // events_per_second)).cast("long"))
+    )
+    return [
+        id_col.cast("long").alias("event_id"),
+        ts.alias("ts"),
+        _uniform_long(id_col, 16, 0, 149).alias("user_id"),
+        _uniform_long(id_col, 17, 0, 49).alias("content_id"),
+        etype.alias("event_type"),
+        duration.alias("duration_ms"),
+        _pick(id_col, 18, DEVICES).alias("device"),
+        payload.alias("raw_payload"),
+    ]
+
+
+def gen_events(
+    spark: SparkSession,
+    n: int,
+    start_ts: str = "2024-01-01 00:00:00",
+    events_per_second: int = 10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """n deterministic events, timestamps spaced at the given rate.
+
+    ``spark.range`` splits the id space across the cluster; every
+    derived column depends only on (id, fixed salt), so regeneration
+    is idempotent — the property that lets a 100 TB synthetic corpus
+    be rebuilt partition-by-partition after executor loss."""
+    base = (
+        spark.range(0, n, numPartitions=partitions)
+        if partitions
+        else spark.range(n)
+    )
+    return base.select(*_event_columns(F.col("id"), start_ts, events_per_second))
+
+
+def gen_events_stream(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    start_ts: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Unbounded generator on the rate source — the reference's
+    insert-loop role at arbitrary rates. ``value`` (the rate source's
+    monotonically increasing long) keys the same derivations, so a
+    replayed micro-batch regenerates identical rows (exactly-once
+    downstream stays possible)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(*_event_columns(F.col("value"), start_ts, rows_per_second))

@@ -425,3 +425,35 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
             stray_bnlj.append(name)
     assert not cartesian, f"CartesianProduct in: {cartesian}"
     assert not stray_bnlj, f"unexpected BroadcastNestedLoopJoin in: {stray_bnlj}"
+
+
+def test_datagen_domains_and_determinism(spark):
+    """§3.3 workload generator: reference value domains (datagen.py
+    55-59 / init.sql CHECK constraints) and bit-identical
+    regeneration — the distributed-rebuild property."""
+    from flink_engagement_pipeline_spark.sources import datagen as dg
+
+    content = dg.gen_content(spark, 50)
+    rows = content.collect()
+    assert len(rows) == 50
+    assert {r["content_type"] for r in rows} <= set(dg.CONTENT_TYPES)
+    assert all(60 <= r["length_seconds"] <= 3600 for r in rows)
+
+    ev = dg.gen_events(spark, 2000, partitions=8)
+    rows = ev.collect()
+    assert len(rows) == 2000
+    assert {r["event_type"] for r in rows} == set(dg.EVENT_TYPES)
+    assert {r["device"] for r in rows} <= set(dg.DEVICES)
+    for r in rows:
+        if r["event_type"] in ("play", "finish"):
+            assert 1000 <= r["duration_ms"] <= 300000
+        else:
+            assert r["duration_ms"] is None
+        assert r["raw_payload"].startswith('{"metadata":')
+    # determinism across regeneration AND different partitioning
+    again = sorted(map(tuple, dg.gen_events(spark, 2000, partitions=3).collect()))
+    assert sorted(map(tuple, rows)) == again
+    # timestamps spaced at the declared rate (10/s -> 100ms apart)
+    by_id = sorted(rows, key=lambda r: r["event_id"])
+    delta = by_id[1]["ts"] - by_id[0]["ts"]
+    assert delta.total_seconds() == 0.1
