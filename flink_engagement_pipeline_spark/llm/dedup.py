@@ -4,8 +4,10 @@ Scale ladder (the 100 TB story):
 - exact: hash-groupBy — one shuffle on a 16-byte key, map-side combine.
 - n-gram Jaccard: the *exact* similarity baseline; candidate pairs come
   from a same-shingle equi-join, so cost is bounded by shingle-bucket
-  sizes (fine at fixture scale, quadratic on hot shingles). This is the
-  correctness oracle for the approximate methods, not the scale path.
+  sizes, with a document-frequency cap (default 1000) bounding the hot
+  stop-phrase shingles that would otherwise blow up quadratically. This
+  is the correctness oracle for the approximate methods, not the scale
+  path.
 - MinHash+LSH: the scale path — banded signatures turn all-pairs
   similarity into an equi-join on (band, band_signature); candidate
   count is ~linear in the number of true near-dup pairs. Never
@@ -19,7 +21,7 @@ over token arrays) — no Python, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.util import fan_out
@@ -57,7 +59,10 @@ GROUP BY 1
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard >= threshold.
 
@@ -87,12 +92,36 @@ def ngram_jaccard_pairs(
     distinct corpus shingles) could overcount one pair's n_common by
     1 — the same accepted-risk class as every 64-bit-fingerprint
     dedup in production corpus pipelines.
+
+    ``max_shingle_df`` caps shingle document frequency (standard in
+    production exact-Jaccard pipelines): a boilerplate shingle shared
+    by k documents would otherwise materialize a k-struct array in one
+    aggregation buffer (collect_list cannot spill) and explode
+    k*(k-1)/2 pair rows from it. The cap is enforced with a
+    count-over-window on the same hash partitioning as the group-by —
+    WindowExec sorts spill to disk, so a corpus-scale stop-phrase
+    shingle streams through instead of OOMing, and Catalyst reuses the
+    single shuffle (plan-asserted in tests: one Exchange on `sh`).
+    Dropped shingles are removed from intersections only — set sizes
+    stay exact — so reported Jaccard is a lower bound for any pair
+    that shares a >df-cap shingle; pairs whose similarity rests solely
+    on ubiquitous boilerplate are dropped by design. Fixture max df is
+    7 at sf0.01 / 25 at sf0.1, far under the default cap of 1000, so
+    the oracle hash-match is unaffected. ``None`` disables the cap
+    (the pure exact baseline).
     """
     sh = fan_out(docs.select("doc_id", shingles("text", n).alias("shs"))).select(
         "doc_id",
         F.size("shs").alias("n_sh"),
         F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
     )
+    if max_shingle_df is not None:
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= F.lit(max_shingle_df))
+            .drop("__df")
+        )
     ds = F.array_sort(F.collect_list(F.struct("doc_id", "n_sh")))
     pair_list = F.flatten(
         F.transform(
@@ -370,6 +399,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Partial labels would silently split one true cluster into
+        # several (multiple "survivors" in one near-dup group), so
+        # non-convergence is an error, not a warning. Diameter >
+        # max_iter only happens on pathological chain graphs — raise
+        # with the knob to turn.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter for graphs with longer chains"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -63,6 +63,64 @@ def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 20) -> DataFrame
     )
 
 
+def knn_join(emb: DataFrame, num_queries: int = 8, k: int = 5) -> DataFrame:
+    """Batched exact k-NN join: every query vector (vec_id <
+    num_queries) gets its top-k cosine neighbors among the rest of the
+    corpus.
+
+    Plan shape at scale: the query side is a broadcast of Q rows (Q is
+    small by definition of a probe batch), so the "cross" join is a
+    BroadcastNestedLoopJoin that streams the corpus ONCE computing Q
+    cosines per row — never a corpus x corpus product. Top-k per query
+    is a window row_number partitioned by query id: state is one k-heap
+    per query key. For corpus-x-corpus all-pairs top-k, the ANN paths
+    (ann_topk / ivf_topk) are the scale route.
+    """
+    queries = emb.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    e = _as_double(F.col("embedding"))
+    q = _as_double(F.col("q"))
+    cos = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    scored = (
+        emb.filter(F.col("vec_id") >= num_queries)
+        .crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
+def knn_join_oracle_sql(num_queries: int = 8, k: int = 5) -> str:
+    return f"""
+SELECT query_id, vec_id, cosine, rn
+FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+           ) AS rn
+    FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {num_queries}) q
+        WHERE e.vec_id >= {num_queries}
+    )
+)
+WHERE rn <= {k}
+"""
+
+
 def cosine_topk_oracle_sql(query_vec_id: int = 0, k: int = 20) -> str:
     return f"""
 SELECT e.vec_id AS vec_id,

@@ -40,6 +40,19 @@ def words(text: Column | str) -> Column:
     return F.split(normalize(text), " ")
 
 
+def bigrams_list(ws: Column) -> Column:
+    """NON-distinct word bigram list (repetition metrics need the
+    multiset — ``shingles()`` deliberately dedups and cannot be used
+    here). Zip the token array with its 1-shifted slice; the zip pads
+    the tail with one null pair, and ``concat`` (never ``concat_ws``,
+    which silently drops nulls) turns it into a null entry the filter
+    removes. Oracle: ``list_transform(range(1, len(ws)), i ->
+    ws[i] || ' ' || ws[i+1])``."""
+    tail = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
+    zipped = F.zip_with(ws, tail, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.filter(zipped, lambda g: g.isNotNull())
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (order-insensitive set for
     Jaccard/MinHash). Oracle: ``list_distinct(list_transform(range(1,

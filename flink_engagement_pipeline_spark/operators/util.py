@@ -19,6 +19,10 @@ def fan_out(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
+    # Partition count via the compiled physical plan — NOT df.rdd:
+    # the RDD conversion additionally builds the Python RDD graph
+    # (serializer wrapping) per call for the same information.
+    n_in = df._jdf.queryExecution().executedPlan().outputPartitioning().numPartitions()
+    if n_in < max(1, int(target * min_factor)):
         return df.repartition(target)
     return df

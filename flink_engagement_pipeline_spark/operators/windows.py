@@ -82,11 +82,17 @@ def hop_engagement_sum(
     # exact, and IEEE division by 100.0 rounds the exact rational
     # cents/100 to nearest, which is bit-identical to casting the exact
     # DECIMAL(.,2) sum to double (what the DuckDB oracle computes).
-    narrow = events.select(
-        key,
-        "ts",
-        F.floor(F.col(measure) * 100 + F.lit(0.5)).cast("bigint").alias("v"),
-    ).repartition(sc.defaultParallelism, F.col(key))
+    # Sign-aware half-away-from-zero cent rounding: floor(x*100+0.5)
+    # alone rounds half toward +inf, which diverges from the oracle's
+    # DECIMAL(18,2) cast on negative exact-half-cent values; wrapping
+    # the magnitude keeps both signs on the DECIMAL convention.
+    cents = (
+        F.signum(F.col(measure))
+        * F.floor(F.abs(F.col(measure)) * 100 + F.lit(0.5))
+    ).cast("bigint")
+    narrow = events.select(key, "ts", cents.alias("v")).repartition(
+        sc.defaultParallelism, F.col(key)
+    )
     slide_start_us = F.expr(f"unix_micros(ts) DIV {slide_us}") * slide_us
     per_slide = (
         narrow.groupBy(slide_start_us.alias("slide_us"), key)

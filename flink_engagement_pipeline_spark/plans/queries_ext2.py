@@ -73,6 +73,112 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_dim_asof",
+    oracle="""
+WITH hist AS (
+    SELECT o_custkey,
+           o_orderdate AS valid_from,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS version_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cum_spend,
+           c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+),
+u AS (
+    SELECT o_custkey AS ukey, valid_from AS ut, 0 AS is_left, version_no AS tb,
+           NULL::BIGINT AS event_id, NULL::TIMESTAMP AS ts, NULL::DOUBLE AS value,
+           version_no, cum_spend, c_mktsegment
+    FROM hist
+    UNION ALL
+    SELECT user_id, CAST(ts AS TIMESTAMP), 1, NULL,
+           event_id, CAST(ts AS TIMESTAMP), value, NULL, NULL, NULL
+    FROM events
+),
+w AS (
+    SELECT *,
+           last_value(version_no IGNORE NULLS) OVER win AS v_no,
+           last_value(cum_spend IGNORE NULLS) OVER win AS v_spend,
+           last_value(c_mktsegment IGNORE NULLS) OVER win AS v_seg
+    FROM u
+    WINDOW win AS (
+        PARTITION BY ukey ORDER BY ut, is_left, tb NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+)
+SELECT event_id, ukey AS user_id, ts, value,
+       v_no AS version_no, v_spend AS cum_spend, v_seg AS c_mktsegment
+FROM w
+WHERE is_left = 1
+""",
+    doc=(
+        "Dim-HISTORY as-of join — the event-time generalization of the "
+        "reference's `FOR SYSTEM_TIME AS OF` temporal lookup (reference "
+        "src/process.py:180-182): instead of probing the *current* "
+        "dimension row, each event joins the dimension VERSION that was "
+        "valid at the event's timestamp. The versioned (SCD-2 style) "
+        "customer dimension is synthesized deterministically from "
+        "orders: every order bumps version_no and the exact-decimal "
+        "cumulative spend, and carries the static c_mktsegment "
+        "attribute. The temporal probe is the same union-merge as-of "
+        "pattern as events_asof_orders (one shuffle + one sort, no "
+        "range explode); events before a customer's first version get "
+        "NULL dim columns, matching the reference's LEFT lookup join. "
+        "At 100 TB the history build is one window over the dim delta "
+        "(small vs the fact side) and the probe costs exactly one "
+        "fact-side shuffle on the join key."
+    ),
+    tags=("asof-join", "temporal", "dim-history", "scd2"),
+)
+def q_events_dim_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    hist = (
+        orders.withColumn("version_no", F.row_number().over(w))
+        .withColumn(
+            "cum_spend",
+            F.sum(dec("o_totalprice")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("double"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("valid_from"),
+            "version_no",
+            "cum_spend",
+            "c_mktsegment",
+        )
+    )
+    return asof_join_backward(
+        events,
+        hist,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="valid_from",
+        payload_cols=["version_no", "cum_spend", "c_mktsegment"],
+        tiebreak="version_no",
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        "version_no", "cum_spend", "c_mktsegment",
+    )
+
+
+@register(
     "top_users_per_type",
     oracle="""
 SELECT event_type, user_id, total_value, rn

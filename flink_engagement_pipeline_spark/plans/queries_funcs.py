@@ -133,9 +133,14 @@ def q_embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregates", "approx", "sketch"),
 )
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three scalar columns, not one ARRAY column: the driver's pandas
+    # canonicalizer sorts every output column and cannot sort lists.
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p50_p95_p99")
+        *[
+            F.percentile_approx("value", F.lit(p), F.lit(10000)).alias(name)
+            for p, name in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]
+        ]
     )
 
 

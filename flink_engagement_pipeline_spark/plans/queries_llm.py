@@ -101,6 +101,87 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_repetition",
+    oracle="""
+WITH base AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+    FROM documents
+),
+wc AS (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+    GROUP BY 1, 2
+),
+wstats AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           count(*) AS n_distinct, max(c) AS top_cnt
+    FROM wc GROUP BY 1
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+    FROM base WHERE len(ws) >= 2
+),
+bstats AS (
+    SELECT doc_id, count(*) AS n_bg, count(DISTINCT g) AS d_bg
+    FROM bg GROUP BY 1
+)
+SELECT w.doc_id AS doc_id,
+       n_words,
+       CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_word_ratio,
+       CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+       CASE WHEN n_bg > 0
+            THEN 1.0 - CAST(d_bg AS DOUBLE) / CAST(n_bg AS DOUBLE) END AS dup_bigram_frac
+FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
+""",
+    doc=(
+        "Gopher-style repetition filters per document: distinct-word "
+        "ratio, most-frequent-word fraction, and duplicate-bigram "
+        "fraction (1 - distinct/total bigrams — the multiset, not the "
+        "shingle set). Boilerplate and degenerate repetition are the "
+        "top corpus-quality kill criteria in published LLM data "
+        "pipelines (Gopher/MassiveText rules). All counts are integer "
+        "until one final double division, so cross-engine exact; both "
+        "aggregations shuffle on doc_id only."
+    ),
+    tags=("llm", "text", "quality", "repetition"),
+)
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", lt.words("text").alias("ws"))
+    wc = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    bstats = (
+        base.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(lt.bigrams_list(F.col("ws"))).alias("g"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bg"), F.countDistinct("g").alias("d_bg"))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (dbl("n_distinct") / dbl("n_words")).alias("distinct_word_ratio"),
+            (dbl("top_cnt") / dbl("n_words")).alias("top_word_frac"),
+            F.when(
+                F.col("n_bg") > 0, F.lit(1.0) - dbl("d_bg") / dbl("n_bg")
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+@register(
     "docs_lang_id",
     oracle=f"""
 SELECT doc_id, lang AS lang_meta,
@@ -229,6 +310,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ls.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_knn_join",
+    oracle=ls.knn_join_oracle_sql(),
+    doc=(
+        "Batched exact k-NN join: 8 broadcast query vectors x corpus, "
+        "top-5 cosine neighbors per query via a per-query row_number "
+        "window. The corpus is scanned ONCE computing Q cosines per "
+        "row — the multi-query generalization of embedding_cosine_topk "
+        "and the exact baseline for batjob-style retrieval joins."
+    ),
+    tags=("llm", "similarity", "ann", "knn-join"),
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ls.knn_join(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(

@@ -957,3 +957,99 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE)      AS mkt_share
+FROM (
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS volume,
+           n2.n_name AS nation
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY o_year
+""",
+    doc=(
+        "TPC-H q8-style national market share: NATION_1's share of "
+        "ECONOMY-part revenue delivered into AMERICA customers, per "
+        "order year. Every dimension (part filter, supplier+nation, "
+        "customer+nation+region) broadcasts; lineitem-orders is the "
+        "single shuffle join; the share is a conditional decimal SUM "
+        "over the same joined fact, so one aggregation pass computes "
+        "numerator and denominator without a second scan. Filters on "
+        "p_type / r_name / o_orderdate push into the parquet scans."
+    ),
+    tags=("join", "broadcast", "aggregates", "conditional-agg", "pushdown"),
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n2_key"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    volume = dec("l_extendedprice", _PRICE) * (_one() - dec("l_discount", _FRAC))
+    fact = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return fact.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double")
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )

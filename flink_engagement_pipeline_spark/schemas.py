@@ -24,14 +24,17 @@ from pyspark.sql import types as T
 # user_id<->user_id, event_type<->event_type, value<->duration_ms,
 # props<->raw_payload (opaque JSON string, reference src/datagen.py:59).
 #
-# The fixture parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4.x
-# rejects both under an imposed TimestampType schema and under schema
-# inference. The read path (sources/tables.py) therefore reads `ts` as
-# a raw nanosecond LongType (EVENTS_RAW, with
+# The fixture parquet's `ts` unit has varied across driver rounds:
+# TIMESTAMP(NANOS) (which Spark 4.x rejects both under an imposed
+# TimestampType schema and under schema inference) and
+# TIMESTAMP(MICROS). The read path (sources/tables.py) detects the
+# unit from the parquet footer; for nanos files it reads `ts` as a raw
+# nanosecond LongType (EVENTS_RAW, with
 # spark.sql.legacy.parquet.nanosAsLong=true) and converts to
 # TimestampType microseconds with integer division
 # (timestamp_micros(ts DIV 1000) — float division loses 1 µs on ~12%
-# of rows). EVENTS below is the *logical* schema every query sees.
+# of rows); micros files read directly as TimestampType.
+# EVENTS below is the *logical* schema every query sees.
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),

@@ -72,9 +72,29 @@ def _event_columns(id_col, start_ts: str, events_per_second: int):
             ).alias("ip"),
         )
     )
+    if not 1 <= events_per_second <= 1_000_000:
+        # above 1e6/s the µs grid cannot separate events (a naive step
+        # of 1_000_000 // rate would collapse ALL of them onto start_ts)
+        raise ValueError(
+            f"events_per_second must be in [1, 1_000_000], got {events_per_second}"
+        )
+    # Drift-free spacing: offset_us(id) = (id * 1e6) DIV rate, computed
+    # as id*q + (id*r) DIV rate with (q, r) = divmod(1e6, rate) — pure
+    # bigint arithmetic, so 7/s yields exactly 142857/142857/142858...µs
+    # steps instead of a cumulative 1µs-per-7-events drift. The residual
+    # DIV is done as (x - pmod(x, rate)) / rate: x is id*r < id*1e6, so
+    # the float division of an exact multiple stays integral up to
+    # id ~ 2^53/r; divisor rates (r == 0) skip it entirely.
+    q, r = divmod(1_000_000, events_per_second)
+    offset_us = (id_col * F.lit(q)).cast("long")
+    if r:
+        num = (id_col * F.lit(r)).cast("long")
+        offset_us = offset_us + (
+            (num - F.pmod(num, F.lit(events_per_second)))
+            / F.lit(events_per_second)
+        ).cast("long")
     ts = F.timestamp_micros(
-        (F.unix_micros(F.lit(start_ts).cast("timestamp"))
-         + (id_col * F.lit(1_000_000 // events_per_second)).cast("long"))
+        F.unix_micros(F.lit(start_ts).cast("timestamp")) + offset_us
     )
     return [
         id_col.cast("long").alias("event_id"),

@@ -38,7 +38,7 @@ def jdbc_scan_options(
     partition_column: str | None = None,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     fetchsize: int = 4096,
     extra: dict[str, str] | None = None,
 ) -> dict[str, str]:
@@ -61,9 +61,13 @@ def jdbc_scan_options(
             partitionColumn=partition_column,
             lowerBound=str(lower_bound),
             upperBound=str(upper_bound),
-            numPartitions=str(num_partitions),
+            numPartitions=str(num_partitions if num_partitions is not None else 8),
         )
-    elif num_partitions != 8:
+    elif num_partitions is not None:
+        # None (not a default int) is the no-partitioning sentinel: an
+        # explicit num_partitions=8 without partition_column must raise
+        # too, or the caller gets the 1-connection scan they asked to
+        # avoid.
         raise ValueError(
             "num_partitions has no effect without partition_column: "
             "Spark would still read through one connection"

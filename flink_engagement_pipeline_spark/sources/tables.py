@@ -57,19 +57,56 @@ def normalize_events(raw: DataFrame) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+_TS_UNIT_CACHE: dict[str, bool] = {}
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """True when the events parquet stores ``ts`` as raw nanoseconds
+    (TIMESTAMP(NANOS), or int64 ns — the convention of test-written raw
+    files); False for TIMESTAMP(MICROS/MILLIS).
+
+    The fixture generation has shipped both units across rounds
+    (TIMESTAMP(NANOS) and TIMESTAMP(MICROS)); assuming either one
+    corrupts every timestamp by 1000x when the other arrives. One
+    pyarrow footer read (driver-side, O(KB), cached per path) pins the
+    truth. ``path`` may be a single parquet file or a directory of them
+    (the streaming source layout) — all files in one directory share
+    the writer, so the first footer speaks for all.
+    """
+    cached = _TS_UNIT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import glob
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        hits = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not hits:
+            raise FileNotFoundError(f"no parquet files under {path!r}")
+        probe = hits[0]
+    ts_type = str(pq.read_schema(probe).field("ts").type)
+    is_nanos = ts_type in ("timestamp[ns]", "int64")
+    _TS_UNIT_CACHE[path] = is_nanos
+    return is_nanos
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its declared schema.
 
     ``schema(...)`` on a parquet read prunes to the declared columns and
     fixes types instead of trusting file metadata — the reference's
-    explicit-DDL discipline.  ``events`` goes through the ns->µs
-    normalization so every downstream query sees TimestampType.
+    explicit-DDL discipline.  ``events`` goes through the unit-detected
+    ns->µs normalization so every downstream query sees TimestampType.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     _ensure_nanos_conf(spark)  # nanos + UTC: needed by every table with timestamps
-    if name == "events":
+    if name == "events" and events_ts_is_nanos(path):
+        # Spark 4.x cannot read TIMESTAMP(NANOS) as TimestampType:
+        # read raw ns longs and integer-divide (module docstring).
         return normalize_events(spark.read.schema(EVENTS_RAW).parquet(path))
     return spark.read.schema(TABLES[name]).parquet(path)
 

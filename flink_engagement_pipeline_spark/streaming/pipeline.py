@@ -35,8 +35,13 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import latest_per_key
 from ..operators.enrich import enrich_events
-from ..schemas import EVENTS_RAW
-from ..sources.tables import _ensure_nanos_conf, load_table, normalize_events
+from ..schemas import EVENTS, EVENTS_RAW
+from ..sources.tables import (
+    _ensure_nanos_conf,
+    events_ts_is_nanos,
+    load_table,
+    normalize_events,
+)
 from .sinks import Sink
 
 DEFAULT_WATERMARK = "1 minute"
@@ -56,15 +61,19 @@ def read_events_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream of events parquet files in a directory,
-    normalized to the logical schema (ns->us ts). ``availableNow``
-    replay of the fixture = the reference's datagen loop, but
-    deterministic (SURVEY §3.3). ``max_files_per_trigger`` bounds each
-    micro-batch (and lets tests force multi-batch runs)."""
+    normalized to the logical schema (unit-detected ns->us ts, same
+    contract as the batch loader). ``availableNow`` replay of the
+    fixture = the reference's datagen loop, but deterministic
+    (SURVEY §3.3). ``max_files_per_trigger`` bounds each micro-batch
+    (and lets tests force multi-batch runs)."""
     _ensure_nanos_conf(spark)
-    reader = spark.readStream.schema(EVENTS_RAW).option("pathGlobFilter", "*.parquet")
+    is_nanos = events_ts_is_nanos(events_dir)
+    schema = EVENTS_RAW if is_nanos else EVENTS
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return normalize_events(reader.parquet(events_dir))
+    stream = reader.parquet(events_dir)
+    return normalize_events(stream) if is_nanos else stream
 
 
 def enriched_stream(

@@ -219,19 +219,48 @@ def leaderboard_deltas(df: DataFrame, key: str = "user_id", measure: str = "enga
 
 
 class RedisLeaderboardSink:
-    """Aggregates per-batch deltas and maintains the sorted set. With
-    no Redis client in this environment the accumulation happens
-    driver-side in a dict — same ZINCRBY semantics, swap `_apply` for
-    a pipelined client in production."""
+    """Aggregates per-batch deltas and maintains the sorted set.
 
-    def __init__(self, key: str = "user_id", measure: str = "engagement_seconds"):
+    Two write paths:
+
+    - ``client_factory`` given: partition-side ZINCRBY via
+      ``foreachPartition`` — each executor opens its own connection
+      (the ForeachWriter ``open()`` lifecycle, SURVEY §2.11) and the
+      delta rows never visit the driver, so an unbounded member
+      keyspace streams through. This is the production path.
+    - no factory (this sandbox has no Redis client): accumulation in a
+      driver-side dict with identical ZINCRBY semantics. Driver memory
+      then bounds the keyspace — fine for leaderboard-sized key sets,
+      which is the only case this fallback serves.
+    """
+
+    def __init__(
+        self,
+        key: str = "user_id",
+        measure: str = "engagement_seconds",
+        client_factory=None,
+    ):
         self.key = key
         self.measure = measure
+        self.client_factory = client_factory
         self.scores: dict = {}
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
-        deltas = leaderboard_deltas(df, self.key, self.measure).collect()
-        for row in deltas:
+        deltas = leaderboard_deltas(df, self.key, self.measure)
+        if self.client_factory is not None:
+            key, factory = self.key, self.client_factory
+            def _apply(rows) -> None:
+                client = factory()
+                try:
+                    for row in rows:
+                        client.zincrby("leaderboard", row["delta"], row[key])
+                finally:
+                    close = getattr(client, "close", None)
+                    if close is not None:
+                        close()
+            deltas.foreachPartition(_apply)
+            return
+        for row in deltas.collect():
             member = row[self.key]
             self.scores[member] = self.scores.get(member, 0.0) + row["delta"]
 

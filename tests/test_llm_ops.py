@@ -63,6 +63,85 @@ def test_simhash_matches_python(docs):
         assert r["simhash_bucket"] == expect >> (ld.SIMHASH_BITS - 12)
 
 
+def test_jaccard_shingle_df_cap(spark):
+    """Hot-shingle document-frequency cap: a boilerplate shingle shared
+    by every doc is excluded from intersections (set sizes stay exact),
+    so pairs whose overlap rests solely on boilerplate vanish while
+    genuinely similar pairs survive with lower-bound Jaccard."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown a b c d e f g"),
+            (2, "the quick brown a b c d e f h"),
+            (3, "the quick brown p q r s"),
+            (4, "the quick brown t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    # df("the quick brown") = 4; every other 3-gram has df <= 2.
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ld.ngram_jaccard_pairs(
+            docs, threshold=0.1, max_shingle_df=None
+        ).collect()
+    }
+    assert set(uncapped) == {(1, 2), (3, 4)}
+    assert abs(uncapped[(1, 2)] - 7 / 9) < 1e-12
+    assert abs(uncapped[(3, 4)] - 1 / 9) < 1e-12
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ld.ngram_jaccard_pairs(
+            docs, threshold=0.1, max_shingle_df=3
+        ).collect()
+    }
+    # (3,4) shared ONLY the boilerplate shingle -> dropped entirely;
+    # (1,2) keeps its 6 non-boilerplate common grams, sizes stay 8/8.
+    assert set(capped) == {(1, 2)}
+    assert abs(capped[(1, 2)] - 6 / 10) < 1e-12
+    # a cap above every df reproduces the exact baseline bit-for-bit
+    high_cap = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ld.ngram_jaccard_pairs(
+            docs, threshold=0.1, max_shingle_df=1000
+        ).collect()
+    }
+    assert high_cap == uncapped
+
+
+def test_jaccard_df_cap_window_reuses_shuffle(docs):
+    """The df-cap window must not add an exchange: count-over-window on
+    `sh` and the subsequent groupBy("sh") share one hash partitioning."""
+    plan = (
+        ld.ngram_jaccard_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    # one shuffle keyed by shingle, one by the pair group — no third
+    assert len(exchanges) == 2, exchanges
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iter must raise — partial
+    labels would silently split one true cluster into several
+    'survivors' with no signal."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ld.connected_components(pairs, ids, max_iter=1)
+    # and with enough iterations the same chain converges to one cluster
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in ld.connected_components(pairs, ids, max_iter=10).collect()
+    }
+    assert set(labels.values()) == {0}
+
+
 def test_simhash_near_dups_close(docs):
     """Engineered near-dup pairs should be within small Hamming
     distance of each other."""

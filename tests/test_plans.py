@@ -345,6 +345,74 @@ def test_load_table_pins_utc_session_timezone(spark, sf_dir):
         spark.conf.set(tz_key, original)
 
 
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing discipline: two tables bucketed AND sorted on the join
+    key join with ZERO Exchange and ZERO Sort — the co-located
+    fact-fact join pattern. At 100 TB this is the difference between a
+    full two-sided shuffle of the biggest tables per join and a
+    partition-local merge; the one-time bucketed write amortizes over
+    every downstream join on that key."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    wh_before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    order_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    order_before = spark.conf.get(order_key, "false")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    try:
+        # report per-bucket sortedness from the scan (off by default
+        # since SPARK-28632 because of its file-listing cost; with one
+        # file per bucket it is exactly what we wrote)
+        spark.conf.set(order_key, "true")
+        # one writer task per bucket => exactly one file per bucket,
+        # the precondition for the scan to expose per-bucket sortedness
+        # (multi-file buckets are only sorted per file, so Spark would
+        # re-Sort before the merge join)
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice")
+            .repartition(8, F.col("l_orderkey"))
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("li_bucketed")
+        )
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .repartition(8, F.col("o_orderkey"))
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("ord_bucketed")
+        )
+        # forbid broadcast so the test exercises the co-located path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Sort" not in plan.replace("SortMergeJoin", "SMJ"), plan
+        # and it still computes the right thing
+        expect = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", wh_before)
+        spark.conf.set(order_key, order_before)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
 def test_jdbc_scan_options_partitioning_discipline():
     """S3: the JDBC dim scan must be partitioned or loudly refuse —
     a half-specified partitioning silently degrades to one connection."""
@@ -373,6 +441,10 @@ def test_jdbc_scan_options_partitioning_discipline():
         )
     with _pytest.raises(ValueError, match="no effect"):
         jdbc_scan_options("jdbc:x", "t", num_partitions=4)
+    # an explicit num_partitions equal to the old default (8) must ALSO
+    # refuse — None, not a magic int, is the no-partitioning sentinel
+    with _pytest.raises(ValueError, match="no effect"):
+        jdbc_scan_options("jdbc:x", "t", num_partitions=8)
 
 
 def test_pack_sequences_single_exchange(spark, sf_dir):
@@ -415,6 +487,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "embedding_near_dup",       # broadcast threshold pattern
         "embedding_ann_lsh",        # single probe row x bucket-pruned candidates
         "embedding_ann_ivf",        # single probe row x probed inverted lists
+        "embedding_knn_join",       # broadcast Q-row probe batch x corpus
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):
@@ -457,3 +530,27 @@ def test_datagen_domains_and_determinism(spark):
     by_id = sorted(rows, key=lambda r: r["event_id"])
     delta = by_id[1]["ts"] - by_id[0]["ts"]
     assert delta.total_seconds() == 0.1
+
+
+def test_datagen_rate_exact_no_drift(spark):
+    """Non-divisor rates must not drift: offset(id) = (id*1e6) DIV rate
+    exactly, so id=7000 at 7/s sits at precisely 1000s — a fixed
+    142857µs step would have accumulated 1ms of lag by then. Rates the
+    µs grid cannot represent must refuse."""
+    import datetime
+
+    import pytest as _pytest
+
+    from flink_engagement_pipeline_spark.sources import datagen as dg
+
+    ev = dg.gen_events(spark, 7001, events_per_second=7)
+    by_id = {r["event_id"]: r["ts"] for r in ev.select("event_id", "ts").collect()}
+    start = by_id[0]
+    for i in (1, 6, 7, 6999, 7000):
+        expect_us = (i * 1_000_000) // 7
+        got = (by_id[i] - start) / datetime.timedelta(microseconds=1)
+        assert got == expect_us, f"id={i}: {got} != {expect_us}"
+    with _pytest.raises(ValueError, match="events_per_second"):
+        dg.gen_events(spark, 10, events_per_second=2_000_000)
+    with _pytest.raises(ValueError, match="events_per_second"):
+        dg.gen_events(spark, 10, events_per_second=0)

@@ -272,6 +272,48 @@ def test_leaderboard_deltas_drop_zero_and_null(spark):
     assert got == {2: 3.0}
 
 
+class _FileZincrbyClient:
+    """Stand-in Redis client for the partition-side write path: each
+    ZINCRBY appends a line to a shared file (executor-side in local
+    mode), so the test can replay the commands and compare against the
+    driver-dict path."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def zincrby(self, name: str, amount: float, member) -> None:
+        with open(self.path, "a") as f:
+            f.write(f"{name}\t{member}\t{amount!r}\n")
+
+    def close(self) -> None:
+        pass
+
+
+def test_leaderboard_partition_side_writes(spark, tmp_path):
+    """client_factory path: deltas are written from executors via
+    foreachPartition (no driver collect), and the replayed ZINCRBY
+    stream reproduces exactly the driver-dict accumulation."""
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 2.5), (2, 3.0), (3, -1.0), (None, 9.0), (4, 0.0)],
+        "user_id bigint, engagement_seconds double",
+    )
+    log = str(tmp_path / "zincrby.log")
+    sink = sk.RedisLeaderboardSink(
+        client_factory=lambda: _FileZincrbyClient(log)
+    )
+    sink.write_batch(df, 0)
+    assert sink.scores == {}  # nothing accumulated driver-side
+    replayed: dict = {}
+    with open(log) as f:
+        for line in f:
+            name, member, amount = line.rstrip("\n").split("\t")
+            assert name == "leaderboard"
+            replayed[int(member)] = replayed.get(int(member), 0.0) + float(amount)
+    fallback = sk.RedisLeaderboardSink()
+    fallback.write_batch(df, 0)
+    assert replayed == fallback.scores == {1: 7.5, 2: 3.0, 3: -1.0}
+
+
 def test_checkpoint_recovery_no_reprocessing(spark, events_dir, tmp_path):
     """Exactly-once file-source semantics across restarts: a second run
     from the same checkpoint must process only files that arrived after
