@@ -110,10 +110,23 @@ def ngram_jaccard_pairs(
     the oracle hash-match is unaffected. ``None`` disables the cap
     (the pure exact baseline).
     """
-    sh = fan_out(docs.select("doc_id", shingles("text", n).alias("shs"))).select(
+    # fan_out the RAW text rows, then compute: shingling must run after
+    # the repartition, or a single-split input computes every shingle
+    # on one core before the exchange (measured 0.75s of this query's
+    # 2.5s at sf0.1 spent exactly there).
+    sh = fan_out(docs.select("doc_id", "text")).select(
         "doc_id",
-        F.size("shs").alias("n_sh"),
-        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
+        F.explode(
+            F.transform(shingles("text", n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    )
+    # Exact set sizes as a SHUFFLE-FREE projection (size of the
+    # distinct-shingle array): one extra parallel pass over the text
+    # beats aggregating the exploded relation, which would add a
+    # doc_id exchange per use. Sizes are full-set (pre-cap) — capping
+    # drops shingles from intersections only.
+    sizes = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.size(shingles("text", n)).alias("n_sh")
     )
     if max_shingle_df is not None:
         w = Window.partitionBy("sh")
@@ -122,18 +135,19 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= F.lit(max_shingle_df))
             .drop("__df")
         )
-    ds = F.array_sort(F.collect_list(F.struct("doc_id", "n_sh")))
+    # Bare-long doc lists: collect/sort/pair-explode over 8-byte longs
+    # instead of (doc_id, n_sh) structs — the struct comparator and the
+    # extra 8 bytes/row on the big shuffle measurably dominate; sizes
+    # re-attach AFTER pair aggregation, touching only the small pair
+    # set (broadcast-sized here; a plain shuffle join at corpus scale,
+    # still on the post-aggregation relation).
+    ds = F.array_sort(F.collect_list("doc_id"))
     pair_list = F.flatten(
         F.transform(
             F.col("ds"),
             lambda x, i: F.transform(
                 F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["n_sh"].alias("na"),
-                    y["n_sh"].alias("nb"),
-                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         )
     )
@@ -142,10 +156,13 @@ def ngram_jaccard_pairs(
         .agg(ds.alias("ds"))
         .filter(F.size("ds") > 1)
         .select(F.explode(pair_list).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("n_common"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    pairs = pairs.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )

@@ -594,7 +594,12 @@ SELECT doc_id, n_tokens, quality_score, fp_md5 FROM dedup WHERE rn = 1
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.util import fan_out
+
+    # fan_out BEFORE scoring: the fixture parquet is one split, and
+    # md5 + quality + lang-id per row on a single core was this
+    # query's dominant cost (same lesson as ngram_jaccard_pairs).
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     qs = lt.quality_score("text")
     scored = docs.select(
         "doc_id",

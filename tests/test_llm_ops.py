@@ -120,8 +120,10 @@ def test_jaccard_df_cap_window_reuses_shuffle(docs):
     import re
 
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
-    # one shuffle keyed by shingle, one by the pair group — no third
+    # one shuffle keyed by shingle, one by the pair group — no third;
+    # set sizes ride a shuffle-free projection + broadcast join
     assert len(exchanges) == 2, exchanges
+    assert "BroadcastHashJoin" in plan
 
 
 def test_connected_components_nonconvergence_raises(spark):
