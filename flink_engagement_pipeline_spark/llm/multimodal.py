@@ -131,11 +131,34 @@ def sample_frames(media: DataFrame, every_k: int = 4, *, fake: bool = False) -> 
                 for idx in range(0, n_frames, every_k):
                     out_ids.append(doc_id)
                     out_idx.append(idx)
+                    # text suffix (not raw int bytes): keeps the fake
+                    # reproducible by a SQL oracle, whose md5 is
+                    # VARCHAR-only
                     out_md5.append(
-                        hashlib.md5(payload + idx.to_bytes(4, "big")).hexdigest()
+                        hashlib.md5(
+                            payload + f":frame:{idx}".encode()
+                        ).hexdigest()
                     )
             yield pd.DataFrame(
                 {"doc_id": out_ids, "frame_idx": out_idx, "frame_md5": out_md5}
             )
 
     return media.mapInPandas(_sample, schema=FRAMES_SCHEMA)
+
+
+# Exact DuckDB replication of the fake frame sampler (documents stand
+# in for the blob table, so payload bytes == utf8 text bytes): byte 2
+# of the md5 digest is hex chars 5-6, and the per-frame digest is the
+# md5 of text + ':frame:<idx>'.
+MEDIA_FRAME_SAMPLE_ORACLE = """
+WITH m AS (
+    SELECT doc_id, text,
+           1 + CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 32 AS n_frames
+    FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(0, n_frames, 4)) AS INT)          AS frame_idx,
+       md5(text || ':frame:' ||
+           CAST(unnest(range(0, n_frames, 4)) AS VARCHAR)) AS frame_md5
+FROM m
+"""

@@ -41,10 +41,10 @@ _PRIORITY: tuple[str, ...] = (
     "docs_jaccard_pairs",
     "docs_minhash_pairs",
     "docs_simhash",
-    "docs_simhash_pairs",
     "embedding_cosine_topk",
     "embedding_near_dup",
     "media_features",
+    "media_frame_sample",
     "embedding_norms_pandas",
     "docs_clean",
     "docs_dedup_clusters",

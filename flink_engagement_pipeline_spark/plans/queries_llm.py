@@ -392,6 +392,25 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_frame_sample",
+    oracle=lm.MEDIA_FRAME_SAMPLE_ORACLE,
+    doc=(
+        "Video frame sampling plumbing: the 1->N mapInPandas shape "
+        "(one blob in, every-4th-frame rows out) that video decode "
+        "fans out into at scale, with Arrow batches bounding per-task "
+        "memory regardless of fan-out. Codec decode is stubbed (no "
+        "libav in this container); the deterministic byte-derived "
+        "fake is what runs here, and the oracle reproduces it "
+        "exactly, so the whole fan-out path is hash-verified."
+    ),
+    tags=("llm", "multimodal", "pandas-udf", "fanout"),
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = lm.docs_as_media(load_table(spark, sf_dir, "documents"))
+    return lm.sample_frames(media, every_k=4, fake=True)
+
+
+@register(
     "embedding_norms_pandas",
     oracle="""
 SELECT vec_id,

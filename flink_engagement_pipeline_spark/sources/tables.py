@@ -58,6 +58,30 @@ def normalize_events(raw: DataFrame) -> DataFrame:
 
 
 _TS_UNIT_CACHE: dict[str, bool] = {}
+_COLUMNS_CHECKED: set[str] = set()
+
+
+def _check_fixture_columns(path: str, expected: tuple[str, ...]) -> None:
+    """Fail LOUDLY if the fixture lacks a declared column.
+
+    An imposed read schema silently yields NULLs for columns missing
+    from the file — with driver-regenerated fixtures (whose layout has
+    already changed between rounds, see the ts-unit note) that would
+    turn a rename into silently-wrong query results. One cached footer
+    read per path converts that into an immediate, named error.
+    """
+    if path in _COLUMNS_CHECKED:
+        return
+    import pyarrow.parquet as pq
+
+    actual = set(pq.read_schema(path).names)
+    missing = [c for c in expected if c not in actual]
+    if missing:
+        raise ValueError(
+            f"fixture {path} lacks declared column(s) {missing}; "
+            f"file has: {sorted(actual)}"
+        )
+    _COLUMNS_CHECKED.add(path)
 
 
 def events_ts_is_nanos(path: str) -> bool:
@@ -104,6 +128,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     _ensure_nanos_conf(spark)  # nanos + UTC: needed by every table with timestamps
+    _check_fixture_columns(path, tuple(TABLES[name].fieldNames()))
     if name == "events" and events_ts_is_nanos(path):
         # Spark 4.x cannot read TIMESTAMP(NANOS) as TimestampType:
         # read raw ns longs and integer-divide (module docstring).

@@ -345,6 +345,24 @@ def test_load_table_pins_utc_session_timezone(spark, sf_dir):
         spark.conf.set(tz_key, original)
 
 
+def test_fixture_column_drift_guard(spark, tmp_path):
+    """A fixture missing a declared column must raise by name, not
+    silently yield NULL columns — the driver regenerates fixtures
+    between rounds (the ts unit has already changed once)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    pq.write_table(
+        pa.table({"doc_id": [1], "renamed_text": ["x"]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    with _pytest.raises(ValueError, match="lacks declared column"):
+        load_table(spark, str(tmp_path), "documents")
+
+
 def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
     """Bucketing discipline: two tables bucketed AND sorted on the join
     key join with ZERO Exchange and ZERO Sort — the co-located
