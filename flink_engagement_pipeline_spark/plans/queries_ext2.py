@@ -137,6 +137,15 @@ def q_events_dim_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
+    return events_dim_asof(events, customer_version_history(spark, sf_dir))
+
+
+def customer_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD-2 style versioned customer dimension synthesized from
+    orders: each order bumps version_no and the exact-decimal
+    cumulative spend; c_mktsegment rides along as the static
+    attribute. Shared by the batch query and the streaming
+    micro-batch temporal join (tests/test_streaming.py)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
@@ -146,7 +155,7 @@ def q_events_dim_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
-    hist = (
+    return (
         orders.withColumn("version_no", F.row_number().over(w))
         .withColumn(
             "cum_spend",
@@ -163,6 +172,12 @@ def q_events_dim_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
         )
     )
+
+
+def events_dim_asof(events: DataFrame, hist: DataFrame) -> DataFrame:
+    """Event-time temporal probe of the version history — works on any
+    events frame (a micro-batch included), so streaming reuses the
+    exact batch code path."""
     return asof_join_backward(
         events,
         hist,

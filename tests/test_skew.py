@@ -38,3 +38,55 @@ def test_salted_sum_spreads_hot_key(spark):
     # exactness under the hot key
     expect = sum(float(i % 100) for i in range(10_000) if i % 10 < 9)
     assert out[1]["total_value"] == expect
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join: a sort-merge join with one hot key must be split
+    at runtime (`skew=true` in the final adaptive plan) instead of one
+    straggler task owning the hot partition — the join-side complement
+    to salted aggregation, and the mechanism we rely on for skewed
+    fact-fact joins at 100 TB."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # shrink the skew thresholds so fixture-scale data exhibits the
+        # production behavior; forbid broadcast so a real SMJ plans
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 250_000, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 1_000).select(
+            F.col("id").alias("k2"), F.lit("dim").alias("d")
+        )
+        joined = (
+            left.join(right, F.col("k") == F.col("k2"))
+            .select(F.length("pad").alias("n"))
+        )
+        # collect() (not count(), which plans its own execution) so the
+        # SAME QueryExecution holds the final adaptive plan
+        rows = joined.collect()
+        # k=0 carries 250k rows and matches one dim row; the uniform
+        # tail (ids >= 250k) is disjoint from the dim key range
+        assert len(rows) == 250_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

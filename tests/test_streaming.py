@@ -272,6 +272,52 @@ def test_leaderboard_deltas_drop_zero_and_null(spark):
     assert got == {2: 3.0}
 
 
+def test_streaming_dim_history_asof_matches_batch(spark, doubled_events_dir, tmp_path):
+    """Streaming form of the dim-HISTORY temporal join (the event-time
+    generalization of the reference's FOR SYSTEM_TIME AS OF lookup,
+    reference src/process.py:180-182): each micro-batch probes the
+    versioned customer dimension with the same asof code path the batch
+    query uses. Event-time as-of is per-row, so the concatenation of
+    per-batch outputs must equal the batch result over the same
+    (duplicated) input — regardless of how the stream was chopped into
+    batches."""
+    from flink_engagement_pipeline_spark.plans.queries_ext2 import (
+        customer_version_history,
+        events_dim_asof,
+    )
+
+    hist = customer_version_history(spark, SF).cache()
+    try:
+        got: list = []
+
+        def _probe(batch_df, batch_id: int) -> None:
+            out = events_dim_asof(
+                batch_df.select("event_id", "user_id", "ts", "value"), hist
+            )
+            got.extend(map(tuple, out.collect()))
+
+        stream = sp.read_events_stream(
+            spark, doubled_events_dir, max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.foreachBatch(_probe)
+            .option("checkpointLocation", str(tmp_path / "ckpt-asof"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ev = load_table(spark, SF, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        expect = sorted(
+            map(tuple, events_dim_asof(ev.unionAll(ev), hist).collect())
+        )
+        assert sorted(got) == expect
+        assert len(got) > 0
+    finally:
+        hist.unpersist()
+
+
 class _FileZincrbyClient:
     """Stand-in Redis client for the partition-side write path: each
     ZINCRBY appends a line to a shared file (executor-side in local
