@@ -912,3 +912,30 @@ def q_user_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohorts.groupBy("cohort_week", offset.alias("week_offset")).agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "events_global_seq",
+    oracle="""
+SELECT event_id,
+       row_number() OVER (ORDER BY ts, event_id) AS row_num
+FROM events
+""",
+    doc=(
+        "DISTRIBUTED global row numbering (operators/rank.py): exact "
+        "row_number() OVER (ORDER BY ts, event_id) with no "
+        "single-partition exchange — range-repartition on the total "
+        "order key, partition-local sort, per-partition counts "
+        "cumulated into broadcast offsets, local row_number + offset. "
+        "The unpartitioned-window form collapses to ONE task; this is "
+        "the form that survives a 100 TB sort, and the primitive that "
+        "assigns stable sample indices to a training corpus after "
+        "shuffle/filter. Plan-audited: no Exchange SinglePartition."
+    ),
+    tags=("ranking", "window-function", "distributed-sort", "scale"),
+)
+def q_events_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import global_row_number
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    return global_row_number(ev, ["ts", "event_id"]).select("event_id", "row_num")

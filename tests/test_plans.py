@@ -345,6 +345,34 @@ def test_load_table_pins_utc_session_timezone(spark, sf_dir):
         spark.conf.set(tz_key, original)
 
 
+def test_global_row_number_no_single_partition(spark, sf_dir):
+    """Distributed global row numbering must never collapse to one
+    task: the plan range-partitions on the order key and ranks within
+    partitions (offsets ride a broadcast join) — no Exchange
+    SinglePartition anywhere, unlike a bare unpartitioned window."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.operators.rank import global_row_number
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    out = global_row_number(ev, ["ts", "event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:1500]
+    assert "rangepartitioning" in plan, plan[:1500]
+    # and the numbering is exactly the single-task window's output
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "event_id")
+    expect = sorted(
+        map(tuple, ev.withColumn("row_num", F.row_number().over(w)).collect())
+    )
+    got = sorted(
+        map(tuple, out.select("event_id", "ts", "row_num").collect())
+    )
+    assert got == expect
+
+
 def test_fixture_column_drift_guard(spark, tmp_path):
     """A fixture missing a declared column must raise by name, not
     silently yield NULL columns — the driver regenerates fixtures
