@@ -446,6 +446,62 @@ def dedup_clusters(
     )
 
 
+def dedup_e2e(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """The SCALE-PATH end-to-end near-dup pipeline, composed:
+
+    1. MinHash-LSH candidate pairs — equi-join on (band, band_sig),
+       ~linear in true near-dup pairs, never corpus x corpus;
+    2. EXACT Jaccard verification restricted to candidates: join each
+       side's distinct-shingle array onto the (small) candidate set and
+       intersect — precision 1.0 by construction, cost bounded by
+       candidate count;
+    3. connected components + min-id survivor per cluster.
+
+    Because step 2 is exact, the only divergence from the all-pairs
+    exact pipeline (dedup_clusters) is pairs LSH failed to propose:
+    e2e clusters are always a REFINEMENT of the exact clusters (tested),
+    with recall set by the LSH band geometry. This composition is the
+    shape that runs at 1B documents.
+    """
+    cand = lsh_candidate_pairs(docs, n, band_rows)
+    sh = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", shingles("text", n).alias("shs")
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.size("shs_a") + F.size("shs_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    cc = connected_components(
+        verified.select("doc_a", "doc_b"), docs.select("doc_id")
+    )
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
 def dedup_clusters_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
     """Exact oracle: transitive closure via recursive CTE, min
     reachable id per node (tractable because true near-dup clusters in

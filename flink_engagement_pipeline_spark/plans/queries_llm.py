@@ -519,6 +519,27 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_dedup_e2e",
+    oracle=None,  # LSH candidate generation is not SQL-expressible;
+    # refinement-vs-exact + recall proven in tests/test_llm_ops.py
+    doc=(
+        "End-to-end SCALE-PATH dedup, composed: MinHash-LSH candidate "
+        "pairs (equi-join on band signatures, ~linear in true pairs) "
+        "-> exact Jaccard verify on candidates only (array_intersect "
+        "of shingle sets, precision 1.0, cost bounded by candidate "
+        "count) -> connected components -> min-id survivors. The "
+        "all-pairs exact pipeline (docs_dedup_clusters) is its oracle "
+        "baseline: e2e clusters are provably a refinement of exact "
+        "clusters (only LSH-missed pairs can differ; tested with "
+        "recall floor). This is the composition that runs at 1B docs."
+    ),
+    tags=("llm", "dedup", "lsh", "clustering", "pipeline"),
+)
+def q_docs_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ld.dedup_e2e(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "docs_word_positions",
     oracle=f"""
 WITH base AS (

@@ -126,6 +126,36 @@ def test_jaccard_df_cap_window_reuses_shuffle(docs):
     assert "BroadcastHashJoin" in plan
 
 
+def test_dedup_e2e_refines_exact(docs):
+    """The scale-path pipeline (LSH -> exact-verify -> CC) must produce
+    a REFINEMENT of the all-pairs exact clustering: the exact verify
+    step makes false merges impossible, so every e2e cluster sits
+    inside one exact cluster; only LSH-missed pairs can split one —
+    and on the engineered fixture the miss rate must stay low."""
+    exact = {
+        r["doc_id"]: r["cluster_id"] for r in ld.dedup_clusters(docs).collect()
+    }
+    e2e = {r["doc_id"]: r["cluster_id"] for r in ld.dedup_e2e(docs).collect()}
+    assert set(e2e) == set(exact)  # every doc labeled
+    # refinement: two docs in the same e2e cluster share an exact cluster
+    from collections import defaultdict
+
+    e2e_groups = defaultdict(list)
+    for doc, c in e2e.items():
+        e2e_groups[c].append(doc)
+    for members in e2e_groups.values():
+        assert len({exact[m] for m in members}) == 1, members
+    # recall: the overwhelming share of truly-clustered docs stay merged
+    exact_nonsingleton = {d for d, c in exact.items() if d != c or
+                          sum(1 for x in exact.values() if x == c) > 1}
+    still_merged = {
+        d for d in exact_nonsingleton
+        if sum(1 for x in e2e.values() if x == e2e[d]) > 1
+    }
+    if exact_nonsingleton:
+        assert len(still_merged) / len(exact_nonsingleton) >= 0.9
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """A component whose diameter exceeds max_iter must raise — partial
     labels would silently split one true cluster into several
