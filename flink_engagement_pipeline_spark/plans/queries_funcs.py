@@ -939,3 +939,112 @@ def q_events_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     return global_row_number(ev, ["ts", "event_id"]).select("event_id", "row_num")
+
+
+@register(
+    "click_to_purchase_latency",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, ts, event_type,
+           max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS last_click_ts
+    FROM events
+)
+SELECT user_id, event_id, ts AS purchase_ts, last_click_ts,
+       CAST(epoch_us(ts) - epoch_us(last_click_ts) AS BIGINT) AS latency_us
+FROM seq
+WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+""",
+    doc=(
+        "Per-user event-SEQUENCE analytics (MATCH_RECOGNIZE-lite): for "
+        "every purchase, the time since the user's most recent PRIOR "
+        "click — a carry-forward max over the user's event-time-ordered "
+        "stream (ROWS .. 1 PRECEDING excludes self-matches at equal "
+        "timestamps). One shuffle on user_id; latency is integer "
+        "microseconds, so cross-engine exact. The funnel-latency "
+        "building block behind conversion attribution."
+    ),
+    tags=("window-function", "sequence", "funnel", "temporal"),
+)
+def q_click_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("latency_us"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH m AS (
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS mean_v,
+           sqrt(
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value)
+               - pow(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 2)
+           ) AS std_v
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+)
+SELECT e.event_id AS event_id, e.event_type AS event_type, e.value AS value,
+       floor((e.value - mean_v) / std_v * 1000000 + 0.5) / 1000000 AS zscore
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE e.value IS NOT NULL
+  AND abs((e.value - mean_v) / std_v) > 2.5
+""",
+    doc=(
+        "Outlier flagging for data-quality triage: per-type z-scores "
+        "from EXACT decimal moments (sum and sum-of-squares aggregate "
+        "exactly, so mean/std are bit-stable across engines and "
+        "partitionings), broadcast back onto the stream, |z| > 2.5 "
+        "flagged. The filter-the-garbage step a training-data pipeline "
+        "runs before aggregation; zscore floor-rounded to 1e-6 for "
+        "cross-engine hash stability."
+    ),
+    tags=("aggregates", "data-quality", "anomaly", "broadcast"),
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = dec("value", "decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        (F.sum(d).cast("double") / F.count("value")).alias("mean_v"),
+        F.sqrt(
+            F.sum(d * d).cast("double") / F.count("value")
+            - F.pow(F.sum(d).cast("double") / F.count("value"), F.lit(2))
+        ).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("zscore"),
+        )
+    )
