@@ -1048,3 +1048,50 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(z * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("zscore"),
         )
     )
+
+
+@register(
+    "user_activity_reconciliation",
+    oracle="""
+SELECT COALESCE(e.user_id, o.o_custkey) AS user_id,
+       e.n_events  AS n_events,
+       o.n_orders  AS n_orders,
+       CASE WHEN e.user_id IS NULL THEN 'orders_only'
+            WHEN o.o_custkey IS NULL THEN 'events_only'
+            ELSE 'both' END AS presence
+FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) e
+FULL OUTER JOIN
+     (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+ON e.user_id = o.o_custkey
+""",
+    doc=(
+        "FULL OUTER join reconciliation — the one outer-join shape the "
+        "surface lacked: per-key activity from two systems stitched "
+        "with COALESCE and a presence tag (events-only / orders-only / "
+        "both), the cross-system audit every warehouse runs. Both "
+        "sides pre-aggregate before the join, so the full-outer "
+        "shuffle carries |keys|, not |rows|."
+    ),
+    tags=("join", "full-outer", "reconciliation", "aggregates"),
+)
+def q_user_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = ev.join(orders, ev["user_id"] == orders["o_custkey"], "full")
+    return joined.select(
+        F.coalesce(ev["user_id"], orders["o_custkey"]).alias("user_id"),
+        "n_events",
+        "n_orders",
+        F.when(ev["user_id"].isNull(), "orders_only")
+        .when(orders["o_custkey"].isNull(), "events_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
