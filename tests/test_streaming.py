@@ -272,6 +272,56 @@ def test_leaderboard_deltas_drop_zero_and_null(spark):
     assert got == {2: 3.0}
 
 
+def test_stream_static_dim_refresh_per_batch(spark, tmp_path):
+    """Reference J1 temporal-lookup semantics (`FOR SYSTEM_TIME AS OF
+    e.proc_time`, reference src/process.py:180-182): each event probes
+    the dimension AS OF its processing moment. In micro-batch Spark
+    that means the static side is re-read per batch — so a dimension
+    update landing between batches must be visible to the next batch
+    and invisible to the previous one."""
+    import os
+
+    dim_dir = str(tmp_path / "dim")
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    shutil.copy(f"{SF}/events.parquet", events_dir + "/a.parquet")
+    shutil.copy(f"{SF}/events.parquet", events_dir + "/b.parquet")
+    spark.createDataFrame(
+        [(u, "v1") for u in range(150)], "c_custkey long, seg string"
+    ).write.mode("overwrite").parquet(dim_dir)
+
+    seen: dict = {}
+
+    def _probe(batch_df, batch_id: int) -> None:
+        dim = spark.read.schema("c_custkey long, seg string").parquet(dim_dir)
+        seen[batch_id] = sorted(
+            r["seg"]
+            for r in batch_df.join(
+                F.broadcast(dim),
+                batch_df["user_id"] == dim["c_custkey"],
+                "left",
+            )
+            .select("seg")
+            .distinct()
+            .collect()
+        )
+        if batch_id == 0:
+            # the "datagen updated the dimension" moment
+            spark.createDataFrame(
+                [(u, "v2") for u in range(150)], "c_custkey long, seg string"
+            ).write.mode("overwrite").parquet(dim_dir)
+
+    stream = sp.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", str(tmp_path / "ckpt-dimref"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen == {0: ["v1"], 1: ["v2"]}
+
+
 def test_streaming_dim_history_asof_matches_batch(spark, doubled_events_dir, tmp_path):
     """Streaming form of the dim-HISTORY temporal join (the event-time
     generalization of the reference's FOR SYSTEM_TIME AS OF lookup,
