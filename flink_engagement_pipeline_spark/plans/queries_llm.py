@@ -912,3 +912,47 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("start_off DIV 512").alias("seq_id"),
         (F.col("start_off") % 512).alias("seq_offset"),
     )
+
+
+@register(
+    "docs_mixture_sample",
+    oracle="""
+SELECT doc_id, source, rate
+FROM (
+    SELECT doc_id, source,
+           (CAST(substr(source, 4) AS INT) % 4 + 1) * 0.25 AS rate,
+           CAST(('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS h4
+    FROM documents
+)
+WHERE h4 < CAST(rate * 65536 AS INT)
+""",
+    doc=(
+        "Data-MIXTURE sampling: per-source keep rates (here a "
+        "deterministic demo policy — source number mod 4 maps to "
+        "25/50/75/100%), enforced by comparing a 16-bit salted-md5 "
+        "bucket of the doc key against rate*65536. The corpus-mixing "
+        "step of LLM training-data assembly (reweighting web/code/"
+        "reference shares): assignment is a pure function of "
+        "(salt, doc_id), so re-runs, late-arriving shards, and any "
+        "partitioning produce the identical sample; changing the salt "
+        "versions the mixture. Zero shuffle — pure projection+filter, "
+        "pushable to the scan."
+    ),
+    tags=("llm", "sampling", "mixture", "determinism"),
+)
+def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    rate = ((srcnum % 4 + 1) * F.lit(0.25)).alias("rate")
+    h4 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix-v1:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source", rate, h4.alias("h4"))
+        .filter(F.col("h4") < (F.col("rate") * 65536).cast("long"))
+        .drop("h4")
+    )
