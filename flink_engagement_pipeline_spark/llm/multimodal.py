@@ -146,6 +146,80 @@ def sample_frames(media: DataFrame, every_k: int = 4, *, fake: bool = False) -> 
     return media.mapInPandas(_sample, schema=FRAMES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, orig_w int, orig_h int, new_w int, new_h int, resized_md5 string"
+)
+
+
+def resize_media(
+    media: DataFrame, max_side: int = 128, *, fake: bool = False
+) -> DataFrame:
+    """Resize stub completing the decode/extract/resize/frame-sample
+    quartet: cap the longer image side at ``max_side`` preserving
+    aspect ratio (integer arithmetic only, so the scaled dims are
+    engine-exact). Real resampling needs Pillow (absent here);
+    ``fake=True`` derives the original dims from the payload digest
+    (same convention as decode_media) and digests the would-be resized
+    payload, so schema, batching, and both scale branches (shrink vs
+    passthrough) are fully testable — and SQL-reproducible."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires Pillow, not present in this "
+                    "environment; pass fake=True for the deterministic test double"
+                )
+            ids, ows, ohs, nws, nhs, md5s = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = hashlib.md5(payload).digest()
+                ow, oh = 64 + d[0] % 192, 64 + d[1] % 192
+                mx = max(ow, oh)
+                if mx > max_side:
+                    nw, nh = ow * max_side // mx, oh * max_side // mx
+                else:
+                    nw, nh = ow, oh
+                ids.append(doc_id); ows.append(ow); ohs.append(oh)
+                nws.append(nw); nhs.append(nh)
+                md5s.append(
+                    hashlib.md5(payload + f":resize:{nw}x{nh}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "orig_w": ows, "orig_h": ohs,
+                    "new_w": nws, "new_h": nhs, "resized_md5": md5s,
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+# Exact DuckDB replication of the fake resizer (bytes 0/1 of the md5
+# digest are hex chars 1-2 / 3-4; integer-division scaling).
+MEDIA_RESIZE_ORACLE = """
+WITH m AS (
+    SELECT doc_id, text,
+           64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 192 AS ow,
+           64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 192 AS oh
+    FROM documents
+),
+r AS (
+    SELECT doc_id, text, ow, oh,
+           CASE WHEN greatest(ow, oh) > 128
+                THEN (ow * 128) // greatest(ow, oh) ELSE ow END AS nw,
+           CASE WHEN greatest(ow, oh) > 128
+                THEN (oh * 128) // greatest(ow, oh) ELSE oh END AS nh
+    FROM m
+)
+SELECT doc_id,
+       CAST(ow AS INT) AS orig_w, CAST(oh AS INT) AS orig_h,
+       CAST(nw AS INT) AS new_w,  CAST(nh AS INT) AS new_h,
+       md5(text || ':resize:' || CAST(nw AS VARCHAR) || 'x' || CAST(nh AS VARCHAR))
+           AS resized_md5
+FROM r
+"""
+
+
 # Exact DuckDB replication of the fake frame sampler (documents stand
 # in for the blob table, so payload bytes == utf8 text bytes): byte 2
 # of the md5 digest is hex chars 5-6, and the per-frame digest is the

@@ -411,6 +411,25 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_resize",
+    oracle=lm.MEDIA_RESIZE_ORACLE,
+    doc=(
+        "Image-resize plumbing (completing the decode / feature-extract "
+        "/ resize / frame-sample multimodal quartet): cap the longer "
+        "side at 128 preserving aspect ratio with INTEGER-division "
+        "scaling, via Arrow-batched mapInPandas. Resampling itself is "
+        "stubbed (no Pillow here); the deterministic digest-derived "
+        "fake runs both branches (shrink and passthrough) and the "
+        "oracle reproduces it exactly."
+    ),
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = lm.docs_as_media(load_table(spark, sf_dir, "documents"))
+    return lm.resize_media(media, fake=True)
+
+
+@register(
     "embedding_norms_pandas",
     oracle="""
 SELECT vec_id,

@@ -384,6 +384,25 @@ def test_dedup_clusters_match_union_find(spark, docs):
     assert any(v != k for k, v in got.items()), "fixture has near-dup clusters"
 
 
+def test_resize_media_gate_and_branches(docs):
+    """resize stub: fake=False must raise (no Pillow); the fake keeps
+    aspect ratio with integer scaling and runs both branches."""
+    media = lm.docs_as_media(docs.limit(30))
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        lm.resize_media(media, fake=False).collect()
+    rows = lm.resize_media(media, max_side=128, fake=True).collect()
+    assert len(rows) == 30
+    shrunk = [r for r in rows if max(r["orig_w"], r["orig_h"]) > 128]
+    passthrough = [r for r in rows if max(r["orig_w"], r["orig_h"]) <= 128]
+    for r in shrunk:
+        mx = max(r["orig_w"], r["orig_h"])
+        assert r["new_w"] == r["orig_w"] * 128 // mx
+        assert r["new_h"] == r["orig_h"] * 128 // mx
+        assert max(r["new_w"], r["new_h"]) <= 128
+    for r in passthrough:
+        assert (r["new_w"], r["new_h"]) == (r["orig_w"], r["orig_h"])
+
+
 def test_frame_sampling_fanout(docs):
     """1->N frame sampling: deterministic fan-out, every_k stride
     respected, per-frame digests stable across runs."""
