@@ -285,10 +285,41 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_simhash",
-    oracle=None,  # verified against a pure-Python reimplementation in pytest
+    # The signature is md5-derived and fully deterministic, so it DOES
+    # carry an exact SQL oracle (plus the pure-Python pytest oracle):
+    # per-token hash = first 15 md5 hex chars as int, bit b of the
+    # signature = majority vote of token-hash bit b.
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    )
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+bits AS (
+    SELECT t.doc_id, b.b,
+           CASE WHEN 2 * SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END) > max(c.n)
+                THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bitval
+    FROM toks t
+    CROSS JOIN (SELECT unnest(range(60)) AS b) b
+    JOIN cnt c ON c.doc_id = t.doc_id
+    GROUP BY t.doc_id, b.b
+)
+SELECT doc_id,
+       CAST(SUM(bitval) AS BIGINT)       AS simhash,
+       CAST(SUM(bitval) >> 48 AS BIGINT) AS simhash_bucket
+FROM bits
+GROUP BY doc_id
+""",
     doc=(
         "60-bit SimHash signatures from md5 token hashes + 12-bit "
-        "prefix blocking bucket. Zero-shuffle projection."
+        "prefix blocking bucket. Zero-shuffle projection; the md5 "
+        "basis makes the signature engine-portable, so it hash-matches "
+        "an exact SQL oracle (bit-majority recomputation in DuckDB) in "
+        "addition to the pure-Python pytest oracle."
     ),
     tags=("llm", "dedup", "simhash"),
 )
@@ -587,14 +618,56 @@ def q_docs_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_simhash_pairs",
-    oracle=None,  # signature scheme is engine-defined; recall-tested in pytest
+    # The whole pipeline (md5 signatures, bit-rotation buckets, Hamming
+    # verify) is deterministic integer arithmetic, so it carries an
+    # exact SQL oracle on top of the pytest recall oracle. The per-pair
+    # hamming is identical across colliding rotations, so the oracle's
+    # MIN equals the Spark side's FIRST.
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    )
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+bits AS (
+    SELECT t.doc_id, b.b,
+           CASE WHEN 2 * SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END) > max(c.n)
+                THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bitval
+    FROM toks t
+    CROSS JOIN (SELECT unnest(range(60)) AS b) b
+    JOIN cnt c ON c.doc_id = t.doc_id
+    GROUP BY t.doc_id, b.b
+),
+sigs AS (
+    SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+),
+bucketed AS (
+    SELECT doc_id, simhash, r.r AS rot,
+           (((simhash % (CAST(1 AS BIGINT) << (60 - 12 * r.r))) * (CAST(1 AS BIGINT) << (12 * r.r))
+             + simhash // (CAST(1 AS BIGINT) << (60 - 12 * r.r))) >> 48) AS bucket
+    FROM sigs CROSS JOIN (SELECT unnest(range(5)) AS r) r
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(min(bit_count(xor(a.simhash, b.simhash))) AS INT) AS hamming
+FROM bucketed a
+JOIN bucketed b
+  ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+GROUP BY 1, 2
+""",
     doc=(
-        "SimHash near-dup pairs: 12-bit prefix-bucket equi-join + "
-        "exact Hamming verify (bit_count(xor) <= 8) — completes the "
-        "SimHash path from signatures to pair output with the same "
-        "never-all-pairs join shape as the MinHash and hyperplane LSH "
-        "variants. Recall vs the exact Jaccard baseline is asserted "
-        "in tests/test_llm_ops.py."
+        "SimHash near-dup pairs: 12-bit prefix-bucket equi-join over 5 "
+        "bit-rotations + exact Hamming verify (bit_count(xor) <= 8) — "
+        "completes the SimHash path from signatures to pair output "
+        "with the same never-all-pairs join shape as the MinHash and "
+        "hyperplane LSH variants. Fully deterministic, so it "
+        "hash-matches an exact SQL oracle; recall vs the exact Jaccard "
+        "baseline is additionally asserted in tests/test_llm_ops.py."
     ),
     tags=("llm", "dedup", "simhash", "pairs"),
 )
