@@ -121,6 +121,36 @@ WHERE rn <= {k}
 """
 
 
+def ann_topk_oracle_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """Exact SQL replication of ann_topk: the hyperplanes are a fixed
+    literal array (seeded generator), the bucket is sign bits of
+    sequential-fold dot products (bit-identical to list_dot_product),
+    and the Hamming-1 multiprobe is bit_count(xor) <= 1 — so even this
+    'approximate' operator is deterministic and hash-matchable."""
+    planes = _hyperplanes()
+
+    def arr(w) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in w) + "]"
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr(w)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, w in enumerate(planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = {query_vec_id})
+SELECT c.vec_id AS vec_id,
+       list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))) AS cosine
+FROM b c CROSS JOIN q
+WHERE bit_count(xor(CAST(c.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 1
+ORDER BY cosine DESC, c.vec_id ASC
+LIMIT {k}
+"""
+
+
 def cosine_topk_oracle_sql(query_vec_id: int = 0, k: int = 20) -> str:
     return f"""
 SELECT e.vec_id AS vec_id,

@@ -379,11 +379,16 @@ def q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_ann_lsh",
-    oracle=None,  # approximate; recall-tested vs embedding_cosine_topk
+    # deterministic despite being "approximate": fixed-seed hyperplanes
+    # are literal arrays, dots fold sequentially (== list_dot_product),
+    # so the whole probe is SQL-replicable and hash-matched
+    oracle=ls.ann_topk_oracle_sql(),
     doc=(
         "Random-hyperplane LSH ANN top-10: bucket the corpus by 6 sign "
         "bits, probe query bucket + Hamming-1 neighbors, exact cosine "
-        "on candidates only."
+        "on candidates only. Hash-matched against a full SQL "
+        "replication (literal hyperplanes + bit_count multiprobe) in "
+        "addition to the recall pytest vs the exact baseline."
     ),
     tags=("llm", "similarity", "ann", "lsh"),
 )
