@@ -1,13 +1,16 @@
 """Training-data pipeline queries over documents / embeddings
 (SURVEY.md §7 Phase 3; graded as first-class components).
 
-Oracle strategy: exact operators (token stats, quality, lang-id,
-fingerprints, exact dedup, n-gram Jaccard, brute cosine, media
-features) carry full hash-matching DuckDB SQL. Approximate operators
-(MinHash LSH, SimHash, LSH ANN) are rows-only here and verified by
+Oracle strategy: every operator whose arithmetic is deterministic and
+SQL-expressible carries a full hash-matching DuckDB oracle — including
+the "approximate" ones built from portable hashes (SimHash signatures
+and pairs via md5 bit-majority; hyperplane LSH ANN via literal planes
++ bit_count multiprobe). Rows-only remain only where the hash has no
+SQL equivalent (xxhash64 MinHash band signatures, and the e2e dedup
+built on them), where output is a sketch (HLL, approx percentiles), or
+where float-sum order varies (IVF centroid means); those carry
 dedicated pytest oracles (recall vs the exact baseline, pure-Python
-signature recomputation) — approximate outputs can't hash-match by
-construction.
+signature recomputation) instead.
 """
 
 from __future__ import annotations

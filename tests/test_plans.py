@@ -345,6 +345,33 @@ def test_load_table_pins_utc_session_timezone(spark, sf_dir):
         spark.conf.set(tz_key, original)
 
 
+def test_gate_priority_window_covers_graded_surface():
+    """The driver's correctness gate evaluates only the FIRST 50
+    registered queries. This pins the curation: the reference pipeline
+    surface, the LLM-data operators, and the TPC-H-style warehouse
+    joins must all sit inside that window, and nearly all of it must
+    be hash-checkable (oracle present)."""
+    names = list(REGISTRY)
+    window = names[:50]
+    graded = [
+        # reference surface
+        "enrich_events", "latest_per_key", "hop_engagement_sum",
+        "cdc_materialize", "events_asof_orders", "events_dim_asof",
+        # LLM-data axes
+        "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
+        "docs_simhash", "embedding_cosine_topk", "docs_corpus_prep",
+        "media_features", "media_frame_sample", "docs_contamination",
+        # warehouse joins
+        "pricing_summary", "regional_revenue", "top_orders_by_revenue",
+        "customer_order_distribution", "cheapest_supplier_per_part",
+    ]
+    missing = [n for n in graded if n not in window]
+    assert not missing, f"graded queries outside the 50-query gate: {missing}"
+    rows_only = [n for n in window if REGISTRY[n].oracle is None]
+    # only the xxhash64-based MinHash pairs lack a SQL-expressible oracle
+    assert rows_only == ["docs_minhash_pairs"], rows_only
+
+
 def test_global_row_number_no_single_partition(spark, sf_dir):
     """Distributed global row numbering must never collapse to one
     task: the plan range-partitions on the order key and ranks within
