@@ -345,6 +345,28 @@ def test_load_table_pins_utc_session_timezone(spark, sf_dir):
         spark.conf.set(tz_key, original)
 
 
+def test_global_row_number_ties_and_empty(spark):
+    """Edge cases: duplicate order-key values must still produce a
+    deterministic dense 1..n numbering when the order includes a
+    tiebreak (total order), and an empty input must yield an empty
+    frame with the row_num column — both without a SinglePartition
+    exchange."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.operators.rank import global_row_number
+
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (0, "z"), (1, "a2"), (0, "y")], "k long, s string"
+    )
+    out = global_row_number(df, ["k", "s"], num_partitions=3)
+    rows = {r["s"]: r["row_num"] for r in out.collect()}
+    assert rows == {"y": 1, "z": 2, "a": 3, "a2": 4, "b": 5}
+    empty = spark.createDataFrame([], "k long, s string")
+    out_empty = global_row_number(empty, ["k", "s"], num_partitions=3)
+    assert out_empty.columns == ["k", "s", "row_num"]
+    assert out_empty.count() == 0
+
+
 def test_gate_priority_window_covers_graded_surface():
     """The driver's correctness gate evaluates only the FIRST 50
     registered queries. This pins the curation: the reference pipeline
