@@ -683,9 +683,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ld.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "docs_corpus_prep",
-    oracle=f"""
+# Shared by docs_corpus_prep and docs_training_manifest (the manifest
+# wraps the same survivor selection).
+CORPUS_PREP_ORACLE = f"""
 WITH scored AS (
     SELECT doc_id,
            md5({_NORM}) AS fp_md5,
@@ -714,7 +714,12 @@ dedup AS (
     FROM filtered
 )
 SELECT doc_id, n_tokens, quality_score, fp_md5 FROM dedup WHERE rn = 1
-""",
+"""
+
+
+@register(
+    "docs_corpus_prep",
+    oracle=CORPUS_PREP_ORACLE,
     doc=(
         "End-to-end training-corpus prep in one declarative plan: "
         "score (token count + quality) -> language-filter (en) -> "
@@ -732,6 +737,13 @@ SELECT doc_id, n_tokens, quality_score, fp_md5 FROM dedup WHERE rn = 1
     tags=("llm", "text", "dedup", "pipeline"),
 )
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_prep_frame(spark, sf_dir)
+
+
+def corpus_prep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection shared by docs_corpus_prep and
+    docs_training_manifest: score -> en-filter -> quality-filter ->
+    exact-dedup (min doc_id per normalized-text md5)."""
     from pyspark.sql import Window
 
     from ..operators.util import fan_out
@@ -756,6 +768,58 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtered.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_tokens", "quality_score", "fp_md5")
+    )
+
+
+@register(
+    "docs_training_manifest",
+    oracle=f"""
+WITH prep AS ({CORPUS_PREP_ORACLE}),
+tagged AS (
+    SELECT doc_id, n_tokens, fp_md5,
+           CASE WHEN h < 'cc' THEN 'train'
+                WHEN h < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT *, substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        FROM prep
+    )
+)
+SELECT doc_id, split, n_tokens,
+       row_number() OVER (PARTITION BY split ORDER BY fp_md5, doc_id) AS sample_idx
+FROM tagged
+""",
+    doc=(
+        "The full produce-a-training-dataset flow as ONE declarative "
+        "plan: corpus prep (score -> language filter -> quality filter "
+        "-> exact-dedup survivors) -> deterministic salted-hash "
+        "train/val/test split -> per-split sample index (row_number "
+        "over the content-hash order, so indices are stable across "
+        "reruns and partitionings). The output is a training manifest "
+        "(doc_id, split, n_tokens, sample_idx) a data loader can "
+        "address by position. Every stage reuses a verified component "
+        "query; the whole composition still has exactly two shuffles "
+        "(dedup, per-split indexing)."
+    ),
+    tags=("llm", "pipeline", "sampling", "manifest"),
+)
+def q_docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prep = corpus_prep_frame(spark, sf_dir)
+    h = F.substring(
+        F.md5(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    tagged = prep.withColumn(
+        "split",
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test"),
+    )
+    w = Window.partitionBy("split").orderBy("fp_md5", "doc_id")
+    return tagged.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        F.row_number().over(w).alias("sample_idx"),
     )
 
 
