@@ -17,6 +17,7 @@ transports without touching the pipeline.
 
 from __future__ import annotations
 
+import os
 from typing import Protocol
 
 from pyspark.sql import DataFrame
@@ -34,6 +35,59 @@ class Sink(Protocol):
     def write_batch(self, df: DataFrame, batch_id: int) -> None: ...
 
     def close(self) -> None: ...
+
+
+class IdempotentParquetSink:
+    """Exactly-once parquet sink for ``foreachBatch``.
+
+    Structured Streaming guarantees at-least-once delivery of each
+    micro-batch to foreachBatch: after a crash between sink write and
+    checkpoint commit, the SAME batch_id is redelivered. Exactly-once
+    therefore needs a sink-side idempotence contract, and the standard
+    one is batchId-keyed transactional directories:
+
+    - each batch writes to ``out_dir/batch_id=<id>`` with
+      ``mode("overwrite")`` (a crash mid-write leaves a partial dir
+      that the redelivery overwrites cleanly);
+    - a ``_COMMITTED`` marker is created only after the write
+      completes; a redelivered batch_id whose marker exists is skipped
+      entirely.
+
+    Readers consume only committed partitions (``read_committed``), so
+    they never observe partial or duplicated batches. This is the
+    pattern behind every exactly-once foreachBatch-to-object-store
+    sink; transactional table formats replace the marker with their
+    own commit protocol.
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def _paths(self, batch_id: int) -> tuple[str, str]:
+        part = os.path.join(self.out_dir, f"batch_id={batch_id}")
+        return part, os.path.join(part, "_COMMITTED")
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        part, marker = self._paths(batch_id)
+        if os.path.exists(marker):
+            return  # redelivered batch: already committed, skip
+        df.write.mode("overwrite").parquet(part)
+        with open(marker, "w"):
+            pass
+
+    def read_committed(self, spark) -> DataFrame:
+        import glob
+
+        committed = [
+            os.path.dirname(m)
+            for m in sorted(glob.glob(os.path.join(self.out_dir, "*", "_COMMITTED")))
+        ]
+        if not committed:
+            raise FileNotFoundError(f"no committed batches under {self.out_dir}")
+        return spark.read.option("pathGlobFilter", "*.parquet").parquet(*committed)
+
+    def close(self) -> None:
+        pass
 
 
 class MemorySink:

@@ -272,6 +272,37 @@ def test_leaderboard_deltas_drop_zero_and_null(spark):
     assert got == {2: 3.0}
 
 
+def test_idempotent_sink_exactly_once(spark, tmp_path):
+    """Sink-side exactly-once: foreachBatch is at-least-once (a crash
+    between sink write and checkpoint commit redelivers the same
+    batch_id), so the sink must make redelivery a no-op. Verifies the
+    three legs: redelivered batch skipped, a partial (uncommitted)
+    write overwritten cleanly on redelivery, and readers seeing only
+    committed batches."""
+    import os
+
+    out = str(tmp_path / "idempotent-out")
+    sink = sk.IdempotentParquetSink(out)
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df1 = spark.createDataFrame([(3, "c")], "k long, v string")
+
+    sink.write_batch(df0, 0)
+    sink.write_batch(df0, 0)  # redelivery after a simulated crash
+    assert sink.read_committed(spark).count() == 2  # not 4
+
+    # crash mid-write: partial dir exists, no marker
+    part1, marker1 = sink._paths(1)
+    os.makedirs(part1, exist_ok=True)
+    df1.limit(0).write.mode("overwrite").parquet(part1)  # torn write
+    assert not os.path.exists(marker1)
+    assert sink.read_committed(spark).count() == 2  # partial invisible
+    sink.write_batch(df1, 1)  # redelivery completes the batch
+    rows = sorted(
+        map(tuple, sink.read_committed(spark).select("k", "v").collect())
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
 def test_stream_static_dim_refresh_per_batch(spark, tmp_path):
     """Reference J1 temporal-lookup semantics (`FOR SYSTEM_TIME AS OF
     e.proc_time`, reference src/process.py:180-182): each event probes
