@@ -303,6 +303,22 @@ def test_idempotent_sink_exactly_once(spark, tmp_path):
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_fanout_into_idempotent_sink_matches_batch(spark, events_dir, tmp_path):
+    """End-to-end: the enriched stream fanned into the exactly-once
+    parquet sink must read back equal to the batch enrichment."""
+    sink = sk.IdempotentParquetSink(str(tmp_path / "eo-out"))
+    sp.run_enriched_fanout(
+        spark, events_dir, SF, {"pq": sink}, str(tmp_path / "ckpt-eo")
+    )
+    events = load_table(spark, SF, "events")
+    dim = load_table(spark, SF, "customer")
+    expect_df = enrich_events(latest_per_key(events), dim)
+    got = sorted(
+        map(tuple, sink.read_committed(spark).select(*expect_df.columns).collect())
+    )
+    assert got == sorted(map(tuple, expect_df.collect()))
+
+
 def test_stream_static_dim_refresh_per_batch(spark, tmp_path):
     """Reference J1 temporal-lookup semantics (`FOR SYSTEM_TIME AS OF
     e.proc_time`, reference src/process.py:180-182): each event probes
