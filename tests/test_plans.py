@@ -367,6 +367,54 @@ def test_global_row_number_ties_and_empty(spark):
     assert out_empty.count() == 0
 
 
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime filtering, the third join-side scale lever beside
+    broadcast and AQE skew handling: with a selective filter on one
+    join side, Catalyst injects a bloom_filter_agg on that side and a
+    might_contain probe into the big side's scan, so fact rows that
+    cannot match are dropped BEFORE the join shuffle. Thresholds are
+    forced down so fixture-scale data exhibits the production plan."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "true")
+        spark.conf.set(keys[1], "10GB")
+        spark.conf.set(keys[2], "0")
+        spark.conf.set(keys[3], "-1")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1200]
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan, plan[:1200]
+        n = joined.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # correctness unchanged by the runtime filter
+    orders2 = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li2 = load_table(spark, sf_dir, "lineitem")
+    assert n == li2.join(
+        orders2, F.col("l_orderkey") == F.col("o_orderkey")
+    ).count()
+
+
 def test_gate_priority_window_covers_graded_surface():
     """The driver's correctness gate evaluates only the FIRST 50
     registered queries. This pins the curation: the reference pipeline
