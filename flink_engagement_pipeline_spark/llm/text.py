@@ -29,7 +29,16 @@ TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 def normalize(text: Column | str) -> Column:
     """lower + trim + collapse whitespace.
-    Oracle: ``regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')``."""
+    Oracle: ``regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')``.
+
+    Cross-engine unicode boundary (pinned in
+    tests/test_llm_ops.py::test_normalize_unicode_parity): Latin
+    accents, Polish, ß, and all whitespace classes normalize
+    identically in Spark (Java) and DuckDB; the ONE known divergence
+    is dotted-capital İ (U+0130), which Java lowercases to
+    ``i + U+0307`` while DuckDB emits plain ``i``. Corpora where that
+    matters need an explicit NFC/transliteration pass before
+    fingerprinting."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
 

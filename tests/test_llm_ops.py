@@ -63,6 +63,44 @@ def test_simhash_matches_python(docs):
         assert r["simhash_bucket"] == expect >> (ld.SIMHASH_BITS - 12)
 
 
+def test_normalize_unicode_parity(spark):
+    """Pin the cross-engine unicode boundary of normalize(): accented
+    Latin / Polish / ß / mixed whitespace must match DuckDB exactly
+    (these flow into md5 fingerprints, so silent divergence would
+    break every dedup oracle on non-ASCII corpora); dotted-capital İ
+    is the one KNOWN divergence (Java yields i+U+0307, DuckDB plain i)
+    and must stay confined to that character."""
+    import duckdb
+
+    from flink_engagement_pipeline_spark.llm.text import fingerprint_md5, normalize
+
+    matching = ["Héllo  WÖRLD\tfoo\nbar", "ĄĆĘ łŃ", "naïve  café", "ÆØÅ  æøå"]
+    diverging = "İstanbul"
+    texts = matching + [diverging]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n"], r["m"])
+        for r in df.select(
+            "doc_id",
+            normalize("text").alias("n"),
+            fingerprint_md5("text").alias("m"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        norm, md5 = con.execute(
+            "SELECT regexp_replace(trim(lower(?)), '\\s+', ' ', 'g'),"
+            "       md5(regexp_replace(trim(lower(?)), '\\s+', ' ', 'g'))",
+            [t, t],
+        ).fetchone()
+        if t is diverging:
+            assert got[i][0] == "i̇stanbul" and norm == "istanbul"
+        else:
+            assert got[i] == (norm, md5), t
+
+
 def test_jaccard_shingle_df_cap(spark):
     """Hot-shingle document-frequency cap: a boilerplate shingle shared
     by every doc is excluded from intersections (set sizes stay exact),
