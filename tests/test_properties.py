@@ -201,3 +201,71 @@ def test_hop_two_phase_property(spark, rows):
     assert set(got) == set(expect)
     for k in expect:
         assert got[k] == expect[k], k
+
+
+# small word alphabet forces shared shingles between random docs
+_word = st.sampled_from(["a", "b", "c", "d", "e"])
+docs_strategy = st.lists(
+    st.lists(_word, min_size=1, max_size=8), min_size=1, max_size=8
+)
+
+
+def _py_shingles(ws: list[str], n: int = 3) -> set:
+    if len(ws) >= n:
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+    return {" ".join(ws)}
+
+
+@given(doc_words=docs_strategy)
+@_SETTINGS
+def test_ngram_jaccard_pairs_property(spark, doc_words):
+    """Exact Jaccard pairs vs a brute-force Python reimplementation on
+    random small docs — covers docs shorter than the shingle width,
+    identical docs, disjoint docs, and every tie the fixture lacks."""
+    from flink_engagement_pipeline_spark.llm.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(doc_words)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    sets = {i: _py_shingles(ws) for i, ws in enumerate(doc_words)}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.3:
+                    expect[(a, b)] = j
+    assert set(got) == set(expect)
+    for pair, j in expect.items():
+        assert abs(got[pair] - j) < 1e-12, pair
+
+
+@given(rows=st.lists(st.tuples(_key, _val), min_size=0, max_size=14))
+@_SETTINGS
+def test_global_row_number_property(spark, rows):
+    """Distributed numbering == the single-task window's output for
+    any multiset of keys, provided the order is total (tiebreak on a
+    unique id)."""
+    from flink_engagement_pipeline_spark.operators.rank import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "uid long, k long, v long"
+    )
+    if not rows:
+        out = global_row_number(df, ["k", "v", "uid"], num_partitions=3)
+        assert out.count() == 0
+        return
+    got = {
+        r["uid"]: r["row_num"]
+        for r in global_row_number(df, ["k", "v", "uid"], num_partitions=3).collect()
+    }
+    order = sorted(
+        ((k, v, i) for i, (k, v) in enumerate(rows))
+    )
+    expect = {uid: pos + 1 for pos, (_, _, uid) in enumerate(order)}
+    assert got == expect
