@@ -1095,3 +1095,45 @@ def q_user_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@register(
+    "value_trimmed_mean",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           count(*)    OVER (PARTITION BY event_type) AS n
+    FROM events
+    WHERE value IS NOT NULL
+)
+SELECT event_type,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (100.0 * count(*))                           AS trimmed_mean,
+       count(*)                                           AS n_kept
+FROM ranked
+WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY event_type
+""",
+    doc=(
+        "Custom vectorized UDAF surface (GROUPED_AGG pandas_udf): 10% "
+        "two-sided trimmed mean of value per event_type — the "
+        "robust-statistic shape that has no built-in aggregate. The "
+        "UDF receives each group's values as ONE Arrow-backed Series "
+        "(never row-at-a-time) and reduces in integer cents, so the "
+        "result is bit-identical to the oracle's decimal-cent window "
+        "formulation: trimming by sorted rank keeps the same value "
+        "multiset regardless of tie order. Partial aggregation does "
+        "not apply to grouped-agg UDFs — state is one group's column, "
+        "the documented trade for arbitrary-python aggregates."
+    ),
+    tags=("aggregates", "pandas-udf", "udaf", "robust-stats"),
+)
+def q_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udafs import trimmed_count, trimmed_mean_2dec
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        trimmed_mean_2dec("value").alias("trimmed_mean"),
+        trimmed_count("value").alias("n_kept"),
+    )
