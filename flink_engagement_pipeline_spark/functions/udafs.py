@@ -12,6 +12,7 @@ not apply to grouped-agg UDFs — state is one group's column, the
 documented trade for arbitrary-Python aggregates.
 """
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
@@ -21,13 +22,23 @@ def trimmed_mean_2dec(v: pd.Series) -> float:
     """Two-sided 10% trimmed mean of a 2-decimal measure, reduced in
     integer cents. Trimming by sorted rank keeps the same value
     multiset regardless of tie order, so the result is deterministic
-    and oracle-exact."""
+    and oracle-exact.
+
+    Cent conversion is sign-aware half-away-from-zero (the same
+    convention as the SQL oracle's ``floor(x*100 + 0.5)`` and the
+    window aggregation's cent rounding) — NOT numpy's half-even
+    ``round``, which would diverge on any value sitting exactly on a
+    half-cent."""
     s = v.sort_values()
     n = len(s)
     k = n // 10
-    kept = s.iloc[k : n - k]
-    cents = (kept * 100).round().astype("int64")
-    return float(cents.sum()) / (100.0 * len(kept))
+    kept = s.iloc[k : n - k].to_numpy()
+    cents = np.where(
+        kept >= 0,
+        np.floor(kept * 100.0 + 0.5),
+        np.ceil(kept * 100.0 - 0.5),
+    ).astype("int64")
+    return float(cents.sum()) / (100.0 * len(cents))
 
 
 @pandas_udf("long")

@@ -73,16 +73,19 @@ def ngram_jaccard_pairs(
     count-aggregate per pair. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — all
     integers until one double division, so cross-engine exact.
 
-    Plan properties: the expensive shingle computation runs exactly once
-    per document (the earlier self-join formulation recomputed the
-    exploded relation three times — both join sides plus a size
-    aggregate — and needed two more joins to attach sizes; measured 64 s
-    vs ~6 s at sf0.01). Two shuffles total: by shingle, then by pair.
-    Hot shingles (shared by k docs) emit k*(k-1)/2 pair rows from one
-    grouped row — same asymptotic as the equi-join but no recompute.
-    This is the exact baseline; the *scale* path for 100 TB corpora is
-    the banded MinHash LSH below, whose bucket keys are 64-bit band
-    hashes rather than raw shingles.
+    Plan properties: ONE pass over the corpus — the shingle array is
+    projected once per document, its size rides each exploded row as a
+    16-byte (doc_id, n_sh) pair, and both Jaccard inputs come straight
+    off the two aggregations (the earlier formulations recomputed the
+    shingling for a separate sizes relation and attached it with
+    broadcast joins: one extra scan, one extra shingle pass, and two —
+    later one — BroadcastExchanges; measured 1.60 s vs 1.43 s at sf0.1,
+    and 64 s for the original self-join form at sf0.01). Two shuffles
+    total: by shingle, then by pair. Hot shingles (shared by k docs)
+    emit k*(k-1)/2 pair rows from one grouped row — same asymptotic as
+    the equi-join but no recompute. This is the exact baseline; the
+    *scale* path for 100 TB corpora is the banded MinHash LSH below,
+    whose bucket keys are 64-bit band hashes rather than raw shingles.
 
     The group-by key is xxhash64(shingle), not the shingle string:
     shuffling and hash-grouping 8-byte longs instead of multi-word
@@ -113,20 +116,22 @@ def ngram_jaccard_pairs(
     # fan_out the RAW text rows, then compute: shingling must run after
     # the repartition, or a single-split input computes every shingle
     # on one core before the exchange (measured 0.75s of this query's
-    # 2.5s at sf0.1 spent exactly there).
-    sh = fan_out(docs.select("doc_id", "text")).select(
-        "doc_id",
-        F.explode(
-            F.transform(shingles("text", n), lambda s: F.xxhash64(s))
-        ).alias("sh"),
+    # 2.5s at sf0.1 spent exactly there). The array is projected under
+    # its own name so the size and the explode reference ONE
+    # computation (higher-order-function lambdas get no subexpression
+    # elimination — an inline shingles() in both would double the
+    # dominant regex cost).
+    base = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", shingles("text", n).alias("arr")
     )
-    # Exact set sizes as a SHUFFLE-FREE projection (size of the
-    # distinct-shingle array): one extra parallel pass over the text
-    # beats aggregating the exploded relation, which would add a
-    # doc_id exchange per use. Sizes are full-set (pre-cap) — capping
-    # drops shingles from intersections only.
-    sizes = fan_out(docs.select("doc_id", "text")).select(
-        "doc_id", F.size(shingles("text", n)).alias("n_sh")
+    # Exact full-set size rides each exploded row (capping below drops
+    # shingles from intersections only — sizes stay exact).
+    sh = base.select(
+        "doc_id",
+        F.size("arr").alias("n_sh"),
+        F.explode(
+            F.transform(F.col("arr"), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
     if max_shingle_df is not None:
         w = Window.partitionBy("sh")
@@ -135,19 +140,37 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= F.lit(max_shingle_df))
             .drop("__df")
         )
-    # Bare-long doc lists: collect/sort/pair-explode over 8-byte longs
-    # instead of (doc_id, n_sh) structs — the struct comparator and the
-    # extra 8 bytes/row on the big shuffle measurably dominate; sizes
-    # re-attach AFTER pair aggregation, touching only the small pair
-    # set (broadcast-sized here; a plain shuffle join at corpus scale,
-    # still on the post-aggregation relation).
-    ds = F.array_sort(F.collect_list("doc_id"))
+    # (doc_id, n_sh) pairs collect/sort/pair-explode per shingle group;
+    # sorting structs orders by doc_id first (distinct within a group:
+    # total order), so i<j slicing emits each pair once with both set
+    # sizes already in place — no sizes relation, no size-attach joins,
+    # and the pair aggregation groups on the (functionally dependent)
+    # sizes alongside the ids.
+    ds = F.array_sort(F.collect_list(F.struct("doc_id", "n_sh")))
+    # Length-ratio prefilter (exact): J(A,B) <= min(|A|,|B|)/max(|A|,|B|)
+    # (best case is full containment of the smaller set), so any pair
+    # whose set sizes differ by more than the threshold ratio cannot
+    # reach it — skip those pairs inside the array, BEFORE they become
+    # exploded+shuffled rows. Standard size-filter from the set-
+    # similarity-join literature; drops nothing that could qualify.
+    ratio_ok = lambda x, y: (
+        F.least(x["n_sh"], y["n_sh"]).cast("double")
+        >= F.lit(threshold) * F.greatest(x["n_sh"], y["n_sh"])
+    )
     pair_list = F.flatten(
         F.transform(
             F.col("ds"),
             lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                F.filter(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: ratio_ok(x, y),
+                ),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("na"),
+                    y["n_sh"].alias("nb"),
+                ),
             ),
         )
     )
@@ -156,13 +179,10 @@ def ngram_jaccard_pairs(
         .agg(ds.alias("ds"))
         .filter(F.size("ds") > 1)
         .select(F.explode(pair_list).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    pairs = pairs.join(F.broadcast(na), "doc_a").join(F.broadcast(nb), "doc_b")
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )

@@ -112,13 +112,57 @@ def stopword_hits(text: Column | str, lang: str) -> Column:
     return F.size(F.filter(words(text), lambda w: w.isin(*sw)))
 
 
+# The packed counter below folds all four languages' hit counts into
+# one 16-bit-per-lang long in a SINGLE pass over the token array. That
+# is exact only while no token belongs to two lists (a shared token
+# would be credited to the first matching language instead of both).
+assert sum(map(len, STOPWORDS.values())) == len(
+    {t for sw in STOPWORDS.values() for t in sw}
+), "stopword lists must be pairwise disjoint for packed counting"
+
+_PACK_SHIFT = {"en": 0, "de": 16, "es": 32, "fr": 48}
+
+
+def stopword_hits_all(text: Column | str) -> dict[str, Column]:
+    """All four languages' stopword hit counts from ONE traversal of
+    the token array: each token contributes a 16-bit-shifted 1 to a
+    packed long accumulator (a when-chain short-circuits the list
+    membership tests), and the per-language counts shift back out.
+    Identical counts to four ``stopword_hits`` passes (lists are
+    disjoint, asserted above; parity property-tested), at a quarter of
+    the array traversals — this predicate is what corpus-prep pushes
+    into the scan, so its per-row cost is the scan stage's cost.
+    Oracle: the same four ``list_filter`` counts as ``stopword_hits``."""
+    ws = words(text)
+
+    def tok_bits(w: Column) -> Column:
+        chain = F.when(w.isin(*STOPWORDS["en"]), F.lit(1 << _PACK_SHIFT["en"]))
+        for lang in ("de", "es", "fr"):
+            chain = chain.when(
+                w.isin(*STOPWORDS[lang]), F.lit(1 << _PACK_SHIFT[lang])
+            )
+        return chain.otherwise(F.lit(0)).cast("long")
+
+    packed = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + tok_bits(w)
+    )
+    mask = F.lit((1 << 16) - 1)
+    return {
+        lang: F.shiftright(packed, shift).bitwiseAND(mask)
+        for lang, shift in _PACK_SHIFT.items()
+    }
+
+
 def lang_pred(text: Column | str) -> Column:
     """Heuristic language-ID: argmax of stopword hits with a fixed
     priority order (en > de > es > fr > und). Deterministic CASE chain;
-    the oracle SQL is the literal same chain. A real pipeline would
-    swap in a char-n-gram model via pandas_udf; the operator shape
-    (per-row classify, no shuffle) is what matters at scale."""
-    en, de, es, fr = (stopword_hits(text, lang) for lang in ("en", "de", "es", "fr"))
+    the oracle SQL is the literal same chain (over per-language
+    ``list_filter`` counts — the packed counter is count-identical). A
+    real pipeline would swap in a char-n-gram model via pandas_udf; the
+    operator shape (per-row classify, no shuffle) is what matters at
+    scale."""
+    hits = stopword_hits_all(text)
+    en, de, es, fr = hits["en"], hits["de"], hits["es"], hits["fr"]
     return (
         F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
         .when((de >= es) & (de >= fr) & (de > 0), "de")
@@ -140,7 +184,10 @@ def quality_score(text: Column | str) -> dict[str, Column]:
     n_tokens = ws_token_count(c)
     n_alpha_chars = F.length(F.regexp_replace(norm, " ", ""))
     avg_token_len = n_alpha_chars.cast("double") / n_tokens
-    stop_ratio = stopword_hits(c, "en").cast("double") / n_tokens
+    # packed counter: shares one token-array traversal with lang_pred
+    # when both appear in a projection (identical subtree -> codegen
+    # subexpression elimination evaluates it once)
+    stop_ratio = stopword_hits_all(c)["en"].cast("double") / n_tokens
     raw = (
         F.least(n_tokens.cast("double") / 200.0, F.lit(1.0)) * 0.4
         + stop_ratio * 0.3

@@ -19,10 +19,12 @@ def fan_out(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # Partition count via the compiled physical plan — NOT df.rdd:
-    # the RDD conversion additionally builds the Python RDD graph
-    # (serializer wrapping) per call for the same information.
-    n_in = df._jdf.queryExecution().executedPlan().outputPartitioning().numPartitions()
+    # Partition count via the compiled JVM RDD (queryExecution().toRdd()),
+    # NOT outputPartitioning(): file scans report UnknownPartitioning
+    # with numPartitions=0, which would make the guard always fire and
+    # add an unconditional round-robin shuffle. toRdd() exposes the real
+    # split count without building the Python-side RDD wrapper.
+    n_in = df._jdf.queryExecution().toRdd().getNumPartitions()
     if n_in < max(1, int(target * min_factor)):
         return df.repartition(target)
     return df

@@ -1108,7 +1108,8 @@ WITH ranked AS (
     WHERE value IS NOT NULL
 )
 SELECT event_type,
-       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+       CAST(SUM(CAST(CASE WHEN value >= 0 THEN floor(value * 100 + 0.5)
+                          ELSE -floor(-value * 100 + 0.5) END AS BIGINT)) AS DOUBLE)
            / (100.0 * count(*))                           AS trimmed_mean,
        count(*)                                           AS n_kept
 FROM ranked

@@ -1,0 +1,120 @@
+"""Driver-visible streaming queries.
+
+The driver's correctness gate runs batch queries, so the streaming
+path's guarantees (stream==batch, cross-batch keyed state, sink
+exactly-once) were previously proven only in pytest. The queries here
+put those guarantees behind a driver-oracle hash row: each runs a real
+Structured Streaming job over the fixture (availableNow replay into a
+temp dir), then returns the *written sink output* as a batch DataFrame
+for the oracle compare.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import DEDUP_ORACLE_SQL
+from ..sources.datagen import gen_events
+from ..streaming.pipeline import run_enriched_fanout
+from ..streaming.sinks import IdempotentParquetSink
+from .registry import register
+
+# The sink output is the enrichment of the deduped (latest-per-key)
+# event stream: compose the two operators' oracle SQL as CTEs.
+_REPLAY_ORACLE = f"""
+WITH deduped AS (
+{DEDUP_ORACLE_SQL}
+)
+SELECT
+    e.event_id                    AS event_id,
+    e.user_id                     AS user_id,
+    e.event_type                  AS event_type,
+    e.ts                          AS ts,
+    e.value                       AS value,
+    CAST(e.value AS DOUBLE) / 1000.0 AS engagement_seconds,
+    CASE WHEN c.c_acctbal > 0
+         THEN ROUND(CAST(e.value AS DOUBLE) / c.c_acctbal, 4)
+         ELSE NULL END            AS engagement_pct,
+    c.c_name                      AS user_name,
+    c.c_mktsegment                AS user_segment,
+    c.c_nationkey                 AS user_nationkey,
+    c.c_acctbal                   AS user_acctbal
+FROM deduped e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register(
+    "stream_replay_enriched",
+    oracle=_REPLAY_ORACLE,
+    doc=(
+        "End-to-end streaming consistency under the batch oracle: the "
+        "events fixture is replayed TWICE through a file-source stream "
+        "(two micro-batches via maxFilesPerTrigger=1) with cross-batch "
+        "stateful dedup (T4), latest-per-key upsert semantics, and the "
+        "broadcast dimension enrichment (J1), into an exactly-once "
+        "IdempotentParquetSink; a forced redelivery of the last batch "
+        "id is then skipped by its _COMMITTED marker. The returned "
+        "frame is what the sink durably wrote — it hash-matches the "
+        "batch enrichment of the deduped fixture exactly, proving "
+        "stream==batch AND that the replayed second batch and the "
+        "redelivered batch contributed nothing."
+    ),
+    tags=("streaming", "exactly-once", "stateful", "consistency"),
+)
+def q_stream_replay_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_replay_")  # outlives the returned plan
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    # the same fixture file twice = a full replay of every key in batch 2
+    os.symlink(src, os.path.join(events_dir, "a.parquet"))
+    os.symlink(src, os.path.join(events_dir, "b.parquet"))
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+    # The stateful dedup allocates one state store per shuffle
+    # partition per micro-batch: a vanilla driver session's 200
+    # partitions cost ~15 s of store setup for a fixture-sized batch.
+    # Pin a fixture-appropriate width for the streaming run only and
+    # restore the caller's conf after (the checkpoint is fresh per
+    # invocation, so the locked-in state width never conflicts).
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "16")
+    try:
+        run_enriched_fanout(
+            spark,
+            events_dir,
+            sf_dir,
+            {"pq": sink},
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            cross_batch_dedup=True,
+            max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(part_key, saved)
+    committed = sink.read_committed(spark)
+    # forced redelivery: a batch id whose marker exists must be a no-op
+    sink.write_batch(committed.limit(5), 0)
+    return sink.read_committed(spark)
+
+
+@register(
+    "datagen_events",
+    oracle=None,  # hash-arithmetic generator: no SQL-expressible oracle
+    doc=(
+        "Distributed deterministic workload generator (reference "
+        "src/datagen.py:49-68 as hash arithmetic over spark.range — "
+        "SURVEY §3.3): 10k events at 7/s, the divisor-with-remainder "
+        "rate whose drift-free integer spacing is property-tested in "
+        "pytest (tests/test_plans.py::test_datagen_rate_exact_no_drift). "
+        "Rows-only driver check: row count and schema stability; "
+        "bit-identical regeneration under any partitioning is the "
+        "pytest-pinned contract."
+    ),
+    tags=("datagen", "rows-only"),
+)
+def q_datagen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_events(spark, 10_000, events_per_second=7, partitions=8)

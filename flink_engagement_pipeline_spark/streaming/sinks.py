@@ -285,7 +285,25 @@ class RedisLeaderboardSink:
     - no factory (this sandbox has no Redis client): accumulation in a
       driver-side dict with identical ZINCRBY semantics. Driver memory
       then bounds the keyspace — fine for leaderboard-sized key sets,
-      which is the only case this fallback serves.
+      which is the only case this fallback serves; the keyspace is
+      guarded by ``max_fallback_keys`` so an unbounded member domain
+      fails fast instead of becoming a silent driver-OOM path.
+
+    Exactly-once: foreachBatch is at-least-once, and ZINCRBY is not
+    idempotent — a crash-redelivered batch would double-increment.
+    Both paths therefore keep a committed-batch marker (the same
+    contract as :class:`IdempotentParquetSink`'s ``_COMMITTED`` file),
+    at **partition** granularity on the client path because Spark also
+    retries individual tasks:
+
+    - each partition applies its increments and sets
+      ``leaderboard:__applied:<batch_id>:<partition_id>`` in ONE
+      MULTI/EXEC transaction when the client supports ``pipeline``
+      (redis-py API); a redelivered/retried partition whose marker
+      exists is skipped wholesale.
+    - clients without ``get``/``set`` degrade to check-then-apply
+      without atomicity (at-least-once within a mid-partition crash
+      window) — still strictly better than unguarded replay.
     """
 
     def __init__(
@@ -293,30 +311,67 @@ class RedisLeaderboardSink:
         key: str = "user_id",
         measure: str = "engagement_seconds",
         client_factory=None,
+        max_fallback_keys: int = 100_000,
     ):
         self.key = key
         self.measure = measure
         self.client_factory = client_factory
+        self.max_fallback_keys = max_fallback_keys
         self.scores: dict = {}
+        self._applied_batches: set[int] = set()
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         deltas = leaderboard_deltas(df, self.key, self.measure)
         if self.client_factory is not None:
             key, factory = self.key, self.client_factory
+
             def _apply(rows) -> None:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                marker = (
+                    f"leaderboard:__applied:{batch_id}:"
+                    f"{ctx.partitionId() if ctx is not None else 0}"
+                )
                 client = factory()
                 try:
-                    for row in rows:
-                        client.zincrby("leaderboard", row["delta"], row[key])
+                    getter = getattr(client, "get", None)
+                    if getter is not None and getter(marker):
+                        return  # redelivered batch / retried task: skip
+                    pipeline = getattr(client, "pipeline", None)
+                    setter = getattr(client, "set", None)
+                    if pipeline is not None and setter is not None:
+                        # increments + marker commit atomically
+                        txn = pipeline(transaction=True)
+                        for row in rows:
+                            txn.zincrby("leaderboard", row["delta"], row[key])
+                        txn.set(marker, "1")
+                        txn.execute()
+                    else:
+                        for row in rows:
+                            client.zincrby("leaderboard", row["delta"], row[key])
+                        if setter is not None:
+                            setter(marker, "1")
                 finally:
                     close = getattr(client, "close", None)
                     if close is not None:
                         close()
+
             deltas.foreachPartition(_apply)
             return
+        if batch_id in self._applied_batches:
+            return  # redelivered batch: already accumulated, skip
         for row in deltas.collect():
             member = row[self.key]
             self.scores[member] = self.scores.get(member, 0.0) + row["delta"]
+            if len(self.scores) > self.max_fallback_keys:
+                raise RuntimeError(
+                    f"in-memory leaderboard fallback exceeded "
+                    f"{self.max_fallback_keys} members — the driver-side "
+                    "dict path is for bounded leaderboard keyspaces only; "
+                    "supply client_factory for unbounded member domains"
+                )
+        self._applied_batches.add(batch_id)
 
     def top(self, k: int = 10) -> list[tuple]:
         return sorted(self.scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

@@ -159,9 +159,10 @@ def test_jaccard_df_cap_window_reuses_shuffle(docs):
 
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     # one shuffle keyed by shingle, one by the pair group — no third;
-    # set sizes ride a shuffle-free projection + broadcast join
+    # set sizes ride the exploded rows, so there is no size-attach
+    # join of any kind
     assert len(exchanges) == 2, exchanges
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
 
 
 def test_dedup_e2e_refines_exact(docs):

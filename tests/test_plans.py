@@ -417,36 +417,50 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
 
 def test_gate_priority_window_covers_graded_surface():
     """The driver's correctness gate evaluates only the FIRST 50
-    registered queries. This pins the curation: the reference pipeline
-    surface, the LLM-data operators, and the TPC-H-style warehouse
-    joins must all sit inside that window, and nearly all of it must
-    be hash-checkable (oracle present)."""
+    registered queries, and the window ROTATES per round so every
+    query eventually gets an external driver-oracle row. This pins the
+    round-4 rotation: the stable sentinels stay in-window, every query
+    that had never had a driver row by round 3 (the 17 round-3
+    additions) is in-window now, and the window's rows-only residue is
+    exactly the queries with no SQL-expressible oracle."""
     names = list(REGISTRY)
     window = names[:50]
-    graded = [
-        # reference surface
+    sentinels = [
         "enrich_events", "latest_per_key", "hop_engagement_sum",
-        "cdc_materialize", "events_asof_orders", "events_dim_asof",
-        # LLM-data axes
-        "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
-        "docs_simhash", "embedding_cosine_topk", "docs_corpus_prep",
-        "media_features", "media_frame_sample", "docs_contamination",
-        # warehouse joins
-        "pricing_summary", "regional_revenue", "top_orders_by_revenue",
-        "customer_order_distribution", "cheapest_supplier_per_part",
+        "cdc_materialize", "docs_exact_dedup", "docs_jaccard_pairs",
+        "docs_minhash_pairs", "embedding_cosine_topk",
+        "pricing_summary", "regional_revenue",
     ]
-    missing = [n for n in graded if n not in window]
+    never_checked_by_r3 = [
+        "value_hour_correlation", "user_retention_cohort",
+        "events_global_seq", "click_to_purchase_latency",
+        "events_anomaly_zscore", "user_activity_reconciliation",
+        "value_trimmed_mean", "docs_repetition", "embedding_knn_join",
+        "embedding_ann_lsh", "embedding_ann_ivf", "media_resize",
+        "docs_dedup_e2e", "docs_simhash_pairs", "docs_training_manifest",
+        "docs_mixture_sample", "nation_market_share",
+    ]
+    new_in_r4 = ["stream_replay_enriched", "datagen_events"]
+    missing = [
+        n for n in sentinels + never_checked_by_r3 + new_in_r4 if n not in window
+    ]
     assert not missing, f"graded queries outside the 50-query gate: {missing}"
-    rows_only = [n for n in window if REGISTRY[n].oracle is None]
-    # only the xxhash64-based MinHash pairs lack a SQL-expressible oracle
-    assert rows_only == ["docs_minhash_pairs"], rows_only
+    rows_only = sorted(n for n in window if REGISTRY[n].oracle is None)
+    assert rows_only == [
+        "datagen_events",      # hash-arithmetic generator
+        "docs_dedup_e2e",      # LSH candidate path (approximate)
+        "docs_minhash_pairs",  # xxhash64 MinHash (no SQL oracle)
+        "embedding_ann_ivf",   # k-means centroids (approximate)
+    ], rows_only
 
 
 def test_global_row_number_no_single_partition(spark, sf_dir):
     """Distributed global row numbering must never collapse to one
-    task: the plan range-partitions on the order key and ranks within
-    partitions (offsets ride a broadcast join) — no Exchange
-    SinglePartition anywhere, unlike a bare unpartitioned window."""
+    task: rows are bucketed by literal range boundaries and ranked
+    within buckets (offsets ride a broadcast join) — no Exchange
+    SinglePartition anywhere, unlike a bare unpartitioned window — and
+    the numbering pass spreads across partitions (hashpartitioning on
+    the range id)."""
     from pyspark.sql import functions as F
 
     from flink_engagement_pipeline_spark.operators.rank import global_row_number
@@ -456,7 +470,7 @@ def test_global_row_number_no_single_partition(spark, sf_dir):
     out = global_row_number(ev, ["ts", "event_id"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan[:1500]
-    assert "rangepartitioning" in plan, plan[:1500]
+    assert "hashpartitioning(__pid" in plan, plan[:1500]
     # and the numbering is exactly the single-task window's output
     from pyspark.sql import Window
 
@@ -468,6 +482,73 @@ def test_global_row_number_no_single_partition(spark, sf_dir):
         map(tuple, out.select("event_id", "ts", "row_num").collect())
     )
     assert got == expect
+
+
+def test_global_row_number_leaves_no_cached_relation(spark, sf_dir):
+    """The boundary literals make range assignment a pure function of
+    the row, so no pass needs a pinned relation: after the query is
+    built AND consumed, the session must hold zero persisted RDDs
+    (the earlier cache-based form leaked one dataset-sized relation
+    per invocation — at 100 TB that cache is the dataset)."""
+    from flink_engagement_pipeline_spark.operators.rank import global_row_number
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    for _ in range(2):  # repeated invocation must not accumulate
+        out = global_row_number(ev, ["ts", "event_id"])
+        assert out.count() == ev.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_jaccard_single_corpus_pass(spark, sf_dir):
+    """ngram_jaccard_pairs reads the corpus ONCE: set sizes ride the
+    exploded shingle rows instead of a second scan+shingle pass with
+    broadcast size-attach joins — the plan must contain exactly one
+    documents scan and no broadcast at all."""
+    from flink_engagement_pipeline_spark.llm.dedup import ngram_jaccard_pairs
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        ngram_jaccard_pairs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "BroadcastExchange" not in plan, plan[:2000]
+
+
+def test_fan_out_noop_on_well_partitioned_input(spark, sf_dir, tmp_path):
+    """fan_out is a local-small-file fix, not a shuffle tax: on input
+    that already has >= min_factor * defaultParallelism splits it must
+    return the SAME plan (no round-robin Exchange added). The earlier
+    outputPartitioning()-based guard read 0 partitions for any file
+    scan and repartitioned unconditionally."""
+    from flink_engagement_pipeline_spark.operators.util import fan_out
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    target = spark.sparkContext.defaultParallelism
+    wide = str(tmp_path / "wide.parquet")
+    load_table(spark, sf_dir, "events").repartition(target).write.parquet(wide)
+    keys = ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        # stop the scan bin-packing the small files into one split, so
+        # the read genuinely arrives as a multi-split input
+        spark.conf.set(keys[0], "65536")
+        spark.conf.set(keys[1], "0")
+        df = spark.read.parquet(wide)
+        n_in = df._jdf.queryExecution().toRdd().getNumPartitions()
+        assert n_in >= target * 0.5, f"fixture setup produced {n_in} splits"
+        out = fan_out(df)
+        assert out is df  # identical object: no repartition node added
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    # and the single-split fixture still fans out
+    narrow = load_table(spark, sf_dir, "events")
+    fanned = fan_out(narrow)
+    assert fanned is not narrow
+    assert fanned._jdf.queryExecution().toRdd().getNumPartitions() == target
 
 
 def test_fixture_column_drift_guard(spark, tmp_path):

@@ -269,3 +269,40 @@ def test_global_row_number_property(spark, rows):
     )
     expect = {uid: pos + 1 for pos, (_, _, uid) in enumerate(order)}
     assert got == expect
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(
+            # every stopword from all four lists + non-stopword noise
+            [t for sw in __import__(
+                "flink_engagement_pipeline_spark.llm.text", fromlist=["STOPWORDS"]
+            ).STOPWORDS.values() for t in sw]
+            + ["zzz", "qqq", "foo", "42"]
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_packed_stopword_counts_match_per_lang_filters(spark, toks):
+    """The single-pass packed stopword counter must be count-identical
+    to four independent list_filter passes for ANY token multiset —
+    the exactness contract that lets lang_pred/quality share one
+    traversal (valid because the lists are pairwise disjoint)."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.llm.text import (
+        STOPWORDS,
+        stopword_hits,
+        stopword_hits_all,
+    )
+
+    df = spark.createDataFrame([(" ".join(toks),)], "text string")
+    packed = stopword_hits_all("text")
+    row = df.select(
+        *[packed[lang].alias(f"p_{lang}") for lang in STOPWORDS],
+        *[stopword_hits("text", lang).alias(f"f_{lang}") for lang in STOPWORDS],
+    ).collect()[0]
+    for lang in STOPWORDS:
+        assert row[f"p_{lang}"] == row[f"f_{lang}"], (lang, toks)

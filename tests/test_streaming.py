@@ -457,6 +457,95 @@ def test_leaderboard_partition_side_writes(spark, tmp_path):
     assert replayed == fallback.scores == {1: 7.5, 2: 3.0, 3: -1.0}
 
 
+class _TxnZincrbyClient(_FileZincrbyClient):
+    """File-backed fake with the redis-py surface the redelivery guard
+    uses: get/set markers + MULTI/EXEC-style pipeline. Markers live in
+    a sidecar file so every factory-spawned client sees them."""
+
+    def __init__(self, path: str):
+        super().__init__(path)
+        self.markers = path + ".markers"
+
+    def get(self, name: str):
+        try:
+            with open(self.markers) as f:
+                return "1" if name in f.read().splitlines() else None
+        except FileNotFoundError:
+            return None
+
+    def set(self, name: str, value) -> None:
+        with open(self.markers, "a") as f:
+            f.write(name + "\n")
+
+    def pipeline(self, transaction: bool = True):
+        outer = self
+
+        class _Pipe:
+            def __init__(self):
+                self.ops = []
+
+            def zincrby(self, name, amount, member):
+                self.ops.append(("z", name, amount, member))
+
+            def set(self, name, value):
+                self.ops.append(("s", name, value))
+
+            def execute(self):
+                for op in self.ops:
+                    if op[0] == "z":
+                        outer.zincrby(op[1], op[2], op[3])
+                    else:
+                        outer.set(op[1], op[2])
+
+        return _Pipe()
+
+
+def _replay_zincrby_log(path: str) -> dict:
+    replayed: dict = {}
+    with open(path) as f:
+        for line in f:
+            _, member, amount = line.rstrip("\n").split("\t")
+            replayed[int(member)] = replayed.get(int(member), 0.0) + float(amount)
+    return replayed
+
+
+def test_leaderboard_redelivery_guard_client_path(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash-redelivered batch_id must
+    NOT double-increment. The client path commits each partition's
+    increments together with a batch/partition marker in one
+    transaction and skips partitions whose marker exists."""
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 3.0)], "user_id bigint, engagement_seconds double"
+    )
+    log = str(tmp_path / "zincrby.log")
+    sink = sk.RedisLeaderboardSink(client_factory=lambda: _TxnZincrbyClient(log))
+    sink.write_batch(df, 7)
+    sink.write_batch(df, 7)  # redelivery of the same batch
+    assert _replay_zincrby_log(log) == {1: 5.0, 2: 3.0}
+    sink.write_batch(df, 8)  # a NEW batch still applies
+    assert _replay_zincrby_log(log) == {1: 10.0, 2: 6.0}
+
+
+def test_leaderboard_fallback_redelivery_and_keyspace_bound(spark):
+    """Driver-dict fallback: redelivered batch ids are skipped, and a
+    keyspace larger than max_fallback_keys fails fast instead of
+    silently growing toward a driver OOM."""
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 3.0)], "user_id bigint, engagement_seconds double"
+    )
+    sink = sk.RedisLeaderboardSink()
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 0)  # redelivery: no double accumulation
+    assert sink.scores == {1: 5.0, 2: 3.0}
+
+    wide = spark.createDataFrame(
+        [(i, 1.0) for i in range(5)], "user_id bigint, engagement_seconds double"
+    )
+    bounded = sk.RedisLeaderboardSink(max_fallback_keys=3)
+    with pytest.raises(RuntimeError, match="bounded leaderboard keyspaces"):
+        bounded.write_batch(wide, 0)
+
+
 def test_checkpoint_recovery_no_reprocessing(spark, events_dir, tmp_path):
     """Exactly-once file-source semantics across restarts: a second run
     from the same checkpoint must process only files that arrived after
