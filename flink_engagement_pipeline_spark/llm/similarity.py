@@ -99,6 +99,49 @@ def knn_join(emb: DataFrame, num_queries: int = 8, k: int = 5) -> DataFrame:
     )
 
 
+def range_search(
+    emb: DataFrame, num_queries: int = 8, min_cosine: float = 0.25
+) -> DataFrame:
+    """Radius (range) search: EVERY corpus vector within the cosine
+    threshold of each broadcast query vector — the recall-complete
+    companion to the k-NN join (retrieval wants top-k; dedup and
+    contamination screens want *all* matches above a floor).
+
+    Same scale shape as knn_join: the Q-row query side broadcasts, the
+    corpus streams once computing Q cosines per row, and the threshold
+    filter runs inside that same projection stage — no window, no
+    state, no second pass. Output is fully deterministic, so it
+    carries a hash-matching oracle (no rank ties to break: the
+    threshold decides membership, not order)."""
+    queries = emb.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    e = _as_double(F.col("embedding"))
+    q = _as_double(F.col("q"))
+    cos = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    return (
+        emb.filter(F.col("vec_id") >= num_queries)
+        .crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def range_search_oracle_sql(num_queries: int = 8, min_cosine: float = 0.25) -> str:
+    return f"""
+SELECT query_id, vec_id, cosine FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cosine
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {num_queries}) q
+    WHERE e.vec_id >= {num_queries}
+)
+WHERE cosine >= {min_cosine}
+"""
+
+
 def knn_join_oracle_sql(num_queries: int = 8, k: int = 5) -> str:
     return f"""
 SELECT query_id, vec_id, cosine, rn

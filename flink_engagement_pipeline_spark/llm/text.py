@@ -224,6 +224,38 @@ def fingerprint_min_shingle(text: Column | str, n: int = 3) -> Column:
 URL_RE = "https?://[^\\s]+"
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PUNCT_RUN_RE = "[!?.,;:]{3,}"
+# NANP-ish phone shapes: 555-123-4567 / 555.123.4567 / (555) 123-4567.
+# Deliberately narrow (no bare 10-digit runs — those collide with ids)
+# and RE2-compatible (no lookaround).
+PHONE_RE = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-.][0-9]{4}"
+
+# PII classes scanned/redacted by pii_* below, in application order
+# (URLs first: an e-mail-shaped substring inside a URL should count
+# as URL, not e-mail).
+PII_CLASSES = (("url", URL_RE), ("email", EMAIL_RE), ("phone", PHONE_RE))
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-class PII match counts. Each class counts matches in the
+    text with the PRIOR classes already redacted, so overlapping
+    shapes are attributed to exactly one class.
+    Oracle: ``len(regexp_extract_all(<prior-redacted>, RE))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for name, pat in PII_CLASSES:
+        out[f"n_{name}s"] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, f"<{name}>")
+    return out
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Text with every PII class replaced by its ``<class>`` tag —
+    the redaction pass a corpus runs before anything persists.
+    Oracle: the same nested ``regexp_replace(..., 'g')`` chain."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_CLASSES:
+        c = F.regexp_replace(c, pat, f"<{name}>")
+    return c
 
 
 def clean_text(text: Column | str) -> Column:

@@ -63,6 +63,10 @@ _PRIORITY: tuple[str, ...] = (
     # -- [b] new this round --
     "stream_replay_enriched",
     "datagen_events",
+    "docs_pii_redact",
+    "docs_span_dedup",
+    "docs_tokenize_ids",
+    "embedding_range_search",
     # -- [c] round-2-checked backfill rotation --
     "docs_tfidf",
     "events_profile",
@@ -80,11 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "grouping_sets_engagement",
     "cube_returnflag_status",
     "user_event_gaps",
-    "daily_event_pivot",
     "promo_revenue",
-    "heavy_users",
-    "user_value_median",
-    "user_running_totals",
 )
 
 

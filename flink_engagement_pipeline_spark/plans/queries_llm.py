@@ -1129,3 +1129,220 @@ def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h4") < (F.col("rate") * 65536).cast("long"))
         .drop("h4")
     )
+
+
+# --------------------------------------------------------------------------
+# round 4 additions: PII redaction, span-level dedup screen, vocabulary
+# tokenization, radius similarity search
+# --------------------------------------------------------------------------
+
+def _pii_redacted_sql(upto: int) -> str:
+    """Nested regexp_replace chain over the first `upto` PII classes."""
+    expr = "text"
+    for name, pat in lt.PII_CLASSES[:upto]:
+        expr = f"regexp_replace({expr}, '{pat}', '<{name}>', 'g')"
+    return expr
+
+
+@register(
+    "docs_pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all({_pii_redacted_sql(0)}, '{lt.PII_CLASSES[0][1]}')) AS n_urls,
+       len(regexp_extract_all({_pii_redacted_sql(1)}, '{lt.PII_CLASSES[1][1]}')) AS n_emails,
+       len(regexp_extract_all({_pii_redacted_sql(2)}, '{lt.PII_CLASSES[2][1]}')) AS n_phones,
+       {_pii_redacted_sql(3)} AS redacted
+FROM documents
+""",
+    doc=(
+        "PII scan + redaction: URL / e-mail / NANP-phone matches "
+        "counted per class and replaced by <class> tags — the "
+        "compliance pass a training corpus runs before anything "
+        "persists. Classes apply in order (each counts on the "
+        "prior-redacted text, so an e-mail inside a URL attributes to "
+        "URL exactly once); identical RE2/Java-subset regex chain in "
+        "both engines. Pure projection — zero shuffle; at 100 TB this "
+        "runs inside the scan stage like docs_clean."
+    ),
+    tags=("llm", "text", "pii", "compliance"),
+)
+def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = lt.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        counts["n_urls"].alias("n_urls"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        lt.pii_redact("text").alias("redacted"),
+    )
+
+
+_SPAN_N = 12
+_SPAN_GRAMS = " || ' ' || ".join(f"ws[i+{d}]" for d in range(_SPAN_N))
+
+
+@register(
+    "docs_span_dedup",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= {_SPAN_N}
+                  THEN list_distinct(list_transform(
+                       range(1, len(ws) - {_SPAN_N - 2}), i -> {_SPAN_GRAMS}))
+                  ELSE [array_to_string(ws, ' ')] END) AS g
+    FROM base
+),
+cnt AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY 1)
+SELECT s.doc_id                                             AS doc_id,
+       count(*)                                             AS n_spans,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*)                                       AS dup_span_ratio
+FROM sh s JOIN cnt USING (g)
+GROUP BY s.doc_id
+""",
+    doc=(
+        f"Span-level duplication screen (the exact-substring-dedup "
+        f"shape): per document, how many of its distinct {_SPAN_N}-word "
+        f"spans appear in at least one other document. High "
+        f"dup_span_ratio flags boilerplate/templated docs that "
+        f"document-level hashing misses. Plan: one corpus pass "
+        f"(shingle arrays projected once, exploded as xxhash64 keys), "
+        f"span document-frequency via count-over-window on the SAME "
+        f"shingle exchange (the spill-safe df pattern shared with "
+        f"docs_jaccard_pairs), then one doc_id aggregation — two "
+        f"shuffles total, no self-join, no second scan."
+    ),
+    tags=("llm", "dedup", "ngram", "span"),
+)
+def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = docs.select("doc_id", lt.shingles("text", _SPAN_N).alias("arr"))
+    sp = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.col("arr"), lambda s: F.xxhash64(s))
+        ).alias("g"),
+    )
+    w = Window.partitionBy("g")
+    shared_flag = (F.col("n_docs") >= 2).cast("int")
+    return (
+        sp.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(shared_flag).alias("n_shared_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared_spans",
+            (
+                F.col("n_shared_spans").cast("double") / F.col("n_spans")
+            ).alias("dup_span_ratio"),
+        )
+    )
+
+
+_VOCAB_K = 500
+
+
+@register(
+    "docs_tokenize_ids",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_WORDS}) AS w, generate_subscripts({_WORDS}, 1) AS pos
+    FROM documents
+),
+vocab AS (
+    SELECT w, row_number() OVER (ORDER BY cnt DESC, w ASC) AS token_id
+    FROM (SELECT w, count(*) AS cnt FROM toks GROUP BY w)
+    ORDER BY cnt DESC, w ASC
+    LIMIT {_VOCAB_K}
+)
+SELECT doc_id,
+       array_to_string(list(COALESCE(token_id, 0) ORDER BY pos), ',') AS token_ids,
+       count(*) AS n_tokens
+FROM toks LEFT JOIN vocab USING (w)
+GROUP BY doc_id
+""",
+    doc=(
+        f"Corpus-frequency vocabulary tokenization: build the "
+        f"top-{_VOCAB_K} word vocabulary (count desc, word asc — a "
+        f"total order, so the cut is deterministic), assign dense ids "
+        f"by rank, and map every document to its token-id sequence "
+        f"(0 = unknown). The id-mapping shape of real tokenization at "
+        f"scale: vocab ranking runs on the already-LIMITed {_VOCAB_K}-"
+        f"row relation (bounded single-partition window — the same "
+        f"bounded-k exception as the IVF centroid fetch), the corpus "
+        f"maps through ONE broadcast hash join, and per-doc order is "
+        f"restored by sorting (pos, id) structs inside the array — "
+        f"collect_list order is never relied on."
+    ),
+    tags=("llm", "tokenize", "vocab", "broadcast"),
+)
+def q_docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id", F.posexplode(lt.words("text")).alias("pos", "w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("w").asc()).limit(_VOCAB_K)
+    wv = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    vocab = topk.withColumn("token_id", F.row_number().over(wv)).select(
+        "w", "token_id"
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("pos"), F.coalesce("token_id", F.lit(0)).alias("tid")
+            ).alias("pt"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pt")).alias("pts"))
+        .select(
+            "doc_id",
+            # CSV string, not an array: array columns stringify
+            # differently across pandas container types in the driver's
+            # value-hash compare (list vs ndarray), so the id sequence
+            # ships as one canonical string in both engines
+            F.array_join(
+                F.transform(F.col("pts"), lambda s: s["tid"].cast("string")),
+                ",",
+            ).alias("token_ids"),
+            F.size("pts").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "embedding_range_search",
+    oracle=ls.range_search_oracle_sql(),
+    doc=(
+        "Radius (range) similarity search: every corpus vector with "
+        "cosine >= 0.25 against each of 8 broadcast query vectors — "
+        "the recall-complete companion to embedding_knn_join "
+        "(retrieval wants top-k; dedup/contamination screens want ALL "
+        "matches above a floor). One corpus stream computing Q cosines "
+        "per row with the threshold filter fused into the same "
+        "projection stage; no window, no state. Deterministic "
+        "membership (no rank ties), so it hash-matches a full SQL "
+        "oracle."
+    ),
+    tags=("llm", "similarity", "range-search"),
+)
+def q_embedding_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ls.range_search(emb)
