@@ -67,6 +67,8 @@ _PRIORITY: tuple[str, ...] = (
     "docs_span_dedup",
     "docs_tokenize_ids",
     "embedding_range_search",
+    "stream_windowed_replay",
+    "events_salted_sum",
     # -- [c] round-2-checked backfill rotation --
     "docs_tfidf",
     "events_profile",
@@ -83,8 +85,6 @@ _PRIORITY: tuple[str, ...] = (
     "event_stats_unpivot",
     "grouping_sets_engagement",
     "cube_returnflag_status",
-    "user_event_gaps",
-    "promo_revenue",
 )
 
 

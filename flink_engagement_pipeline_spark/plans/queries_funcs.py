@@ -1138,3 +1138,33 @@ def q_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         trimmed_mean_2dec("value").alias("trimmed_mean"),
         trimmed_count("value").alias("n_kept"),
     )
+
+
+@register(
+    "events_salted_sum",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(*)                                          AS n_events
+FROM events
+GROUP BY 1
+""",
+    doc=(
+        "Skew-resistant hot-key aggregation (operators/skew.py): the "
+        "grouped SUM/COUNT runs as two phases — groupBy(key, salt) "
+        "spreads each hot key over n_salts reducers, then groupBy(key) "
+        "re-reduces the n_salts partials. The salt is a deterministic "
+        "hash of the measure (never rand(), so retries are "
+        "idempotent), and the decimal routing makes both phases exact "
+        "and associative — the oracle is the plain one-phase SQL "
+        "aggregation, hash-matched. event_type is exactly the "
+        "power-law keyspace shape (5 values over 100k rows) where a "
+        "single-phase shuffle funnels each key into one task at "
+        "100 TB."
+    ),
+    tags=("aggregates", "skew", "salting"),
+)
+def q_events_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum
+
+    return salted_sum(load_table(spark, sf_dir, "events"), "event_type", "value")

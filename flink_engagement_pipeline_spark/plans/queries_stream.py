@@ -16,9 +16,14 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+import datetime
+
+from pyspark.sql import functions as F
+
 from ..operators.dedup import DEDUP_ORACLE_SQL
 from ..sources.datagen import gen_events
-from ..streaming.pipeline import run_enriched_fanout
+from ..sources.tables import load_table
+from ..streaming.pipeline import run_enriched_fanout, run_windowed
 from ..streaming.sinks import IdempotentParquetSink
 from .registry import register
 
@@ -98,6 +103,96 @@ def q_stream_replay_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed = sink.read_committed(spark)
     # forced redelivery: a batch id whose marker exists must be a no-op
     sink.write_batch(committed.limit(5), 0)
+    return sink.read_committed(spark)
+
+
+_WIN_US = 600 * 1_000_000  # 10-minute tumbling grid in microseconds
+
+
+@register(
+    "stream_windowed_replay",
+    oracle=f"""
+SELECT
+    make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // {_WIN_US}) * {_WIN_US})
+        AS window_start,
+    make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // {_WIN_US}) * {_WIN_US}
+        + {_WIN_US})                                          AS window_end,
+    user_id,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)         AS engagement_sum
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc=(
+        "Watermarked windowed aggregation under the driver's batch "
+        "oracle (the reference's A1 as a streaming job): the events "
+        "fixture replays through a file stream into a 10-minute "
+        "tumbling event-time SUM with a 1-minute watermark in APPEND "
+        "mode, writing closed windows to an exactly-once parquet "
+        "sink. Append mode only emits a window once the watermark "
+        "passes its end, so a second micro-batch carries one sentinel "
+        "event 20 minutes past the fixture's max timestamp — it "
+        "advances the watermark past every real window's end (its own "
+        "window never closes, so it never appears in the output). The "
+        "durable sink contents therefore equal the plain batch "
+        "tumbling aggregation of the fixture, hash-matched by the "
+        "oracle — the stream==batch consistency guarantee, "
+        "driver-visible."
+    ),
+    tags=("streaming", "window-agg", "watermark", "exactly-once"),
+)
+def q_stream_windowed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_win_")  # outlives the returned plan
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    # batch 1: the fixture (symlink keeps the fixture file's older
+    # mtime, so the file source orders it before the sentinel)
+    os.symlink(src, os.path.join(events_dir, "a.parquet"))
+    # batch 2: one sentinel event far past max(ts) — closes every
+    # real window; its own window never emits. The sentinel file must
+    # carry the SAME physical ts unit as the fixture (the driver has
+    # shipped both NANOS and MICROS units across rounds).
+    from ..schemas import EVENTS_RAW
+    from ..sources.tables import events_ts_is_nanos
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    late = max_ts + datetime.timedelta(minutes=20)
+    if events_ts_is_nanos(src):
+        epoch = datetime.datetime(1970, 1, 1)
+        late_ns = int((late - epoch) / datetime.timedelta(microseconds=1)) * 1000
+        sentinel = spark.createDataFrame(
+            [(-1, late_ns, -1, "sentinel", None, "{}")], EVENTS_RAW
+        )
+    else:
+        sentinel = spark.createDataFrame(
+            [(-1, late, -1, "sentinel", None, "{}")], ev.schema
+        )
+    # stage the single-row write, then place its part file FLAT in the
+    # stream dir (a directory named *.parquet would confuse the file
+    # source's listing); the fresh copy mtime also orders it after the
+    # symlinked fixture, so it arrives as the second micro-batch
+    stage = os.path.join(tmp, "stage")
+    sentinel.coalesce(1).write.parquet(stage)
+    import glob as _glob
+    import shutil
+
+    (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+    shutil.copy(part, os.path.join(events_dir, "z-late.parquet"))
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "16")
+    try:
+        run_windowed(
+            spark,
+            events_dir,
+            sink,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(part_key, saved)
     return sink.read_committed(spark)
 
 

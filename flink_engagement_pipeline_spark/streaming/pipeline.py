@@ -191,10 +191,14 @@ def run_windowed(
     watermark: str = DEFAULT_WATERMARK,
     size: str = "10 minutes",
     slide: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Run the windowed aggregation in append mode into a sink."""
     agg = windowed_stream(
-        read_events_stream(spark, events_dir), watermark, size=size, slide=slide
+        read_events_stream(spark, events_dir, max_files_per_trigger),
+        watermark,
+        size=size,
+        slide=slide,
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

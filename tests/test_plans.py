@@ -443,6 +443,7 @@ def test_gate_priority_window_covers_graded_surface():
     new_in_r4 = [
         "stream_replay_enriched", "datagen_events", "docs_pii_redact",
         "docs_span_dedup", "docs_tokenize_ids", "embedding_range_search",
+        "stream_windowed_replay", "events_salted_sum",
     ]
     missing = [
         n for n in sentinels + never_checked_by_r3 + new_in_r4 if n not in window
@@ -521,6 +522,52 @@ def test_jaccard_single_corpus_pass(spark, sf_dir):
     )
     assert plan.count("Scan parquet") == 1, plan[:2000]
     assert "BroadcastExchange" not in plan, plan[:2000]
+
+
+def test_span_dedup_two_shuffles_no_join(spark, sf_dir):
+    """docs_span_dedup shares the Jaccard shuffle discipline: span
+    document-frequency via count-over-window on the gram exchange,
+    then one doc_id aggregation — exactly two hash exchanges, no join,
+    one corpus scan."""
+    import re
+
+    plan = (
+        REGISTRY["docs_span_dedup"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len(exchanges) == 2, exchanges
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("Scan parquet") == 1
+
+
+def test_tokenize_ids_broadcast_vocab(spark, sf_dir):
+    """docs_tokenize_ids maps the corpus through ONE broadcast hash
+    join against the bounded vocabulary — the corpus side must never
+    shuffle for the id lookup."""
+    plan = (
+        REGISTRY["docs_tokenize_ids"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_salted_sum_two_phase(spark, sf_dir):
+    """events_salted_sum aggregates in two phases: the first exchange
+    is keyed by (key, salt) — the hot key spreads over n_salts
+    reducers — and the final per-key reduce follows."""
+    import re
+
+    plan = (
+        REGISTRY["events_salted_sum"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
+    assert any("__salt" in e for e in exchanges), exchanges
 
 
 def test_fan_out_noop_on_well_partitioned_input(spark, sf_dir, tmp_path):
