@@ -1,0 +1,140 @@
+"""Distributed k-means (Lloyd's) over the embeddings table.
+
+The missing piece between the ANN paths (`similarity.py` buckets by
+random hyperplanes; `ivf_topk` trains throwaway centroids) and a real
+corpus pipeline: cluster assignments drive IVF index builds, corpus
+diversity sampling, and per-cluster dedup sharding.
+
+Scale shape (the only one that survives 100 TB):
+- centroids are METADATA (k x dim doubles) — they live on the driver
+  and enter every executor-side expression as plan literals, so each
+  Lloyd iteration is one scan + one (cluster, dim)-keyed aggregation
+  of k*dim rows. No mllib, no cached RDDs, no per-row Python.
+- the assignment is a pure projection: dist(v, c_j) computed as
+  dot(v,v) - 2*dot(v,c_j) + dot(c_j,c_j) with the same sequential
+  fold `similarity._dot` uses (bit-identical to DuckDB's
+  list_dot_product, so the whole algorithm carries a hash-matching
+  SQL oracle — rare for an iterative algorithm).
+
+Determinism contract (how an iterative float algorithm stays
+oracle-exact across engines):
+- init: the k lowest vec_ids, in vec_id order (no RNG);
+- the mean is computed over integer-quantized members
+  (floor(x*1e6 + 0.5) per element): integer sums are
+  order-independent, so partial-agg order cannot perturb the result;
+- the new centroid element is floor(S_double/n + 0.5)/1e6 where
+  S_double mirrors SQL's CAST(S AS DOUBLE) — the driver uses
+  float(s)/n (convert-then-divide) so even the double-rounding
+  behavior matches the oracle bit-for-bit;
+- empty clusters keep their previous centroid (both engines);
+- ties in the argmin break to the lowest cluster id.
+
+Quantizing the *centroid* at 1e-6 costs nothing at corpus scale
+(embedding noise is orders of magnitude larger) and is what buys the
+cross-engine bit-exactness.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _dot
+
+_Q = 1_000_000.0
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Sequential left-fold dot — same op order as `_dot` / DuckDB."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _quantized(v: Column) -> Column:
+    """Element-wise floor(x*1e6 + 0.5) as BIGINT (exact, summable in
+    any order)."""
+    return F.transform(
+        v, lambda x: F.floor(x * F.lit(_Q) + F.lit(0.5)).cast("long")
+    )
+
+
+def assign_clusters(
+    emb: DataFrame, cents: list[list[float]], with_dist: bool = False
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure projection (zero shuffle).
+
+    `emb` must expose (vec_id, v: array<double>). Centroids enter as
+    plan literals; k struct(dist, id) candidates per row, array_min
+    picks (min dist, then min id) — the same total order the oracle's
+    row_number() uses.
+    """
+    v = F.col("v")
+    vv = _dot(v, v)
+    cands = []
+    for j, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d = vv - F.lit(2.0) * _dot(v, lit_c) + F.lit(_dot_py(c, c))
+        cands.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
+    best = F.array_min(F.array(*cands))
+    out = ["vec_id", "v", best["c"].alias("cluster")]
+    if with_dist:
+        out.append(best["d"].alias("dist"))
+    return emb.select(*out)
+
+
+def update_centroids(
+    assigned: DataFrame, cents: list[list[float]], k: int
+) -> list[list[float]]:
+    """One Lloyd update: (cluster, dim)-keyed integer sums (one
+    shuffle of k*dim rows — metadata-sized output), means finished on
+    the driver. Empty clusters keep their previous centroid."""
+    rows = (
+        assigned.select(
+            "cluster", F.posexplode(_quantized(F.col("v"))).alias("pos", "q")
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    acc: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        acc.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
+    out: list[list[float]] = []
+    for j in range(k):
+        if j in acc:
+            dims = acc[j]
+            # float(s)/n, NOT s/n: mirrors the oracle's
+            # CAST(sum AS DOUBLE)/count double-rounding exactly.
+            out.append(
+                [
+                    math.floor(float(s) / n + 0.5) / _Q
+                    for _, (s, n) in sorted(dims.items())
+                ]
+            )
+        else:
+            out.append(cents[j])
+    return out
+
+
+def kmeans(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+    """Full Lloyd's run; returns (vec_id, cluster, dist).
+
+    `emb` is the raw embeddings frame (vec_id, embedding:
+    array<float>). Triggers `iters` metadata-sized driver jobs (k*dim
+    aggregated rows each) before returning the lazy assignment plan —
+    the same driver-job budget the IVF index build pays.
+    """
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in e.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(iters):
+        cents = update_centroids(assign_clusters(e, cents), cents, k)
+    return assign_clusters(e, cents, with_dist=True).select(
+        "vec_id", "cluster", "dist"
+    )

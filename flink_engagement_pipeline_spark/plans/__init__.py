@@ -8,6 +8,7 @@ from . import queries_funcs  # noqa: F401,E402
 from . import queries_llm  # noqa: F401,E402
 from . import queries_tpch  # noqa: F401,E402
 from . import queries_stream  # noqa: F401,E402
+from . import queries_ml  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order is part of the driver contract: the correctness gate
@@ -69,6 +70,12 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_range_search",
     "stream_windowed_replay",
     "events_salted_sum",
+    "embedding_kmeans",
+    "embedding_quantize",
+    "docs_bm25",
+    "docs_epoch_order",
+    "events_ewma",
+    "stream_join_replay",
     # -- [c] round-2-checked backfill rotation --
     "docs_tfidf",
     "events_profile",
@@ -79,12 +86,6 @@ _PRIORITY: tuple[str, ...] = (
     "user_trailing_7d_value",
     "lateral_top_users",
     "user_event_type_sets",
-    "value_histogram",
-    "value_moments_by_type",
-    "user_first_last_event",
-    "event_stats_unpivot",
-    "grouping_sets_engagement",
-    "cube_returnflag_status",
 )
 
 

@@ -1,0 +1,412 @@
+"""ML-adjacent corpus operators: distributed k-means, embedding
+quantization, BM25 retrieval, deterministic epoch ordering, and an
+EWMA time-series fold.
+
+Every query here carries a full hash-matching DuckDB oracle —
+including the iterative k-means, which is rare: the integer-quantized
+centroid update (see llm/cluster.py) makes every Lloyd iteration
+order-independent, so the unrolled SQL recursion reproduces Spark's
+result bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..llm import cluster as lc
+from ..llm import text as lt
+from ..llm.similarity import _dot
+from ..operators.rank import global_row_number
+from ..sources.tables import load_table
+from .queries_llm import _WORDS
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIM = 64
+
+
+def _km_dist(v: str, c: str) -> str:
+    return (
+        f"list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c})"
+        f" + list_dot_product({c}, {c})"
+    )
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd recursion: c0 -> (a1, c1) -> ... -> final
+    assignment against c{ITERS}. Mirrors llm/cluster.py step for step;
+    the quantized update keeps every float op identical across
+    engines."""
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_KM_K}) t
+)""",
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        dist = _km_dist("e.v", "c.v")
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, v, cl FROM (
+    SELECT e.vec_id AS vec_id, e.v AS v, c.cl AS cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist} ASC, c.cl ASC) AS rn
+    FROM e CROSS JOIN c{i - 1} c) t
+  WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT CAST(g.cl AS INT) AS cl, coalesce(u.v, p.v) AS v
+  FROM range(0, {_KM_K}) g(cl)
+  LEFT JOIN (
+    SELECT cl, list(el ORDER BY pos) AS v FROM (
+      SELECT a.cl AS cl, t.i AS pos,
+             floor(CAST(sum(CAST(floor(a.v[t.i] * 1e6
+                                       + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                        AS DOUBLE) / count(*)
+                   + CAST(0.5 AS DOUBLE)) / 1e6 AS el
+      FROM a{i} a CROSS JOIN range(1, {_KM_DIM + 1}) t(i)
+      GROUP BY a.cl, t.i) s
+    GROUP BY cl) u ON u.cl = g.cl
+  LEFT JOIN c{i - 1} p ON p.cl = g.cl
+)"""
+        )
+    dist = _km_dist("e.v", "c.v")
+    parts.append(
+        f"""final AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT e.vec_id AS vec_id, CAST(c.cl AS INT) AS cluster,
+           {dist} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist} ASC, c.cl ASC) AS rn
+    FROM e CROSS JOIN c{_KM_ITERS} c) t
+  WHERE rn = 1
+)"""
+    )
+    return (
+        ",\n".join(parts) + "\nSELECT vec_id, cluster, dist FROM final"
+    )
+
+
+@register(
+    "embedding_kmeans",
+    oracle=_km_oracle(),
+    doc=(
+        f"Distributed k-means (Lloyd's, k={_KM_K}, {_KM_ITERS} "
+        "iterations, deterministic lowest-vec_id init) over the "
+        "embedding corpus — the IVF-index / diversity-sampling "
+        "training step as a first-class operator. Centroids are plan "
+        "literals (metadata on the driver); each iteration is one "
+        "scan + one (cluster,dim)-keyed integer aggregation whose "
+        "output is k*dim rows, so the driver never holds more than "
+        "metadata. The integer-quantized mean makes the whole "
+        "recursion order-independent: the unrolled SQL oracle "
+        "hash-matches an ITERATIVE float algorithm bit-for-bit. "
+        "Assignment is a pure projection (zero shuffle) at any scale."
+    ),
+    tags=("llm", "embedding", "clustering", "iterative"),
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lc.kmeans(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE) AS scale,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN CAST(1 AS DOUBLE)
+              ELSE list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE)
+         END AS safe
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale, safe,
+         list_transform(v, x -> CAST(floor(x / safe + CAST(0.5 AS DOUBLE))
+                                     AS INT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       scale,
+       array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',') AS q_csv,
+       list_dot_product(list_transform(range(1, 65), i -> v[i] - qv[i]*scale),
+                        list_transform(range(1, 65), i -> v[i] - qv[i]*scale))
+           / CAST(64 AS DOUBLE) AS mse
+FROM q
+""",
+    doc=(
+        "Symmetric int8 embedding quantization (scale = max|x|/127, "
+        "round-half-up) with per-vector reconstruction MSE — the "
+        "4x-shuffle-shrink an ANN index build applies before "
+        "shipping vectors. Pure projection, zero shuffle; ids ship "
+        "as CSV so the value-hash compare is container-agnostic. "
+        "No clamp is needed: |x| <= max|x| bounds every id to "
+        "[-127, 127] by construction."
+    ),
+    tags=("llm", "embedding", "quantization"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    safe = F.when(amax == 0, F.lit(1.0)).otherwise(scale)
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select(
+        "vec_id", "v", scale.alias("scale"), safe.alias("safe")
+    )
+    qv = F.transform(
+        v, lambda x: F.floor(x / F.col("safe") + F.lit(0.5)).cast("int")
+    )
+    quant = base.select("vec_id", "v", "scale", qv.alias("qv"))
+    err = F.zip_with(
+        F.col("v"), F.col("qv"), lambda x, q: x - q * F.col("scale")
+    )
+    return quant.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("qv"), lambda x: x.cast("string")), ","
+        ).alias("q_csv"),
+        (_dot(err, err) / F.lit(64.0)).alias("mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "query", "stream", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = "\n       + ".join(
+        f"(floor(ln((n_docs - df{i} + CAST(0.5 AS DOUBLE))"
+        f" / (df{i} + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+        f" * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9)"
+        f" * (tf{i} * CAST({_BM25_K1 + 1} AS DOUBLE))"
+        f" / (tf{i} + CAST({_BM25_K1} AS DOUBLE)"
+        f" * (CAST({1 - _BM25_B} AS DOUBLE)"
+        f" + CAST({_BM25_B} AS DOUBLE) * (dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH feat AS (
+  SELECT doc_id, len(ws) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {_WORDS} AS ws FROM documents) b
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {df_cols}
+  FROM feat
+)
+SELECT doc_id, dl AS n_tokens,
+       {terms} AS score
+FROM feat CROSS JOIN stats
+ORDER BY score DESC, doc_id ASC
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "docs_bm25",
+    oracle=_bm25_oracle(),
+    doc=(
+        f"BM25 retrieval (k1={_BM25_K1}, b={_BM25_B}): score every "
+        f"document against the query terms {_BM25_TERMS} and return "
+        f"the top {_BM25_TOPK} — the lexical-retrieval half of a "
+        "RAG/contamination pipeline. Plan: one projection pass "
+        "computes per-doc term frequencies, a metadata-sized global "
+        "aggregate (N, avgdl, per-term df) broadcasts back, the "
+        "score is a pure expression, and the top-k is "
+        "TakeOrderedAndProject — per-partition heaps, no global "
+        "sort. Per-term contributions sum in fixed term order, and "
+        "the idf (the only transcendental, whose libm ln differs by "
+        "~1 ulp across engines) is quantized at 1e-9, so the score "
+        "arithmetic is engine-exact."
+    ),
+    tags=("llm", "text", "retrieval", "bm25"),
+)
+def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = lt.words("text")
+
+    def _tf(term: str):
+        # closure helper: a 2-arg lambda would be read as (element,
+        # index) by F.filter, so bind the term here
+        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+
+    feat = docs.select(
+        "doc_id",
+        F.size(ws).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        # idf quantized at 1e-9: libm ln differs by ~1 ulp between the
+        # JVM and DuckDB (measured), and idf is the ONLY transcendental
+        # in the chain — quantizing it makes the rest of the score
+        # arithmetic engine-exact
+        idf = (
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        )
+        term = (
+            idf
+            * (tf * F.lit(_BM25_K1 + 1))
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1 - _BM25_B)
+                    + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl"))
+                )
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        feat.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.col("dl").alias("n_tokens"), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch ordering
+# ---------------------------------------------------------------------------
+
+_EPOCH_SALT = ":ep1"
+
+
+@register(
+    "docs_epoch_order",
+    oracle=f"""
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || '{_EPOCH_SALT}') AS shuffle_key,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)
+                                       || '{_EPOCH_SALT}'), doc_id)
+           AS sample_idx
+FROM documents
+""",
+    doc=(
+        "Deterministic training-epoch ordering: every document gets a "
+        "pseudo-random-but-reproducible shuffle key (md5 of id + "
+        "epoch salt) and a contiguous global sample index in that "
+        "order — how a trainer addresses 'sample 31,337 of epoch 1' "
+        "without materializing a shuffled copy. The numbering uses "
+        "the distributed global_row_number primitive (range "
+        "boundaries as plan literals + broadcast offsets): no "
+        "SinglePartition exchange, no cached relation, any scale. "
+        "Changing the salt re-shuffles every epoch for free."
+    ),
+    tags=("llm", "corpus", "ordering", "sampling"),
+)
+def q_docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_EPOCH_SALT)))
+    base = docs.select("doc_id", key.alias("shuffle_key"))
+    return global_row_number(base, ["shuffle_key", "doc_id"], out="sample_idx")
+
+
+# ---------------------------------------------------------------------------
+# EWMA time-series fold
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.125  # 1/8: exactly representable, engine-identical
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+SELECT user_id,
+       count(*) AS n_events,
+       list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+                      list(CAST(value AS DOUBLE) ORDER BY ts, event_id)),
+         (acc, x) -> acc * CAST({1 - _EWMA_ALPHA} AS DOUBLE)
+                     + x * CAST({_EWMA_ALPHA} AS DOUBLE)) AS ewma_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+""",
+    doc=(
+        f"Per-user exponentially weighted moving average (alpha = "
+        f"{_EWMA_ALPHA}) of event value in (ts, event_id) order — the "
+        "linear-recurrence class of time-series operator (EWMA / "
+        "decayed counters / momentum) that plain SQL aggregates "
+        "cannot express order-independently. The fold runs as a "
+        "sequential array aggregate after one groupBy shuffle; state "
+        "per user is its event list, bounded by the per-key history "
+        "(window it first at 100 TB — the operator composes with "
+        "user_trailing_7d_value's RANGE frame for that). alpha = 1/8 "
+        "is exactly representable, and both engines fold "
+        "left-to-right over the same total order, so the chained "
+        "double arithmetic is bit-identical."
+    ),
+    tags=("timeseries", "window", "fold"),
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    ewma = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, s: acc * F.lit(1 - _EWMA_ALPHA)
+        + s["value"] * F.lit(_EWMA_ALPHA),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ewma.alias("ewma_value"),
+    )

@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from ..operators.dedup import DEDUP_ORACLE_SQL
 from ..sources.datagen import gen_events
 from ..sources.tables import load_table
-from ..streaming.pipeline import run_enriched_fanout, run_windowed
+from ..streaming.pipeline import (
+    run_enriched_fanout,
+    run_stream_stream_join,
+    run_windowed,
+)
 from ..streaming.sinks import IdempotentParquetSink
 from .registry import register
 
@@ -190,6 +194,58 @@ def q_stream_windowed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             sink,
             checkpoint_dir=os.path.join(tmp, "ckpt"),
             max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(part_key, saved)
+    return sink.read_committed(spark)
+
+
+@register(
+    "stream_join_replay",
+    oracle="""
+SELECT c.user_id          AS user_id,
+       c.event_id         AS click_id,
+       c.ts               AS click_ts,
+       p.event_id         AS purchase_id,
+       p.ts               AS purchase_ts,
+       p.value            AS purchase_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 1 HOUR
+""",
+    doc=(
+        "Watermarked stream-stream event-time join under the driver's "
+        "batch oracle: the events fixture replays through a file "
+        "stream, is split into a click stream and a purchase stream, "
+        "and inner-joins on user within a [0, 1h) event-time range "
+        "into an exactly-once parquet sink. Both sides carry "
+        "watermarks and the join bounds event time, so buffered state "
+        "is expirable — the property that makes the join runnable "
+        "forever at 100 TB (the equi half drives the shuffle exactly "
+        "like the batch interval join). Inner-join rows emit as "
+        "matches arrive, so the durable sink output hash-matches the "
+        "batch interval join of the fixture — stream==batch for the "
+        "two-stream case, driver-visible."
+    ),
+    tags=("streaming", "stream-stream-join", "watermark", "exactly-once"),
+)
+def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_ssj_")  # outlives the returned plan
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    os.symlink(src, os.path.join(events_dir, "a.parquet"))
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "16")
+    try:
+        run_stream_stream_join(
+            spark, events_dir, sink, checkpoint_dir=os.path.join(tmp, "ckpt")
         )
     finally:
         spark.conf.set(part_key, saved)

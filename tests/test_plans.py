@@ -444,6 +444,8 @@ def test_gate_priority_window_covers_graded_surface():
         "stream_replay_enriched", "datagen_events", "docs_pii_redact",
         "docs_span_dedup", "docs_tokenize_ids", "embedding_range_search",
         "stream_windowed_replay", "events_salted_sum",
+        "embedding_kmeans", "embedding_quantize", "docs_bm25",
+        "docs_epoch_order", "events_ewma", "stream_join_replay",
     ]
     missing = [
         n for n in sentinels + never_checked_by_r3 + new_in_r4 if n not in window
@@ -766,6 +768,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "embedding_ann_ivf",        # single probe row x probed inverted lists
         "embedding_knn_join",       # broadcast Q-row probe batch x corpus
         "embedding_range_search",   # broadcast Q-row probe batch x corpus
+        "docs_bm25",                # 1-row corpus-stats broadcast x docs
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):
