@@ -120,6 +120,60 @@ def update_centroids(
     return out
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors (kept beside the implementation so the two
+# dialects cannot drift; consumed by plans/queries_ml.py and the IVF
+# oracle in plans/queries_llm.py). All assume a CTE `e(vec_id, v)`
+# with v = embedding cast to DOUBLE[].
+# ---------------------------------------------------------------------------
+
+
+def _km_dist(v: str, c: str) -> str:
+    """Squared-L2 as vv - 2vc + cc — the exact fold `assign_clusters`
+    computes, term for term."""
+    return (
+        f"list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c})"
+        f" + list_dot_product({c}, {c})"
+    )
+
+
+def km_assign_cte(out: str, cents: str, src: str = "e") -> str:
+    """SQL CTE: nearest-centroid assignment of vectors CTE `src`
+    against centroid CTE `cents` — mirrors assign_clusters (argmin by
+    squared L2, ties to lowest cl)."""
+    dist = _km_dist("e.v", "c.v")
+    return f"""{out} AS (
+  SELECT vec_id, v, cl FROM (
+    SELECT e.vec_id AS vec_id, e.v AS v, c.cl AS cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist} ASC, c.cl ASC) AS rn
+    FROM {src} e CROSS JOIN {cents} c) t
+  WHERE rn = 1
+)"""
+
+
+def km_update_cte(out: str, assigned: str, prev: str, k: int, dim: int) -> str:
+    """SQL CTE: integer-quantized Lloyd centroid update from
+    assignment CTE `assigned`, falling back to `prev` for empty
+    clusters — mirrors update_centroids (including the
+    convert-then-divide double rounding)."""
+    return f"""{out} AS (
+  SELECT CAST(g.cl AS INT) AS cl, coalesce(u.v, p.v) AS v
+  FROM range(0, {k}) g(cl)
+  LEFT JOIN (
+    SELECT cl, list(el ORDER BY pos) AS v FROM (
+      SELECT a.cl AS cl, t.i AS pos,
+             floor(CAST(sum(CAST(floor(a.v[t.i] * 1e6
+                                       + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                        AS DOUBLE) / count(*)
+                   + CAST(0.5 AS DOUBLE)) / 1e6 AS el
+      FROM {assigned} a CROSS JOIN range(1, {dim + 1}) t(i)
+      GROUP BY a.cl, t.i) s
+    GROUP BY cl) u ON u.cl = g.cl
+  LEFT JOIN {prev} p ON p.cl = g.cl
+)"""
+
+
 def kmeans(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
     """Full Lloyd's run; returns (vec_id, cluster, dist).
 

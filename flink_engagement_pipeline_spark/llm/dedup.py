@@ -338,6 +338,182 @@ def lsh_candidate_pairs(
 
 
 # --------------------------------------------------------------------------
+# portable MinHash (md5 + universal hashing) — the oracle-checkable form
+# --------------------------------------------------------------------------
+
+PORTABLE_HASHES = 16
+PORTABLE_BAND_ROWS = 4  # 4 bands of 4 -> s-curve threshold ~ (1/4)^(1/4) ~ 0.71
+_MERSENNE_P = (1 << 61) - 1  # Mersenne prime: a*x + b stays under 2^63
+
+# fixed affine coefficients (a_j, b_j); Mersenne Twister with a pinned
+# seed is stable across Python versions, and both the Spark expressions
+# and the SQL oracle are generated from this ONE list, so the two
+# dialects cannot drift
+import random as _random
+
+_rng = _random.Random(13)
+PORTABLE_COEFFS = [
+    (_rng.randrange(1, 1 << 13), _rng.randrange(0, 1 << 13))
+    for _ in range(PORTABLE_HASHES)
+]
+del _rng
+
+
+def portable_minhash_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash + banded LSH + exact verify, built ONLY from portable
+    primitives (md5, integer affine hashing) so the whole approximate
+    pipeline carries a hash-matching SQL oracle — unlike the xxhash64
+    form above, whose hash has no SQL equivalent.
+
+    Per shingle, x = int(first 12 hex chars of md5) — 48 bits; the
+    j-th signature entry is min over shingles of (a_j*x + b_j) mod
+    (2^61-1), a classic universal hash family. Signatures band into
+    4-row keys; candidates equi-join on (band, key); candidates then
+    pass the EXACT Jaccard verify, so precision is 1.0 and only
+    recall is approximate (the banding s-curve). Same plan skeleton
+    as the scale path: one shingle explode, one signature groupBy,
+    one bucket equi-join, verify on candidates only — never
+    all-pairs.
+    """
+    base = fan_out(docs.select("doc_id", "text")).select(
+        F.col("doc_id"), shingles("text", n).alias("sh")
+    )
+    x = F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10).cast("long")
+    xs = base.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", x.alias("x")
+    )
+    sig = xs.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MERSENNE_P)
+            ).alias(f"h{j}")
+            for j, (a, b) in enumerate(PORTABLE_COEFFS)
+        ]
+    )
+    num_bands = PORTABLE_HASHES // PORTABLE_BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(
+                                    f"h{b * PORTABLE_BAND_ROWS + r}"
+                                ).cast("string")
+                                for r in range(PORTABLE_BAND_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verify on candidates only (arrays ride a doc_id equi-join)
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def portable_minhash_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """Full SQL replication of portable_minhash_pairs — signatures,
+    banding, candidates, and exact verify, from the same coefficient
+    list."""
+    grams = " || ' ' || ".join(f"ws[i+{d}]" for d in range(n))
+    sig_cols = ",\n           ".join(
+        f"min(({a}*x + {b}) % {_MERSENNE_P}) AS h{j}"
+        for j, (a, b) in enumerate(PORTABLE_COEFFS)
+    )
+    num_bands = PORTABLE_HASHES // PORTABLE_BAND_ROWS
+    band_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || ',' || ".join(
+            f"CAST(h{b * PORTABLE_BAND_ROWS + r} AS VARCHAR)"
+            for r in range(PORTABLE_BAND_ROWS)
+        )
+        + " AS key FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(
+               CASE WHEN len(ws) >= {n}
+                    THEN list_distinct(list_transform(range(1, len(ws) - {n - 2}), i -> {grams}))
+                    ELSE [array_to_string(ws, ' ')] END
+           ) AS sh
+    FROM base
+),
+xs AS (
+    SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS x FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           {sig_cols}
+    FROM xs GROUP BY doc_id
+),
+bands AS (
+    {band_selects}
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
@@ -522,13 +698,35 @@ def dedup_e2e(
     )
 
 
-def dedup_clusters_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
-    """Exact oracle: transitive closure via recursive CTE, min
-    reachable id per node (tractable because true near-dup clusters in
-    the fixture are tiny)."""
+def dedup_e2e_portable(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """The end-to-end scale-path dedup (LSH candidates -> exact verify
+    -> connected components -> survivors) built on the PORTABLE
+    MinHash, so the ENTIRE composition carries a hash-matching SQL
+    oracle — candidates, verification, transitive closure, and
+    survivor selection all replicated in SQL. Same plan shape as
+    dedup_e2e (whose xxhash64 signatures are faster but have no SQL
+    equivalent): never all-pairs, exact math only on candidates."""
+    verified = portable_minhash_pairs(docs, n, threshold)
+    cc = connected_components(
+        verified.select("doc_a", "doc_b"), docs.select("doc_id")
+    )
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+def closure_oracle_sql(pairs_sql: str) -> str:
+    """Transitive closure via recursive CTE over ANY (doc_a, doc_b)
+    pair query, min reachable id per node — shared by the exact
+    (all-pairs Jaccard) and portable-LSH cluster oracles (tractable
+    because true near-dup clusters in the fixture are tiny)."""
     return f"""
 WITH RECURSIVE jp AS (
-    SELECT doc_a, doc_b FROM ({jaccard_oracle_sql(n, threshold)})
+    SELECT doc_a, doc_b FROM ({pairs_sql})
 ),
 edges AS (
     SELECT doc_a AS a, doc_b AS b FROM jp
@@ -548,6 +746,12 @@ SELECT d.doc_id,
        COALESCE(l.cluster_id, d.doc_id) = d.doc_id   AS is_survivor
 FROM documents d LEFT JOIN labels l USING (doc_id)
 """
+
+
+def dedup_clusters_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """Exact oracle: transitive closure over the all-pairs Jaccard
+    edges."""
+    return closure_oracle_sql(jaccard_oracle_sql(n, threshold))
 
 
 def simhash_near_pairs(

@@ -1,0 +1,189 @@
+"""Product quantization (PQ) + asymmetric-distance ANN search.
+
+The third leg of the ANN stack (hyperplane LSH buckets, IVF inverted
+lists, and now PQ compression): each 64-dim vector is split into
+``PQ_M`` = 8 subspaces of 8 dims; every subspace gets a 16-entry
+codebook (so a vector compresses to 8 bytes — 32x smaller than
+float32), and a query scans the *codes* using a per-subspace
+distance-table lookup (ADC) instead of touching the raw vectors.
+
+Scale shape:
+- codebook training is ONE aggregation pass for all 8 subspaces: the
+  quantized vector explodes to (subspace, cluster, subpos) integer
+  sums, 8*16*8 = 1024 aggregated rows — metadata on the driver, like
+  the IVF/k-means trainers.
+- encoding is a pure projection (argmin over 16 literal centroids per
+  subspace — all 128 candidates inlined in one expression tree).
+- ADC search is a projection too: the 8x16 distance table enters as
+  literals, the estimated distance is 8 array lookups + 7 adds, and
+  the top-k is TakeOrderedAndProject. No join, no shuffle, no raw
+  vectors read after encoding.
+
+Determinism: codebooks use the same integer-quantized Lloyd update as
+llm/cluster.py (order-independent sums, convert-then-divide double
+rounding), strided seeds over the contiguous vec_id space, argmin
+ties to the lowest code — so PQ training + encoding + ADC ranking
+unroll into plain SQL CTEs and the registered query hash-matches its
+oracle, codebook bits and all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .cluster import _dot_py, _quantized
+from .similarity import _dot
+
+PQ_M = 8        # subspaces
+PQ_SUBDIM = 8   # dims per subspace (PQ_M * PQ_SUBDIM == DIM)
+PQ_K = 16       # codes per subspace -> 4 bits/code, 8 bytes/vector
+
+
+def _sub(v: Column, s: int) -> Column:
+    return F.slice(v, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _sub_py(vec: list[float], s: int) -> list[float]:
+    return vec[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+
+
+def _assign_code(sub: Column, book: list[list[float]]) -> Column:
+    """argmin-distance code for one subspace: struct(dist, code)
+    candidates, array_min — same total order as the oracle's
+    row_number (dist ASC, code ASC)."""
+    vv = _dot(sub, sub)
+    cands = []
+    for j, c in enumerate(book):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d = vv - F.lit(2.0) * _dot(sub, lit_c) + F.lit(_dot_py(c, c))
+        cands.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
+    return F.array_min(F.array(*cands))["c"]
+
+
+def train_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """Strided seeds refined by ONE quantized Lloyd step — all 8
+    subspaces trained in a single aggregation pass.
+
+    Returns books[s][j] = centroid j of subspace s. Driver-side state
+    is 8*16 8-dim vectors + 1024 aggregated sum rows: metadata."""
+    import math
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n = e.count()
+    stride = max(1, n // PQ_K)
+    seed_rows = (
+        e.filter(
+            (F.col("vec_id") % stride == 0) & (F.col("vec_id") < PQ_K * stride)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(seed_rows) != PQ_K:
+        raise ValueError(
+            f"strided seeding expects contiguous vec_ids: wanted {PQ_K} "
+            f"seeds, found {len(seed_rows)}"
+        )
+    seeds = [
+        [_sub_py([float(x) for x in r["v"]], s) for r in seed_rows]
+        for s in range(PQ_M)
+    ]
+    # one pass: per-subspace assignment columns + quantized explode
+    assigns = [
+        _assign_code(_sub(F.col("v"), s), seeds[s]).alias(f"c{s}")
+        for s in range(PQ_M)
+    ]
+    long = (
+        e.select(F.col("v"), *assigns)
+        .select(
+            F.posexplode(_quantized(F.col("v"))).alias("pos", "q"),
+            *[F.col(f"c{s}") for s in range(PQ_M)],
+        )
+        .select(
+            (F.col("pos") / PQ_SUBDIM).cast("int").alias("s"),
+            (F.col("pos") % PQ_SUBDIM).alias("subpos"),
+            F.element_at(
+                F.array(*[F.col(f"c{s}") for s in range(PQ_M)]),
+                (F.col("pos") / PQ_SUBDIM).cast("int") + 1,
+            ).alias("cl"),
+            F.col("q"),
+        )
+    )
+    rows = (
+        long.groupBy("s", "cl", "subpos")
+        .agg(F.sum("q").alias("sum"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        acc.setdefault((r["s"], r["cl"]), {})[r["subpos"]] = (r["sum"], r["n"])
+    books: list[list[list[float]]] = []
+    for s in range(PQ_M):
+        book = []
+        for j in range(PQ_K):
+            dims = acc.get((s, j))
+            if dims:
+                book.append(
+                    [
+                        math.floor(float(q) / n_ + 0.5) / 1_000_000.0
+                        for _, (q, n_) in sorted(dims.items())
+                    ]
+                )
+            else:
+                book.append(seeds[s][j])
+        books.append(book)
+    return books
+
+
+def encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """PQ codes as a pure projection: (vec_id, c0..c{M-1})."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return e.select(
+        "vec_id",
+        *[
+            _assign_code(_sub(F.col("v"), s), books[s]).alias(f"c{s}")
+            for s in range(PQ_M)
+        ],
+    )
+
+
+def adc_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Asymmetric-distance top-k: exact per-subspace distances from
+    the query to every codebook entry (the 8x16 table, computed on the
+    driver and inlined as literals), summed over the code columns.
+
+    Output: (vec_id, codes_csv, est_dist) ordered by estimated
+    squared L2 — the PQ-compressed scan every billion-vector ANN
+    serving tier runs."""
+    books = train_codebooks(emb)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qvec = [
+        float(x) for x in e.filter(F.col("vec_id") == query_vec_id).first()["v"]
+    ]
+    # distance tables mirror the oracle's vv - 2vc + cc fold exactly
+    tables = [
+        [
+            _dot_py(_sub_py(qvec, s), _sub_py(qvec, s))
+            - 2 * _dot_py(_sub_py(qvec, s), books[s][j])
+            + _dot_py(books[s][j], books[s][j])
+            for j in range(PQ_K)
+        ]
+        for s in range(PQ_M)
+    ]
+    enc = encode(emb, books)
+    est = None
+    for s in range(PQ_M):
+        lut = F.array(*[F.lit(float(d)) for d in tables[s]])
+        term = F.element_at(lut, F.col(f"c{s}") + 1)
+        est = term if est is None else est + term
+    return (
+        enc.select(
+            "vec_id",
+            F.concat_ws(
+                ",", *[F.col(f"c{s}").cast("string") for s in range(PQ_M)]
+            ).alias("codes_csv"),
+            est.alias("est_dist"),
+        )
+        .orderBy(F.col("est_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

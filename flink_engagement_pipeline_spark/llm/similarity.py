@@ -246,57 +246,31 @@ IVF_PROBES = 2
 
 def _centroids(emb: DataFrame, k: int = IVF_LISTS) -> list[list[float]]:
     """Deterministic coarse centroids: k evenly-strided corpus vectors
-    refined by one Lloyd step (assign + per-cluster mean), all as
-    DataFrame ops. The only driver-side materialization is the k
-    centroid vectors themselves — bounded by k, never by corpus size.
-    """
+    (stride = n // k over the contiguous vec_id space — asserted)
+    refined by ONE integer-quantized Lloyd step from llm/cluster.py.
+    The quantized update is order-independent, which is what lets
+    embedding_ann_ivf carry a full hash-matching SQL oracle (the
+    float-avg refinement it replaced was partial-agg-order dependent
+    and forced a rows-only check). The only driver-side
+    materialization is the k centroid vectors — bounded by k, never
+    by corpus size."""
+    from .cluster import assign_clusters, update_centroids
+
     n = emb.count()
     stride = max(1, n // k)
-    seed_ids = [i * stride for i in range(k)]
-    seeds = [
-        (r["vec_id"], r["embedding"])
-        for r in emb.filter(F.col("vec_id").isin(seed_ids))
-        .select("vec_id", "embedding")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    seeds = (
+        e.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < k * stride))
+        .orderBy("vec_id")
         .collect()
-    ]
-    seed_vecs = [list(map(float, v)) for _, v in sorted(seeds)][:k]
-
-    assigned = _assign(emb, seed_vecs)
-    means = (
-        assigned.groupBy("list_id")
-        .agg(
-            *[
-                F.avg(F.col("embedding").getItem(d)).alias(f"d{d}")
-                for d in range(DIM)
-            ]
+    )
+    seed_vecs = [[float(x) for x in r["v"]] for r in seeds]
+    if len(seed_vecs) != k:
+        raise ValueError(
+            f"strided seeding expects contiguous vec_ids: wanted {k} "
+            f"seeds, found {len(seed_vecs)}"
         )
-        .collect()
-    )
-    refined = {
-        r["list_id"]: [float(r[f"d{d}"]) for d in range(DIM)] for r in means
-    }
-    # clusters that lost all members keep their seed vector
-    return [refined.get(i, seed_vecs[i]) for i in range(len(seed_vecs))]
-
-
-def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """argmin-distance list assignment via array_min over (dist, idx)
-    structs — lexicographic struct ordering gives the argmin without
-    leaving the JVM. Narrow projection; zero shuffle."""
-    e = _as_double(F.col("embedding"))
-    pairs = F.array(
-        *[
-            F.struct(
-                _dot(
-                    F.zip_with(e, F.array(*[F.lit(x) for x in c]), lambda a, b: a - b),
-                    F.zip_with(e, F.array(*[F.lit(x) for x in c]), lambda a, b: a - b),
-                ).alias("dist"),
-                F.lit(i).alias("idx"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return emb.withColumn("list_id", F.array_min(pairs)["idx"])
+    return update_centroids(assign_clusters(e, seed_vecs), seed_vecs, k)
 
 
 def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
@@ -306,26 +280,37 @@ def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
 
     Same plan shape as a trained FAISS IVF at cluster scale: assign =
     narrow projection, probe = pruned scan of ~probes/lists of the
-    corpus, exact math only on candidates.
-    """
+    corpus, exact math only on candidates. Every arithmetic step
+    (quantized centroid training, argmin assignment, probe selection,
+    cosine) is engine-exact, so the registered query hash-matches its
+    SQL oracle."""
+    from .cluster import _dot_py, assign_clusters
+
     cents = _centroids(emb)
-    assigned = _assign(emb, cents)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assigned = assign_clusters(e, cents)
     qvec = [
         float(x)
-        for x in emb.filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .first()["embedding"]
+        for x in e.filter(F.col("vec_id") == query_vec_id).first()["v"]
     ]
+    # probe ranking mirrors the oracle's vv - 2vc + cc fold exactly
     dists = [
-        (sum((a - b) ** 2 for a, b in zip(qvec, c)), i) for i, c in enumerate(cents)
+        (
+            _dot_py(qvec, qvec) - 2 * _dot_py(qvec, c) + _dot_py(c, c),
+            i,
+        )
+        for i, c in enumerate(cents)
     ]
     probes = [i for _, i in sorted(dists)[:IVF_PROBES]]
-    query = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q")
+    query = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("q")
     )
-    candidates = assigned.filter(F.col("list_id").isin(probes)).drop("list_id")
+    cand = assigned.filter(F.col("cluster").isin(probes))
+    v, q = F.col("v"), F.col("q")
+    cos = _dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q)))
     return (
-        cosine_to_query(candidates, query)
+        cand.crossJoin(F.broadcast(query))
+        .select("vec_id", cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )

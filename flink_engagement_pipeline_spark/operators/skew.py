@@ -28,6 +28,47 @@ from pyspark.sql import functions as F
 from ..functions.exact import dec
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_from: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt-replicate the small side.
+
+    A shuffle join on a power-law key funnels the hot key's rows into
+    one task. Salting fixes it without AQE: every dim row is
+    replicated ``n_salts`` times (one per salt id), each fact row gets
+    a deterministic salt from an intra-row hash, and the join runs on
+    (key, salt) — the hot key's rows spread over ``n_salts`` tasks.
+    The dim side grows n_salts x, which is exactly the trade: pay a
+    bounded replication of the SMALL side to split the unbounded hot
+    key on the BIG side. Join semantics are unchanged (each fact row
+    matches exactly the one replica carrying its salt).
+
+    The shuffle-hash hint pins a shuffled join: a broadcast join has
+    no skew problem (and needs no salt), so the registered query
+    disables the broadcast path to exercise the pattern it exists
+    for. Salt is a deterministic hash of ``salt_from`` — an intra-row
+    attribute that must NOT be the join key (a hot key hashing to one
+    salt would defeat the spread), and never rand(), so retries and
+    replays are idempotent.
+    """
+    salt_col: Column = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    dim_rep = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    fact_s = fact.withColumn("__salt", salt_col.cast("int"))
+    joined = fact_s.join(
+        dim_rep.hint("shuffle_hash"),
+        (F.col(fact_key) == F.col(dim_key))
+        & (fact_s["__salt"] == dim_rep["__salt"]),
+    )
+    return joined.drop(fact_s["__salt"]).drop(dim_rep["__salt"])
+
+
 def salted_sum(
     df: DataFrame,
     key: str,

@@ -76,16 +76,15 @@ _PRIORITY: tuple[str, ...] = (
     "docs_epoch_order",
     "events_ewma",
     "stream_join_replay",
-    # -- [c] round-2-checked backfill rotation --
-    "docs_tfidf",
-    "events_profile",
-    "conversion_funnel",
-    "orders_events_interval_join",
-    "value_percentiles_exact",
-    "minute_rollup_gapfill",
-    "user_trailing_7d_value",
-    "lateral_top_users",
-    "user_event_type_sets",
+    "stream_session_replay",
+    "events_salted_join",
+    "embedding_pq_adc",
+    "user_markov_transitions",
+    "docs_minhash_portable",
+    "docs_unigram_logprob",
+    "user_rfm_scores",
+    "parts_bought_together",
+    "docs_dedup_e2e_portable",
 )
 
 

@@ -5,7 +5,7 @@ expression chosen to be semantically identical in Spark and DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dec
@@ -1168,3 +1168,206 @@ def q_events_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_sum
 
     return salted_sum(load_table(spark, sf_dir, "events"), "event_type", "value")
+
+
+@register(
+    "user_rfm_scores",
+    oracle="""
+WITH agg AS (
+  SELECT user_id,
+         max(ts)                                            AS last_ts,
+         count(*)                                           AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)  AS total_value
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, last_ts, n_events, total_value,
+       ntile(5) OVER (ORDER BY last_ts, user_id)      AS r_score,
+       ntile(5) OVER (ORDER BY n_events, user_id)     AS f_score,
+       ntile(5) OVER (ORDER BY total_value, user_id)  AS m_score
+FROM agg
+""",
+    doc=(
+        "RFM (recency/frequency/monetary) quintile segmentation per "
+        "user — the canonical behavioral scoring reshape: one keyed "
+        "aggregation, then three ntile(5) windows over total orders "
+        "(metric, user_id — the tiebreak is what makes quintile "
+        "membership deterministic and engine-exact). The decimal "
+        "routing keeps the monetary sum exact. The user-level "
+        "aggregate is keyspace-sized, so the rank windows run on a "
+        "frame orders of magnitude smaller than the input; for a "
+        "keyspace too big to window, the distributed global_row_number "
+        "primitive is the drop-in (same contract, no SinglePartition)."
+    ),
+    tags=("window", "ntile", "behavioral", "aggregates"),
+)
+def q_user_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+    return agg.select(
+        "user_id",
+        "last_ts",
+        "n_events",
+        "total_value",
+        F.ntile(5).over(Window.orderBy("last_ts", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("n_events", "user_id")).alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("total_value", "user_id"))
+        .alias("m_score"),
+    )
+
+
+@register(
+    "parts_bought_together",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+""",
+    doc=(
+        "Market-basket co-occurrence: the top part pairs appearing in "
+        "the same order — the association-mining primitive behind "
+        "'frequently bought together'. The pair expansion is a "
+        "WITHIN-GROUP self-join on the order key: quadratic only in "
+        "the per-order item count (~7 for this schema), never across "
+        "orders, so at 100 TB the cost is (items/order)^2 x orders — "
+        "linear in the data. One distinct pass, one orderkey-bucketed "
+        "equi-join, one pair aggregation, TakeOrderedAndProject "
+        "top-k."
+    ),
+    tags=("join", "association", "topk"),
+)
+def q_parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("n_orders").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "user_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type,
+       event_type AS next_type,
+       count(*) AS n_transitions,
+       CAST(count(*) AS DOUBLE)
+         / sum(count(*)) OVER (PARTITION BY prev_type) AS prob
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    doc=(
+        "Per-user event-type transition matrix (first-order Markov "
+        "estimate): lag over the total per-user (ts, event_id) order "
+        "pairs each event with its predecessor, grouped into "
+        "transition counts and row-normalized into probabilities — "
+        "the behavioral-model / anomalous-sequence primitive. Plan: "
+        "one user-keyed shuffle for the lag window, one tiny "
+        "(type x type) aggregation; the normalizing window runs on "
+        "k^2 rows (metadata). n/sum(n) is an exact-integer ratio, so "
+        "the probabilities are engine-exact."
+    ),
+    tags=("window", "sequence", "markov", "behavioral"),
+)
+def q_user_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm)
+        ).alias("prob"),
+    )
+
+
+@register(
+    "events_salted_join",
+    oracle="""
+SELECT e.event_id     AS event_id,
+       e.event_type   AS event_type,
+       e.value        AS value,
+       c.c_name       AS user_name,
+       c.c_mktsegment AS user_segment
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+""",
+    doc=(
+        "Skew-resistant shuffled equi-join (operators/skew.py "
+        "salted_join): the customer dimension is replicated once per "
+        "salt, each fact row gets a deterministic intra-row-hash salt, "
+        "and the join runs SHUFFLE_HASH on (user_id, salt) — a viral "
+        "user's rows spread over n_salts tasks instead of one. The "
+        "broadcast path is deliberately disabled (a broadcast join "
+        "has no skew problem; this is the mitigation for dimensions "
+        "too big to broadcast). Semantics unchanged: the oracle is "
+        "the plain equi-join, hash-matched. Plan pinned in "
+        "tests/test_skew.py: ShuffledHashJoin keyed by (user_id, "
+        "__salt), no BroadcastHashJoin."
+    ),
+    tags=("join", "skew", "salting"),
+)
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return salted_join(events, cust, "user_id", "c_custkey", "event_id").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("user_segment"),
+    )

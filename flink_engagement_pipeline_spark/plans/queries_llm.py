@@ -5,12 +5,14 @@ Oracle strategy: every operator whose arithmetic is deterministic and
 SQL-expressible carries a full hash-matching DuckDB oracle — including
 the "approximate" ones built from portable hashes (SimHash signatures
 and pairs via md5 bit-majority; hyperplane LSH ANN via literal planes
-+ bit_count multiprobe). Rows-only remain only where the hash has no
-SQL equivalent (xxhash64 MinHash band signatures, and the e2e dedup
-built on them), where output is a sketch (HLL, approx percentiles), or
-where float-sum order varies (IVF centroid means); those carry
-dedicated pytest oracles (recall vs the exact baseline, pure-Python
-signature recomputation) instead.
++ bit_count multiprobe; IVF ANN via the integer-quantized Lloyd
+refinement in llm/cluster.py, whose order-independence lets train +
+assign + probe + rank unroll into plain CTEs). Rows-only remain only
+where the hash has no SQL equivalent (xxhash64 MinHash band
+signatures, and the e2e dedup built on them) or where output is a
+sketch (HLL, approx percentiles); those carry dedicated pytest
+oracles (recall vs the exact baseline, pure-Python signature
+recomputation) instead.
 """
 
 from __future__ import annotations
@@ -287,6 +289,47 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_minhash_portable",
+    oracle=ld.portable_minhash_oracle_sql(),
+    doc=(
+        "MinHash + banded LSH + exact verify built ONLY from portable "
+        "primitives (md5-derived 48-bit shingle ints, (a*x+b) mod "
+        "2^61-1 universal hashing, 4 bands x 4 rows): the whole "
+        "approximate dedup pipeline — signatures, banding, candidate "
+        "join, exact-Jaccard verification — hash-matches a full SQL "
+        "replication generated from the same coefficient list. "
+        "Precision 1.0 by construction (candidates are exactly "
+        "verified); recall follows the banding s-curve. Same plan "
+        "skeleton as the xxhash64 scale path (docs_minhash_pairs): "
+        "one shingle explode, one signature groupBy, one (band, key) "
+        "equi-join, verify on candidates only — never all-pairs."
+    ),
+    tags=("llm", "dedup", "minhash", "lsh", "oracle-exact"),
+)
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ld.portable_minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_dedup_e2e_portable",
+    oracle=ld.closure_oracle_sql(ld.portable_minhash_oracle_sql()),
+    doc=(
+        "End-to-end scale-path dedup with a FULL hash-matching "
+        "oracle: portable-MinHash LSH candidates -> exact Jaccard "
+        "verify on candidates only -> connected components -> min-id "
+        "survivor per cluster, with every stage (including the "
+        "transitive closure, via a recursive CTE) replicated in SQL. "
+        "The xxhash64 twin (docs_dedup_e2e) is the faster production "
+        "form; this one proves the composition end to end at the "
+        "value level — approximate candidate generation included."
+    ),
+    tags=("llm", "dedup", "minhash", "lsh", "clustering", "oracle-exact"),
+)
+def q_dedup_e2e_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ld.dedup_e2e_portable(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "docs_simhash",
     # The signature is md5-derived and fully deterministic, so it DOES
     # carry an exact SQL oracle (plus the pure-Python pytest oracle):
@@ -399,14 +442,62 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ls.ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _ivf_oracle() -> str:
+    from ..llm.cluster import _km_dist, km_assign_cte, km_update_cte
+
+    k, probes, topk, dim = (
+        ls.IVF_LISTS,
+        ls.IVF_PROBES,
+        10,
+        ls.DIM,
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cnt AS (SELECT count(*) AS n FROM e),
+seeds AS (
+  SELECT CAST(vec_id // greatest(1, n // {k}) AS INT) AS cl, v
+  FROM e, cnt
+  WHERE vec_id % greatest(1, n // {k}) = 0
+    AND vec_id < {k} * greatest(1, n // {k})
+),
+{km_assign_cte("a1", "seeds")},
+{km_update_cte("c1", "a1", "seeds", k, dim)},
+q AS (SELECT v FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT cl FROM (
+    SELECT c.cl AS cl,
+           row_number() OVER (ORDER BY {_km_dist("q.v", "c.v")} ASC,
+                              c.cl ASC) AS rn
+    FROM c1 c CROSS JOIN q) t
+  WHERE rn <= {probes}
+),
+{km_assign_cte("a2", "c1")}
+SELECT vec_id, cosine FROM (
+  SELECT a.vec_id AS vec_id,
+         list_dot_product(a.v, q.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(q.v, q.v))) AS cosine
+  FROM a2 a CROSS JOIN q
+  WHERE a.cl IN (SELECT cl FROM probes)) t
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {topk}
+"""
+
+
 @register(
     "embedding_ann_ivf",
-    oracle=None,  # approximate; recall-tested vs embedding_cosine_topk
+    oracle=_ivf_oracle(),
     doc=(
         "IVF-flat ANN top-10: 16 inverted lists (strided seeds + one "
-        "Lloyd refinement, all DataFrame ops), probe the 2 lists "
-        "nearest the query, exact cosine on candidates only — the "
-        "trained-quantizer counterpart to the LSH variant."
+        "integer-quantized Lloyd refinement from llm/cluster.py), "
+        "probe the 2 lists nearest the query, exact cosine on "
+        "candidates only — the trained-quantizer counterpart to the "
+        "LSH variant. The quantized centroid update is "
+        "order-independent, so this approximate index carries a FULL "
+        "hash-matching SQL oracle (train + assign + probe + rank "
+        "unrolled as CTEs) instead of the rows-only check it had "
+        "when refinement used float avg."
     ),
     tags=("llm", "similarity", "ann", "ivf"),
 )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..llm import cluster as lc
 from ..llm import text as lt
+from ..llm.cluster import _km_dist, km_assign_cte, km_update_cte
 from ..llm.similarity import _dot
 from ..operators.rank import global_row_number
 from ..sources.tables import load_table
@@ -29,13 +30,6 @@ from .registry import register
 _KM_K = 8
 _KM_ITERS = 3
 _KM_DIM = 64
-
-
-def _km_dist(v: str, c: str) -> str:
-    return (
-        f"list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c})"
-        f" + list_dot_product({c}, {c})"
-    )
 
 
 def _km_oracle() -> str:
@@ -52,34 +46,8 @@ def _km_oracle() -> str:
 )""",
     ]
     for i in range(1, _KM_ITERS + 1):
-        dist = _km_dist("e.v", "c.v")
-        parts.append(
-            f"""a{i} AS (
-  SELECT vec_id, v, cl FROM (
-    SELECT e.vec_id AS vec_id, e.v AS v, c.cl AS cl,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {dist} ASC, c.cl ASC) AS rn
-    FROM e CROSS JOIN c{i - 1} c) t
-  WHERE rn = 1
-)"""
-        )
-        parts.append(
-            f"""c{i} AS (
-  SELECT CAST(g.cl AS INT) AS cl, coalesce(u.v, p.v) AS v
-  FROM range(0, {_KM_K}) g(cl)
-  LEFT JOIN (
-    SELECT cl, list(el ORDER BY pos) AS v FROM (
-      SELECT a.cl AS cl, t.i AS pos,
-             floor(CAST(sum(CAST(floor(a.v[t.i] * 1e6
-                                       + CAST(0.5 AS DOUBLE)) AS BIGINT))
-                        AS DOUBLE) / count(*)
-                   + CAST(0.5 AS DOUBLE)) / 1e6 AS el
-      FROM a{i} a CROSS JOIN range(1, {_KM_DIM + 1}) t(i)
-      GROUP BY a.cl, t.i) s
-    GROUP BY cl) u ON u.cl = g.cl
-  LEFT JOIN c{i - 1} p ON p.cl = g.cl
-)"""
-        )
+        parts.append(km_assign_cte(f"a{i}", f"c{i - 1}"))
+        parts.append(km_update_cte(f"c{i}", f"a{i}", f"c{i - 1}", _KM_K, _KM_DIM))
     dist = _km_dist("e.v", "c.v")
     parts.append(
         f"""final AS (
@@ -118,6 +86,96 @@ def _km_oracle() -> str:
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lc.kmeans(emb, k=_KM_K, iters=_KM_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# product quantization + ADC search
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle() -> str:
+    from ..llm.pq import PQ_K, PQ_M, PQ_SUBDIM
+
+    parts = [
+        "WITH e0 AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "cnt AS (SELECT count(*) AS n FROM e0)",
+    ]
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        parts.append(
+            f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e0)"
+        )
+        parts.append(
+            f"""seeds{s} AS (
+  SELECT CAST(vec_id // greatest(1, n // {PQ_K}) AS INT) AS cl, v
+  FROM sub{s}, cnt
+  WHERE vec_id % greatest(1, n // {PQ_K}) = 0
+    AND vec_id < {PQ_K} * greatest(1, n // {PQ_K})
+)"""
+        )
+        parts.append(km_assign_cte(f"a{s}", f"seeds{s}", src=f"sub{s}"))
+        parts.append(
+            km_update_cte(f"cb{s}", f"a{s}", f"seeds{s}", PQ_K, PQ_SUBDIM)
+        )
+        parts.append(km_assign_cte(f"enc{s}", f"cb{s}", src=f"sub{s}"))
+        parts.append(
+            f"b{s} AS (SELECT vec_id, cl AS c{s} FROM enc{s})"
+        )
+        parts.append(f"q{s} AS (SELECT v FROM sub{s} WHERE vec_id = 0)")
+        parts.append(
+            f"""dt{s} AS (
+  SELECT c.cl AS cl, {_km_dist("q.v", "c.v")} AS d
+  FROM cb{s} c CROSS JOIN q{s} q
+)"""
+        )
+    join_b = " ".join(f"JOIN b{s} USING (vec_id)" for s in range(1, PQ_M))
+    join_dt = " ".join(
+        f"JOIN dt{s} ON dt{s}.cl = b.c{s}" for s in range(PQ_M)
+    )
+    csv = " || ',' || ".join(f"CAST(b.c{s} AS VARCHAR)" for s in range(PQ_M))
+    est = " + ".join(f"dt{s}.d" for s in range(PQ_M))
+    parts.append(
+        f"""enc AS (SELECT * FROM b0 {join_b})"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT vec_id, codes_csv, est_dist FROM (
+  SELECT b.vec_id AS vec_id,
+         {csv} AS codes_csv,
+         {est} AS est_dist
+  FROM enc b {join_dt}) t
+ORDER BY est_dist ASC, vec_id ASC
+LIMIT 10
+"""
+    )
+
+
+@register(
+    "embedding_pq_adc",
+    oracle=_pq_oracle(),
+    doc=(
+        "Product-quantization ANN (PQ8x16 + asymmetric-distance "
+        "top-10): each 64-dim vector compresses to 8 four-bit codes "
+        "(32x smaller than float32) via per-subspace codebooks "
+        "trained with the integer-quantized Lloyd step — ALL 8 "
+        "subspaces in one aggregation pass (1024 metadata rows). The "
+        "query never touches raw vectors after encoding: its 8x16 "
+        "distance table enters as plan literals and the estimated "
+        "distance is 8 array lookups + 7 adds per row, ranked by "
+        "TakeOrderedAndProject. Training + encoding + ADC ranking "
+        "unroll into plain SQL CTEs, so this approximate index "
+        "hash-matches its oracle codebook-bit for codebook-bit — the "
+        "compressed-scan serving tier of a billion-vector ANN stack, "
+        "completing LSH (buckets) and IVF (inverted lists)."
+    ),
+    tags=("llm", "embedding", "ann", "pq", "quantization"),
+)
+def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import pq
+
+    return pq.adc_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -318,6 +376,79 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("dl").alias("n_tokens"), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram LM log-probability scoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_unigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(ws) AS w
+  FROM (SELECT doc_id, {_WORDS} AS ws FROM documents) b
+),
+vocab AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+),
+tot AS (SELECT sum(c) AS t FROM vocab),
+qlp AS (
+  SELECT w,
+         CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+  FROM vocab, tot
+)
+SELECT t.doc_id                                   AS doc_id,
+       count(*)                                   AS n_tokens,
+       CAST(sum(q.q) AS DOUBLE) / 1e9             AS logprob,
+       -(CAST(sum(q.q) AS DOUBLE) / 1e9) / count(*) AS xent
+FROM toks t JOIN qlp q ON t.w = q.w
+GROUP BY t.doc_id
+""",
+    doc=(
+        "Unigram language-model scoring: train token probabilities on "
+        "the corpus itself (one vocab aggregation), then score every "
+        "document's total log-probability and per-token cross-entropy "
+        "— the CCNet/C4-style LM quality filter, self-trained. "
+        "Per-token log p is quantized to integer nano-nats (floor(ln*"
+        "1e9+0.5) as BIGINT), so the per-doc sum is an ORDER-"
+        "INDEPENDENT integer aggregation — no float-sum "
+        "nondeterminism, and the one transcendental (ln, ~1 ulp libm "
+        "skew across engines) is absorbed by the quantization exactly "
+        "as in docs_bm25. Plan: one token explode feeding both the "
+        "vocab aggregation and the score join (word-keyed equi-join "
+        "— the vocab shuffles, never collects), then one doc_id "
+        "aggregation."
+    ),
+    tags=("llm", "text", "quality", "language-model"),
+)
+def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(lt.words("text")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    qlp = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    scored = toks.join(qlp, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("q").alias("sq"),
+    )
+    logprob = F.col("sq").cast("double") / F.lit(1e9)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        logprob.alias("logprob"),
+        (-logprob / F.col("n_tokens")).alias("xent"),
     )
 
 

@@ -25,6 +25,7 @@ from ..sources.datagen import gen_events
 from ..sources.tables import load_table
 from ..streaming.pipeline import (
     run_enriched_fanout,
+    run_session_windowed,
     run_stream_stream_join,
     run_windowed,
 )
@@ -146,16 +147,38 @@ GROUP BY 1, 2, 3
 )
 def q_stream_windowed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_win_")  # outlives the returned plan
+    events_dir = _sentinel_replay_dir(spark, sf_dir, tmp)
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "16")
+    try:
+        run_windowed(
+            spark,
+            events_dir,
+            sink,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(part_key, saved)
+    return sink.read_committed(spark)
+
+
+def _sentinel_replay_dir(spark: SparkSession, sf_dir: str, tmp: str) -> str:
+    """Stage a two-micro-batch stream dir: the fixture, then one
+    sentinel event 20 minutes past max(ts). The sentinel advances the
+    watermark past every real window/session end; its own window never
+    closes, so it never appears in append-mode output."""
     events_dir = os.path.join(tmp, "events")
     os.makedirs(events_dir)
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     # batch 1: the fixture (symlink keeps the fixture file's older
     # mtime, so the file source orders it before the sentinel)
     os.symlink(src, os.path.join(events_dir, "a.parquet"))
-    # batch 2: one sentinel event far past max(ts) — closes every
-    # real window; its own window never emits. The sentinel file must
-    # carry the SAME physical ts unit as the fixture (the driver has
-    # shipped both NANOS and MICROS units across rounds).
+    # batch 2: the sentinel. It must carry the SAME physical ts unit
+    # as the fixture (the driver has shipped both NANOS and MICROS
+    # units across rounds).
     from ..schemas import EVENTS_RAW
     from ..sources.tables import events_ts_is_nanos
 
@@ -183,21 +206,7 @@ def q_stream_windowed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
     shutil.copy(part, os.path.join(events_dir, "z-late.parquet"))
-    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
-    part_key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(part_key)
-    spark.conf.set(part_key, "16")
-    try:
-        run_windowed(
-            spark,
-            events_dir,
-            sink,
-            checkpoint_dir=os.path.join(tmp, "ckpt"),
-            max_files_per_trigger=1,
-        )
-    finally:
-        spark.conf.set(part_key, saved)
-    return sink.read_committed(spark)
+    return events_dir
 
 
 @register(
@@ -246,6 +255,73 @@ def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         run_stream_stream_join(
             spark, events_dir, sink, checkpoint_dir=os.path.join(tmp, "ckpt")
+        )
+    finally:
+        spark.conf.set(part_key, saved)
+    return sink.read_committed(spark)
+
+
+_SSN_GAP_MIN = 5
+
+
+@register(
+    "stream_session_replay",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CAST(value AS DECIMAL(18,2)) AS v,
+           CASE WHEN CAST(ts AS TIMESTAMP)
+                     - lag(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts)
+                     < INTERVAL {_SSN_GAP_MIN} MINUTE
+                THEN 0 ELSE 1 END AS new_s
+    FROM events
+),
+s AS (
+    SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT min(ts)                                   AS window_start,
+       max(ts) + INTERVAL {_SSN_GAP_MIN} MINUTE  AS window_end,
+       user_id,
+       CAST(SUM(v) AS DOUBLE)                    AS engagement_sum
+FROM s
+GROUP BY user_id, sid
+""",
+    doc=(
+        f"Watermarked SESSION-window aggregation under the driver's "
+        f"batch oracle: the events fixture replays through a file "
+        f"stream into per-user session windows (gap "
+        f"{_SSN_GAP_MIN} min) summing engagement, in APPEND mode into "
+        "an exactly-once parquet sink. Sessions are data-driven "
+        "mergeable state — a session emits only when the watermark "
+        "passes its end (last event + gap), which is also what makes "
+        "session state evictable at 100 TB. The second-micro-batch "
+        "sentinel advances the watermark past every real session's "
+        "end (its own session never closes, so it never emits); the "
+        "durable sink output therefore equals the batch "
+        "gaps-and-islands sessionization of the fixture, hash-matched "
+        "by the oracle."
+    ),
+    tags=("streaming", "session-window", "watermark", "exactly-once"),
+)
+def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_ssn_")  # outlives the returned plan
+    events_dir = _sentinel_replay_dir(spark, sf_dir, tmp)
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "16")
+    try:
+        run_session_windowed(
+            spark,
+            events_dir,
+            sink,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            gap=f"{_SSN_GAP_MIN} minutes",
+            max_files_per_trigger=1,
         )
     finally:
         spark.conf.set(part_key, saved)

@@ -260,6 +260,38 @@ def click_purchase_join(
     )
 
 
+def run_session_windowed(
+    spark: SparkSession,
+    events_dir: str,
+    sink: Sink,
+    checkpoint_dir: str,
+    watermark: str = DEFAULT_WATERMARK,
+    gap: str = "5 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Run the session-window aggregation in append mode into a sink.
+    A session emits once the watermark passes its end (last event +
+    gap) — until then it is buffered, mergeable state."""
+    agg = session_windowed_stream(
+        read_events_stream(spark, events_dir, max_files_per_trigger),
+        watermark,
+        gap=gap,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sink.write_batch(batch_df, batch_id)
+
+    (
+        agg.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sink.close()
+
+
 def run_stream_stream_join(
     spark: SparkSession, events_dir: str, sink: Sink, checkpoint_dir: str
 ) -> None:

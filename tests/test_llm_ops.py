@@ -293,9 +293,14 @@ def test_ivf_prunes_and_recalls(emb):
     recall = len(set(brute) & set(approx)) / 10
     assert recall >= 0.2, f"IVF recall {recall}"
     # the probed candidate set must be a strict subset of the corpus
+    from flink_engagement_pipeline_spark.llm.cluster import assign_clusters
+
     cents = ls._centroids(emb)
-    assigned = ls._assign(emb, cents)
-    sizes = {r["list_id"]: r["n"] for r in assigned.groupBy("list_id").count().withColumnRenamed("count", "n").collect()}
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = assign_clusters(e, cents)
+    sizes = {r["cluster"]: r["n"] for r in assigned.groupBy("cluster").count().withColumnRenamed("count", "n").collect()}
     assert len(sizes) > 1, "all vectors fell into one list"
 
 

