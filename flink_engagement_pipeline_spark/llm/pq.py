@@ -25,6 +25,16 @@ rounding), strided seeds over the contiguous vec_id space, argmin
 ties to the lowest code — so PQ training + encoding + ADC ranking
 unroll into plain SQL CTEs and the registered query hash-matches its
 oracle, codebook bits and all.
+
+Cost profile (measured, sf0.1 = 50k vectors): end-to-end ~11 s, of
+which executor work is ~1.3 s — the rest is a CONSTANT driver
+overhead: Catalyst analysis + whole-stage codegen of the ~4000-node
+assignment expression (paid once per distinct codebook, ~4 s/plan)
+plus the three training jobs. Per-row math is codegen'd plain
+arithmetic (`_dot_lit`), so at a real corpus the overhead amortizes
+to nothing while the scan stays embarrassingly parallel; do NOT
+inline this into a latency-sensitive path with fresh codebooks per
+call — train once, reuse the encoded table.
 """
 
 from __future__ import annotations
@@ -33,30 +43,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .cluster import _dot_py, _quantized
-from .similarity import _dot
 
 PQ_M = 8        # subspaces
 PQ_SUBDIM = 8   # dims per subspace (PQ_M * PQ_SUBDIM == DIM)
 PQ_K = 16       # codes per subspace -> 4 bits/code, 8 bytes/vector
 
 
-def _sub(v: Column, s: int) -> Column:
-    return F.slice(v, s * PQ_SUBDIM + 1, PQ_SUBDIM)
-
-
 def _sub_py(vec: list[float], s: int) -> list[float]:
     return vec[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
 
 
-def _assign_code(sub: Column, book: list[list[float]]) -> Column:
-    """argmin-distance code for one subspace: struct(dist, code)
-    candidates, array_min — same total order as the oracle's
-    row_number (dist ASC, code ASC)."""
-    vv = _dot(sub, sub)
+def _dot_lit(els: list[Column], c: list[float]) -> Column:
+    """Expanded-arithmetic dot against a literal vector: plain
+    ((0 + x1*y1) + x2*y2)... adds — the SAME left-to-right IEEE fold
+    as `_dot`/list_dot_product (so oracle equality is preserved), but
+    as ordinary arithmetic that whole-stage codegen compiles, where a
+    higher-order-function lambda stays interpreted. For the 8-dim PQ
+    subspaces this is 128 codegen'd dots per row instead of 128
+    interpreted lambda folds (~3x end-to-end, measured)."""
+    acc: Column = F.lit(0.0)
+    for el, x in zip(els, c):
+        acc = acc + el * F.lit(float(x))
+    return acc
+
+
+def _assign_code(v: Column, s: int, book: list[list[float]]) -> Column:
+    """argmin-distance code for subspace `s` of the full vector:
+    struct(dist, code) candidates, array_min — same total order as the
+    oracle's row_number (dist ASC, code ASC). Distances use the
+    expanded vv - 2vc + cc form over direct element indexing (no
+    slice, no lambdas)."""
+    els = [v.getItem(s * PQ_SUBDIM + i) for i in range(PQ_SUBDIM)]
+    vv: Column = F.lit(0.0)
+    for el in els:
+        vv = vv + el * el
     cands = []
     for j, c in enumerate(book):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d = vv - F.lit(2.0) * _dot(sub, lit_c) + F.lit(_dot_py(c, c))
+        d = vv - F.lit(2.0) * _dot_lit(els, c) + F.lit(_dot_py(c, c))
         cands.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
     return F.array_min(F.array(*cands))["c"]
 
@@ -90,7 +113,7 @@ def train_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     ]
     # one pass: per-subspace assignment columns + quantized explode
     assigns = [
-        _assign_code(_sub(F.col("v"), s), seeds[s]).alias(f"c{s}")
+        _assign_code(F.col("v"), s, seeds[s]).alias(f"c{s}")
         for s in range(PQ_M)
     ]
     long = (
@@ -141,7 +164,7 @@ def encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     return e.select(
         "vec_id",
         *[
-            _assign_code(_sub(F.col("v"), s), books[s]).alias(f"c{s}")
+            _assign_code(F.col("v"), s, books[s]).alias(f"c{s}")
             for s in range(PQ_M)
         ],
     )

@@ -41,6 +41,31 @@ def test_minhash_lsh_recall(docs):
     assert len(cand) < n_docs * (n_docs - 1) / 2 * 0.05
 
 
+def test_portable_minhash_recall_and_precision(docs):
+    """The portable (md5 + universal-hash) MinHash pipeline must
+    behave like the xxhash64 one: verified pairs are a SUBSET of the
+    true >=0.5 Jaccard pairs (precision 1.0 — verification is exact),
+    recall tracks the 4x4 banding s-curve on the fixture's engineered
+    near-dups, and candidate generation prunes (never all-pairs)."""
+    true_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ld.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ld.portable_minhash_pairs(docs).collect()
+    }
+    assert true_pairs
+    assert set(got) <= set(true_pairs)  # exact verify => precision 1.0
+    for pair, j in got.items():
+        assert j == true_pairs[pair]  # identical exact Jaccard values
+    # strong pairs (J >= 0.8: per-band collision 0.41, miss-all ~0.12)
+    strong = {p for p, j in true_pairs.items() if j >= 0.8}
+    if strong:
+        recall = len(strong & set(got)) / len(strong)
+        assert recall >= 0.5, f"portable MinHash strong-pair recall {recall:.2f}"
+
+
 def _py_simhash(text: str) -> int:
     norm = " ".join(text.lower().split())
     sig = 0

@@ -838,3 +838,62 @@ def test_datagen_rate_exact_no_drift(spark):
         dg.gen_events(spark, 10, events_per_second=2_000_000)
     with _pytest.raises(ValueError, match="events_per_second"):
         dg.gen_events(spark, 10, events_per_second=0)
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing is the co-located-join primitive at 100 TB: write
+    both sides bucketed by the join key (same bucket count), and the
+    sort-merge join reads bucket i against bucket i with NO Exchange
+    under the join — the shuffle is paid once at write time, then
+    every subsequent join of the two tables is shuffle-free. The only
+    Exchange left in the plan belongs to the downstream aggregation.
+    Result equality vs the plain join is asserted value-for-value."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.functions.exact import dec
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spark.sql("DROP TABLE IF EXISTS evt_bkt")
+    spark.sql("DROP TABLE IF EXISTS cust_bkt")
+    (events.select("event_id", "user_id", "value")
+     .write.bucketBy(8, "user_id").sortBy("user_id")
+     .option("path", str(tmp_path / "evt_bkt"))
+     .mode("overwrite").saveAsTable("evt_bkt"))
+    (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .option("path", str(tmp_path / "cust_bkt"))
+     .mode("overwrite").saveAsTable("cust_bkt"))
+    try:
+        e = spark.table("evt_bkt")
+        c = spark.table("cust_bkt")
+        joined = e.hint("merge").join(
+            c, e["user_id"] == c["c_custkey"]
+        ).groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        # the join itself is exchange-free: the only Exchange is the
+        # aggregation's, ABOVE the join in the tree (appears before
+        # SortMergeJoin in the printed plan, never below it)
+        below_join = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in below_join, below_join[:2000]
+        expect = sorted(
+            map(tuple, events.join(
+                cust, events["user_id"] == cust["c_custkey"]
+            ).groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            ).collect())
+        )
+        got = sorted(map(tuple, joined.collect()))
+        assert got == expect and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS evt_bkt")
+        spark.sql("DROP TABLE IF EXISTS cust_bkt")
+
+
