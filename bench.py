@@ -12,7 +12,7 @@ Each query is executed to completion with a ``noop`` write — the full
 plan runs on the executors (scan, shuffle, agg) with zero driver-side
 collection, so timings measure the engine, not pandas conversion.
 
-Methodology: steady-state timings, minimum of three executions per
+Methodology: steady-state timings, minimum of five executions per
 query. The first execution pays whole-stage-codegen compilation and
 JIT warm-up; a full GC runs between queries so one query's garbage is
 not billed to the next. Minimum (not mean) because the host exhibits
@@ -51,7 +51,10 @@ def main() -> None:
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # 5 runs (was 3): the host's interference windows are multi-second
+    # and episodic, so two extra samples materially improve the odds
+    # that the min reflects the engine; ~20 s extra for the whole set
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     specs = [s for s in plans.REGISTRY.values() if s.bench]
     timings: dict[str, float] = {}
     for spec in sorted(specs, key=lambda s: s.name):

@@ -772,6 +772,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "embedding_knn_join",       # broadcast Q-row probe batch x corpus
         "embedding_range_search",   # broadcast Q-row probe batch x corpus
         "docs_bm25",                # 1-row corpus-stats broadcast x docs
+        "docs_unigram_logprob",     # 1-row token-total broadcast x vocab
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):
@@ -897,3 +898,76 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS cust_bkt")
 
 
+
+
+def test_python_datasource_batch_and_stream(spark, tmp_path):
+    """Custom source connector via the Spark 4 Python DataSource API
+    (sources/pyds.py): schema as declared, option-controlled row count
+    and partitioning, bit-identical regeneration across reads, and the
+    same rows through the streaming form (offset-tracked micro-batches
+    into an exactly-once-friendly append)."""
+    from flink_engagement_pipeline_spark.sources.pyds import (
+        EngagementGenDataSource,
+    )
+
+    spark.dataSource.register(EngagementGenDataSource)
+    df = (
+        spark.read.format("engagement_gen")
+        .option("n", 500)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.columns == [
+        "event_id", "ts", "user_id", "content_id", "event_type",
+        "duration_ms", "device", "raw_payload",
+    ]
+    rows = df.collect()
+    assert len(rows) == 500
+    assert df.rdd.getNumPartitions() == 4
+    again = spark.read.format("engagement_gen").option("n", 500).option(
+        "partitions", 7
+    ).load().collect()
+    # same ids -> same rows regardless of partitioning
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # value domains hold
+    from flink_engagement_pipeline_spark.sources.datagen import (
+        DEVICES, EVENT_TYPES,
+    )
+    for r in rows:
+        assert r["event_type"] in EVENT_TYPES
+        assert r["device"] in DEVICES
+        assert (r["duration_ms"] is None) == (
+            r["event_type"] in ("pause", "click")
+        )
+    # streaming form: micro-batches of 100 contiguous ids from the
+    # tracked offset; collect a few batches and stop
+    got_rows: list = []
+
+    def _fb(bdf, _bid):
+        got_rows.extend(map(tuple, bdf.collect()))
+
+    q = (
+        spark.readStream.format("engagement_gen")
+        .option("batch_rows", 100)
+        .load()
+        .writeStream.foreachBatch(_fb)
+        .option("checkpointLocation", str(tmp_path / "pyds-ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 60
+    while _t.time() < deadline and len(got_rows) < 200:
+        _t.sleep(1)
+    q.stop()
+    assert len(got_rows) >= 200
+    batch_same = [
+        tuple(r)
+        for r in spark.read.format("engagement_gen")
+        .option("n", len(got_rows))
+        .load()
+        .collect()
+    ]
+    # the stream emitted exactly ids [0, n) — identical rows
+    assert sorted(got_rows) == sorted(batch_same)
