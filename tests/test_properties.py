@@ -306,3 +306,88 @@ def test_packed_stopword_counts_match_per_lang_filters(spark, toks):
     ).collect()[0]
     for lang in STOPWORDS:
         assert row[f"p_{lang}"] == row[f"f_{lang}"], (lang, toks)
+
+
+def test_portable_minhash_hexint_matches_python(spark):
+    """The portable MinHash's shingle integer (first 12 md5 hex chars
+    via conv(_,16,10)) must equal Python's int(md5[:12], 16) — the
+    cross-language contract the SQL oracle's ('0x'||h)::BIGINT form
+    also relies on. Pinned over arbitrary strings."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    samples = ["", "a", "spark", "the fast key", "żółć", "0" * 40, "x y z"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["x"]
+        for r in df.select(
+            "s",
+            F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("x"),
+        ).collect()
+    }
+    for s in samples:
+        want = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+        assert got[s] == want, s
+
+
+def test_pq_identical_vectors_get_identical_codes(spark):
+    """PQ encoding is a pure function of the vector: a planted exact
+    duplicate must receive exactly the same 8 codes (and therefore the
+    same ADC distance estimate) as its original."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.llm import pq
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dup = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(100000).cast("long").alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    planted = emb.unionByName(dup)
+    books = pq.train_codebooks(planted)
+    codes = {
+        r["vec_id"]: tuple(r[f"c{s}"] for s in range(pq.PQ_M))
+        for r in pq.encode(planted, books).collect()
+    }
+    assert codes[100000] == codes[3]
+
+
+def test_ewma_is_shift_invariant_linear(spark):
+    """EWMA is linear: scaling every value by c scales the result by
+    c exactly when c is a power of two (exact in binary floating
+    point) — a fold-correctness property that would catch any
+    reordering of the recurrence."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.plans import REGISTRY
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    base = {
+        r["user_id"]: r["ewma_value"]
+        for r in REGISTRY["events_ewma"].spark(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("value").isNotNull()
+    )
+    scaled = ev.withColumn("value", F.col("value") * 4.0)
+    vals = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    ewma = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, s: acc * F.lit(0.875) + s["value"] * F.lit(0.125),
+    )
+    got = {
+        r["user_id"]: r["e"]
+        for r in scaled.groupBy("user_id").agg(ewma.alias("e")).collect()
+    }
+    for uid, e in base.items():
+        assert got[uid] == e * 4.0
