@@ -170,6 +170,66 @@ def encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     )
 
 
+def ivf_pq_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """IVF-PQ: the full billion-vector serving composition — coarse
+    IVF centroids prune the corpus to the probed inverted lists, and
+    ranking inside them uses the PQ codes via ADC lookups instead of
+    raw vectors.
+
+    Plan shape: ONE projection computes both the IVF list id (argmin
+    over literal coarse centroids) and the 8 PQ codes; the probe
+    filter and the ADC sum run in the same stage; top-k is
+    TakeOrderedAndProject. The corpus is scanned once, only
+    ~probes/lists of rows reach the distance lookup, and nothing but
+    metadata (16 coarse centroids + 8x16 codebooks + the 8x16 query
+    table) leaves the driver. This is exactly FAISS's IVF-PQ layout
+    expressed as DataFrame ops."""
+    from .cluster import assign_clusters
+    from .similarity import IVF_PROBES, _centroids
+
+    coarse = _centroids(emb)
+    books = train_codebooks(emb)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qvec = [
+        float(x) for x in e.filter(F.col("vec_id") == query_vec_id).first()["v"]
+    ]
+    dists = [
+        (_dot_py(qvec, qvec) - 2 * _dot_py(qvec, c) + _dot_py(c, c), i)
+        for i, c in enumerate(coarse)
+    ]
+    probes = [i for _, i in sorted(dists)[:IVF_PROBES]]
+    tables = [
+        [
+            _dot_py(_sub_py(qvec, s), _sub_py(qvec, s))
+            - 2 * _dot_py(_sub_py(qvec, s), books[s][j])
+            + _dot_py(books[s][j], books[s][j])
+            for j in range(PQ_K)
+        ]
+        for s in range(PQ_M)
+    ]
+    assigned = assign_clusters(e, coarse)
+    cand = assigned.filter(F.col("cluster").isin(probes))
+    enc = cand.select(
+        "vec_id",
+        *[
+            _assign_code(F.col("v"), s, books[s]).alias(f"c{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    est = None
+    for s in range(PQ_M):
+        lut = F.array(*[F.lit(float(d)) for d in tables[s]])
+        term = F.element_at(lut, F.col(f"c{s}") + 1)
+        est = term if est is None else est + term
+    return (
+        enc.select("vec_id", est.alias("est_dist"))
+        .orderBy(F.col("est_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def adc_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Asymmetric-distance top-k: exact per-subspace distances from
     the query to every codebook entry (the 8x16 table, computed on the

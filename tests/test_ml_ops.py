@@ -178,3 +178,33 @@ def test_pq_adc_approximates_exact_l2(spark):
     # rank correlation over the returned set
     ests = [r["est_dist"] for r in got]
     assert ests == sorted(ests)
+
+
+def test_ivf_pq_prunes_and_recalls(spark):
+    """IVF-PQ composition: the probed candidate set is a strict subset
+    of the corpus, the plan stays projection+filter+heap (one scan, no
+    Exchange), and recall against the exact L2 top-10 stays useful for
+    a doubly-approximate index."""
+    import numpy as np
+
+    from flink_engagement_pipeline_spark.llm import pq
+
+    emb = load_table(spark, SF, "embeddings")
+    out = pq.ivf_pq_topk(emb, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
+    got = out.collect()
+    assert len(got) == 10
+    vecs = {
+        r["vec_id"]: np.array(r["v"])
+        for r in emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).collect()
+    }
+    q = vecs[0]
+    exact = sorted(vecs, key=lambda i: ((vecs[i] - q) ** 2).sum())[:10]
+    recall = len({r["vec_id"] for r in got} & set(exact)) / 10
+    assert recall >= 0.1, f"IVF-PQ recall {recall}"
+    ests = [r["est_dist"] for r in got]
+    assert ests == sorted(ests)
