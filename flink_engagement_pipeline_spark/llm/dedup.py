@@ -342,27 +342,24 @@ PORTABLE_COEFFS = [
 del _rng
 
 
-def portable_minhash_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
-) -> DataFrame:
-    """MinHash + banded LSH + exact verify, built ONLY from portable
-    primitives (md5, integer affine hashing) so the whole approximate
-    pipeline carries a hash-matching SQL oracle — unlike the xxhash64
-    form above, whose hash has no SQL equivalent.
-
-    Per shingle, x = int(first 12 hex chars of md5) — 48 bits; the
-    j-th signature entry is min over shingles of (a_j*x + b_j) mod
-    (2^61-1), a classic universal hash family. Signatures band into
-    4-row keys; candidates equi-join on (band, key); candidates then
-    pass the EXACT Jaccard verify, so precision is 1.0 and only
-    recall is approximate (the banding s-curve). Same plan skeleton
-    as the scale path: one shingle explode, one signature groupBy,
-    one bucket equi-join, verify on candidates only — never
-    all-pairs.
-    """
-    base = fan_out(docs.select("doc_id", "text")).select(
+def portable_base(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh): fanned-out distinct word-n-gram shingle arrays —
+    the shared input of the portable signatures and of exact
+    verification (factored out so incremental ingest reuses it)."""
+    return fan_out(docs.select("doc_id", "text")).select(
         F.col("doc_id"), shingles("text", n).alias("sh")
     )
+
+
+def portable_band_index(base: DataFrame) -> DataFrame:
+    """The persistable PORTABLE-MinHash band index of a corpus:
+    (doc_id, band_idx, key) — the md5/affine-hash counterpart of
+    `minhash_bands`, built only from primitives with exact SQL
+    equivalents so every query composed on it can hash-match a DuckDB
+    oracle. Per shingle, x = int(first 12 hex chars of md5) — 48
+    bits; the j-th signature entry is min over shingles of
+    (a_j*x + b_j) mod (2^61-1); signatures band into 4-row CSV keys.
+    """
     x = F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10).cast("long")
     xs = base.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", x.alias("x")
@@ -376,7 +373,7 @@ def portable_minhash_pairs(
         ]
     )
     num_bands = PORTABLE_HASHES // PORTABLE_BAND_ROWS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -398,6 +395,24 @@ def portable_minhash_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.key")
+
+
+def portable_minhash_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash + banded LSH + exact verify, built ONLY from portable
+    primitives (md5, integer affine hashing) so the whole approximate
+    pipeline carries a hash-matching SQL oracle — unlike the xxhash64
+    form above, whose hash has no SQL equivalent.
+
+    Candidates equi-join on (band, key); candidates then pass the
+    EXACT Jaccard verify, so precision is 1.0 and only recall is
+    approximate (the banding s-curve). Same plan skeleton as the
+    scale path: one shingle explode, one signature groupBy, one
+    bucket equi-join, verify on candidates only — never all-pairs.
+    """
+    base = portable_base(docs, n)
+    bands = portable_band_index(base)
     cand = (
         bands.alias("a")
         .join(
@@ -492,6 +507,80 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes na ON doc_a = na.doc_id
 JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= {threshold}
+"""
+
+
+def incremental_portable_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """Full SQL replication of the portable incremental ingest with
+    the 80%-of-max-id corpus/batch split the registered query uses:
+    corpus = doc_id < (max*4)//5, batch = the rest. Bands over ALL
+    docs equal corpus_index ∪ batch_bands, so restricting the
+    candidate join's left side to batch ids reproduces the ingest
+    exactly."""
+    grams = " || ' ' || ".join(f"ws[i+{d}]" for d in range(n))
+    sig_cols = ",\n           ".join(
+        f"min(({a}*x + {b}) % {_MERSENNE_P}) AS h{j}"
+        for j, (a, b) in enumerate(PORTABLE_COEFFS)
+    )
+    num_bands = PORTABLE_HASHES // PORTABLE_BAND_ROWS
+    band_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || ',' || ".join(
+            f"CAST(h{b * PORTABLE_BAND_ROWS + r} AS VARCHAR)"
+            for r in range(PORTABLE_BAND_ROWS)
+        )
+        + " AS key FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+WITH cut AS (SELECT (max(doc_id)*4)//5 AS c FROM documents),
+base AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(
+               CASE WHEN len(ws) >= {n}
+                    THEN list_distinct(list_transform(range(1, len(ws) - {n - 2}), i -> {grams}))
+                    ELSE [array_to_string(ws, ' ')] END
+           ) AS sh
+    FROM base
+),
+xs AS (
+    SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS x FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           {sig_cols}
+    FROM xs GROUP BY doc_id
+),
+bands AS (
+    {band_selects}
+),
+cand AS (
+    SELECT a.doc_id AS doc_id, b.doc_id AS dup_of
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id > b.doc_id,
+      cut
+    WHERE a.doc_id >= cut.c
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+    SELECT c.doc_id, c.dup_of, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_id
+    JOIN sh b ON b.doc_id = c.dup_of AND b.sh = a.sh
+    GROUP BY 1, 2
+)
+SELECT c.doc_id AS doc_id, c.dup_of AS dup_of,
+       CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) AS jaccard
+FROM common c
+JOIN sizes na ON c.doc_id = na.doc_id
+JOIN sizes nb ON c.dup_of = nb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common) >= {threshold}
 """
 
@@ -767,6 +856,60 @@ def minhash_bands(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_sig")
+
+
+def incremental_portable_ingest(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """`incremental_minhash_dedup` rebuilt on the PORTABLE MinHash so
+    the whole ingest screen — index join, candidate generation, exact
+    verification — carries a hash-matching SQL oracle.
+
+    Same production contract: `corpus_bands` is the persisted band
+    index (`portable_band_index`, appended per batch), candidate
+    generation never re-reads corpus text, and exact Jaccard runs on
+    candidates only. Assumes an append-only id space (ingest ids are
+    larger than corpus ids), so `dup_of < doc_id` covers both
+    corpus matches and in-batch ordering. Returns
+    (doc_id, dup_of, jaccard) for every >= threshold match.
+    """
+    base_new = portable_base(new_docs, n)
+    new_bands = portable_band_index(base_new)
+    all_bands = corpus_bands.unionByName(new_bands)
+    cand = (
+        new_bands.alias("a")
+        .join(
+            all_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("dup_of")
+        )
+        .distinct()
+    )
+    sh_all = base_new.unionByName(portable_base(corpus_docs, n))
+    a = base_new.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
+    b = sh_all.select(
+        F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "doc_id")
+        .join(b, "dup_of")
+        .select(
+            "doc_id",
+            "dup_of",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def dedup_e2e_portable(

@@ -9,6 +9,7 @@ from . import queries_llm  # noqa: F401,E402
 from . import queries_tpch  # noqa: F401,E402
 from . import queries_stream  # noqa: F401,E402
 from . import queries_ml  # noqa: F401,E402
+from . import queries_ml2  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order is part of the driver contract: the correctness gate
@@ -32,17 +33,23 @@ from . import queries_ml  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY: tuple[str, ...] = (
-    # -- [a] stable sentinels (reference surface + headline LLM ops) --
+    # -- [a] stable sentinels (reference surface + headline LLM ops).
+    # cdc_materialize / embedding_cosine_topk / pricing_summary /
+    # regional_revenue rotated out mid-round-4 (each has 1-2 green
+    # driver rows and is unchanged; still in the local sweep) to make
+    # room for four queries added later in round 4 — per the round-3
+    # ADVICE that new work must not sit outside the gate window. --
     "enrich_events",
     "latest_per_key",
     "hop_engagement_sum",
-    "cdc_materialize",
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_minhash_pairs",
-    "embedding_cosine_topk",
-    "pricing_summary",
-    "regional_revenue",
+    # -- [b] added mid-round-4 (queries_ml2.py) --
+    "docs_minhash_ingest",
+    "embedding_ivf_pq",
+    "docs_pmi_bigrams",
+    "docs_quality_deciles",
     # -- [b] first driver rows: round-3 additions never externally checked --
     "docs_dedup_e2e",
     "embedding_knn_join",
