@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import dedup as ld
+from ..llm import similarity as ls
 from ..llm import text as lt
+from ..operators.graph import pagerank, pagerank_ctes
 from ..operators.layout import zorder_key
 from ..operators.rank import global_row_number
 from ..sources.tables import load_table
@@ -547,4 +549,193 @@ def q_docs_head_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_SQL = """items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS w
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT part_a AS src, part_b AS dst, w FROM pairs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst, w FROM pairs
+)"""
+
+_PR_ITERS = 3
+
+
+@register(
+    "parts_pagerank",
+    oracle=f"""
+WITH {_PR_EDGES_SQL},
+{pagerank_ctes("edges", _PR_ITERS)}
+SELECT node, r AS rank_micros, CAST(r AS DOUBLE) / 1e6 AS pr
+FROM r{_PR_ITERS}
+""",
+    doc=(
+        f"Weighted PageRank ({_PR_ITERS} iterations, damping 0.85) "
+        "over the part co-purchase graph (edges = part pairs sharing "
+        "an order, weighted by co-order count, both directions) — the "
+        "iterative graph-centrality operator, Pregel-as-DataFrame: "
+        "each iteration is one edge-by-rank equi-join plus one "
+        "destination-keyed aggregation, state and edges co-partition "
+        "by node key, nothing collects to the driver. Rank flows as "
+        "INTEGER micro-units with integer division "
+        "(operators/graph.py), so the contribution sum is "
+        "order-independent and the unrolled recursion hash-matches "
+        "the SQL CTE replication exactly — an iterative algorithm "
+        "with a full value-level oracle, like the quantized k-means."
+    ),
+    tags=("graph", "pagerank", "iterative"),
+)
+def q_parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst"), "w"
+        )
+    )
+    return pagerank(edges, iters=_PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (LSH vs exact)
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+
+
+@register(
+    "embedding_ann_recall",
+    oracle=f"""
+SELECT {_RECALL_K} AS k,
+       count(*) AS n_overlap,
+       CAST(count(*) AS DOUBLE) / {_RECALL_K} AS recall
+FROM ({ls.cosine_topk_oracle_sql(k=_RECALL_K)}) e
+JOIN ({ls.ann_topk_oracle_sql(k=_RECALL_K)}) a USING (vec_id)
+""",
+    doc=(
+        f"ANN index-quality evaluation: recall@{_RECALL_K} of the "
+        "hyperplane-LSH index against the exact cosine baseline, "
+        "computed IN the engine (both rankings + their id-set "
+        "intersection, one row out) — the measurement loop an index "
+        "deployment runs before trading exactness for speed. Both "
+        "sides are deterministic (literal hyperplanes, fold-exact "
+        "dots), so even this meta-query hash-matches its SQL "
+        "replication."
+    ),
+    tags=("llm", "embedding", "ann", "evaluation"),
+)
+def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = ls.cosine_topk(emb, k=_RECALL_K).select("vec_id")
+    approx = ls.ann_topk(emb, k=_RECALL_K).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit(_RECALL_K).alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / F.lit(_RECALL_K)).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) anomaly detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type,
+         floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS med
+  FROM e GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, med.med AS med,
+         abs(e.value - med.med) AS adev
+  FROM e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         floor(quantile_cont(adev, 0.5) * 1000000 + 0.5) / 1000000 AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT event_id, event_type, value, med, mad, rz FROM (
+  SELECT d.event_id AS event_id, d.event_type AS event_type,
+         d.value AS value, d.med AS med, m.mad AS mad,
+         floor(((d.value - d.med) / (1.4826 * m.mad)) * 1000000 + 0.5)
+             / 1000000 AS rz
+  FROM dev d JOIN mad m USING (event_type)
+  WHERE m.mad > 0) t
+WHERE abs(rz) > 3.5
+""",
+    doc=(
+        "Robust outlier detection: per-type median and MAD (median "
+        "absolute deviation), flag |(x - med)/(1.4826*MAD)| > 3.5 — "
+        "the heavy-tail-safe twin of events_anomaly_zscore (mean/std "
+        "break down exactly when the data HAS outliers; med/MAD have "
+        "50% breakdown). Two grouped exact-percentile passes, each a "
+        "type-keyed aggregate broadcast back over the stream — at "
+        "100 TB swap approx_percentile into the same shape. Both "
+        "medians and the final score quantize at 1e-6 (the "
+        "value_percentiles_exact device), so Spark percentile() and "
+        "DuckDB quantile_cont agree exactly."
+    ),
+    tags=("analytics", "anomaly", "robust", "percentile"),
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _q6(c):
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(
+        _q6(F.percentile("value", F.lit(0.5))).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        _q6(F.percentile("adev", F.lit(0.5))).alias("mad")
+    )
+    rz = _q6((F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select("event_id", "event_type", "value", "med", "mad", rz.alias("rz"))
+        .filter(F.abs(F.col("rz")) > 3.5)
     )

@@ -345,3 +345,74 @@ def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_datagen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen_events(spark, 10_000, events_per_second=7, partitions=8)
+
+
+@register(
+    "stream_stateful_replay",
+    oracle="""
+SELECT user_id,
+       CAST(2 * count(*) AS BIGINT) AS n_events,
+       CAST(2 * coalesce(sum(
+           CASE WHEN value IS NULL THEN 0
+                WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT) END), 0)
+            AS BIGINT) AS total_cents
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+""",
+    doc=(
+        "Custom stateful operator under the driver oracle: the events "
+        "fixture replays TWICE (maxFilesPerTrigger=1 -> two "
+        "micro-batches) through the applyInPandasWithState running "
+        "per-user accumulator (streaming/stateful.py, integer-cent "
+        "state so accumulation is order-independent), update-mode "
+        "output lands in the exactly-once IdempotentParquetSink, and "
+        "the LAST committed batch is returned. Every user's final "
+        "(n_events, total_cents) equals exactly 2x the batch "
+        "aggregate — the doubling is the PROOF that per-key state "
+        "survived across micro-batches, and the cent quantization is "
+        "what lets a Python stateful processor hash-match a SQL "
+        "oracle value-for-value."
+    ),
+    tags=("streaming", "stateful", "exactly-once", "consistency"),
+)
+def q_stream_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import read_events_stream
+    from ..streaming.stateful import running_user_totals_cents
+
+    tmp = tempfile.mkdtemp(prefix="stream_stateful_")
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    os.symlink(src, os.path.join(events_dir, "a.parquet"))
+    os.symlink(src, os.path.join(events_dir, "b.parquet"))
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "16")
+    try:
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        totals = running_user_totals_cents(
+            stream.filter(F.col("user_id").isNotNull())
+        )
+        q = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: sink.write_batch(df, bid))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(part_key, saved)
+    import glob
+
+    last = max(
+        int(os.path.basename(os.path.dirname(m)).split("=")[1])
+        for m in glob.glob(os.path.join(sink.out_dir, "*", "_COMMITTED"))
+    )
+    final = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+        os.path.join(sink.out_dir, f"batch_id={last}")
+    )
+    return final.select("user_id", "n_events", "total_cents")

@@ -145,3 +145,71 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# integer-cents twin (driver-oracle-able)
+# ---------------------------------------------------------------------------
+
+CENTS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+CENTS_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def _cents_sum(values: pd.Series) -> int:
+    """Sign-aware half-up cent quantization (the windows.py
+    convention), summed as Python ints — order-independent, so the
+    cross-batch accumulation is exactly reproducible in SQL."""
+    import numpy as np
+
+    x = values.dropna().to_numpy(dtype=float)
+    if not len(x):
+        return 0
+    c = np.where(x >= 0, np.floor(x * 100 + 0.5), -np.floor(-x * 100 + 0.5))
+    return int(c.sum())
+
+
+def _update_cents(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += _cents_sum(pdf["value"])
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def running_user_totals_cents(events: DataFrame) -> DataFrame:
+    """Streaming per-user running (count, cent-exact sum) across
+    micro-batches — the float accumulator's integer twin. Because
+    state is integer cents, the value after ANY replay schedule is a
+    pure function of the multiset of inputs, which is what lets the
+    registered `stream_stateful_replay` query hash-match a batch SQL
+    oracle instead of settling for a stream==batch pytest."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_cents,
+            outputStructType=CENTS_OUTPUT_SCHEMA,
+            stateStructType=CENTS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

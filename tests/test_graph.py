@@ -1,0 +1,68 @@
+"""Unit tests for the integer-quantized PageRank operator
+(operators/graph.py) on a hand-computed graph — the registry oracle
+(parts_pagerank) covers the full-scale composition; this pins the
+per-iteration arithmetic to exact expected micro-unit values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_engagement_pipeline_spark.operators.graph import pagerank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def test_pagerank_path_graph_exact_micros(spark):
+    # undirected path a(1) - b(2) - c(3), unit weights, 2 iterations.
+    # wdeg: a=1, b=2, c=1; r0 = 1_000_000 each.
+    # iter1: s(a)=500000, s(b)=2_000_000, s(c)=500000
+    #        r1(a)=150000+425000=575000, r1(b)=1_850_000, r1(c)=575000
+    # iter2: s(a)=925000, s(b)=1_150_000, s(c)=925000
+    #        r2(a)=936250, r2(b)=1_127_500, r2(c)=936250
+    e = _edges(
+        spark,
+        [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1)],
+    )
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank(e, iters=2).collect()
+    }
+    assert got == {1: 936_250, 2: 1_127_500, 3: 936_250}
+
+
+def test_pagerank_total_rank_bounded_and_symmetric(spark):
+    # a 4-cycle is vertex-transitive: all ranks identical, and each
+    # equals the stationary value 1.0 (integer units: 1_000_000)
+    # because every node both sends and receives its full rank.
+    e = _edges(
+        spark,
+        [(a, b, 1) for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]]
+        + [(b, a, 1) for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]],
+    )
+    rows = pagerank(e, iters=3).collect()
+    micros = {r["rank_micros"] for r in rows}
+    assert micros == {1_000_000}
+    assert {r["pr"] for r in rows} == {1.0}
+
+
+def test_pagerank_weight_bias(spark):
+    # star with one heavy edge: the heavy neighbor must outrank the
+    # light one, and ranks stay positive longs.
+    e = _edges(
+        spark,
+        [(1, 2, 9), (2, 1, 9), (1, 3, 1), (3, 1, 1)],
+    )
+    got = {r["node"]: r["rank_micros"] for r in pagerank(e, iters=3).collect()}
+    assert got[2] > got[3] > 0
+
+
+def test_pagerank_plan_no_cartesian(spark):
+    e = _edges(spark, [(1, 2, 1), (2, 1, 1)])
+    plan = (
+        pagerank(e, iters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

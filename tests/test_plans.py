@@ -139,12 +139,16 @@ def test_multiformat_source_roundtrip(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     want = sorted(map(tuple, ev.collect()))
     jdir, cdir = str(tmp_path / "ev_json"), str(tmp_path / "ev_csv")
+    odir = str(tmp_path / "ev_orc")
     fsrc.write_events_json(ev, jdir)
     fsrc.write_events_csv(ev, cdir)
+    fsrc.write_events_orc(ev, odir)
     got_j = sorted(map(tuple, fsrc.read_events_json(spark, jdir).collect()))
     got_c = sorted(map(tuple, fsrc.read_events_csv(spark, cdir).collect()))
+    got_o = sorted(map(tuple, fsrc.read_events_orc(spark, odir).collect()))
     assert got_j == want
     assert got_c == want
+    assert got_o == want
 
 
 def test_rollup_reuse_two_tier_aggregation(spark, sf_dir):
@@ -783,6 +787,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "docs_unigram_logprob",     # 1-row token-total broadcast x vocab
         "docs_pmi_bigrams",         # 1-row corpus-totals broadcast x pairs
         "docs_quality_gate",        # 1-row percentile-threshold broadcast
+        "embedding_ann_recall",     # composes the allowlisted 1-probe topks
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):
