@@ -739,3 +739,50 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", "med", "mad", rz.alias("rz"))
         .filter(F.abs(F.col("rz")) > 3.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# relative-standing window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_rank_distribution",
+    oracle="""
+SELECT event_id, event_type, value,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+           AS pct_rank,
+       cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+           AS cume
+FROM events
+WHERE value IS NOT NULL
+""",
+    doc=(
+        "Relative standing per event within its type: percent_rank "
+        "((rank-1)/(n-1)) and cume_dist (rows <= current / n) — the "
+        "two remaining ANSI ranking window functions after "
+        "rank/dense_rank/ntile/row_number elsewhere in the registry. "
+        "Both are pure functions of tie-group counts, so ties need no "
+        "ordering tiebreak and the integer-ratio doubles are "
+        "engine-exact. NULL values are filtered first: Spark orders "
+        "nulls FIRST ascending, DuckDB LAST — the one window-ordering "
+        "semantic the engines genuinely disagree on. Partitioned "
+        "window = partition-local sort per type key; no "
+        "SinglePartition exchange."
+    ),
+    tags=("window", "ranking", "analytics"),
+)
+def q_value_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )

@@ -847,3 +847,86 @@ def test_rocksdb_state_store_stream_equals_batch(spark, tmp_path):
     )
     assert got == sorted(map(tuple, batch.collect()))
     assert len(got) > 0
+
+
+def test_rocksdb_state_store_cents_accumulator(spark, tmp_path):
+    """The integer-cent applyInPandasWithState accumulator (the
+    operator behind the registered stream_stateful_replay query) on
+    the RocksDB state store provider: per-key GroupState round-trips
+    through RocksDB across micro-batches, and a two-batch full replay
+    still yields exactly 2x the batch aggregate for every user."""
+    import os
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    part_key = "spark.sql.shuffle.partitions"
+    saved_parts = spark.conf.get(part_key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(part_key, "8")
+    try:
+        from flink_engagement_pipeline_spark.streaming.stateful import (
+            running_user_totals_cents,
+        )
+
+        d = tmp_path / "rocks-cents-in"
+        d.mkdir()
+        src = os.path.abspath(f"{SF}/events.parquet")
+        os.symlink(src, d / "a.parquet")
+        os.symlink(src, d / "b.parquet")
+        sink = sk.IdempotentParquetSink(str(tmp_path / "rocks-cents-out"))
+        stream = sp.read_events_stream(spark, str(d), max_files_per_trigger=1)
+        totals = running_user_totals_cents(
+            stream.filter(F.col("user_id").isNotNull())
+        )
+        q = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: sink.write_batch(df, bid))
+            .option(
+                "checkpointLocation", str(tmp_path / "rocks-cents-ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+        spark.conf.set(part_key, saved_parts)
+    import glob
+
+    last = max(
+        int(os.path.basename(os.path.dirname(m)).split("=")[1])
+        for m in glob.glob(
+            os.path.join(sink.out_dir, "*", "_COMMITTED")
+        )
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in spark.read.option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(sink.out_dir, f"batch_id={last}"))
+        .collect()
+    }
+    cents = F.when(
+        F.col("value") >= 0, F.floor(F.col("value") * 100 + F.lit(0.5))
+    ).otherwise(-F.floor(-F.col("value") * 100 + F.lit(0.5)))
+    want = {
+        r["user_id"]: (2 * r["n"], 2 * r["c"])
+        for r in load_table(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("value").isNotNull(), cents).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("c"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
