@@ -786,3 +786,150 @@ def q_value_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-aware dedup survivor selection
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_dedup_survivors_quality",
+    oracle=f"""
+WITH cl AS (
+  SELECT doc_id, cluster_id
+  FROM ({ld.closure_oracle_sql(ld.portable_minhash_oracle_sql())}) t
+),
+q AS (SELECT doc_id, {_QSCORE} AS quality_score FROM documents),
+j AS (
+  SELECT cl.doc_id AS doc_id, cl.cluster_id AS cluster_id,
+         q.quality_score AS quality_score
+  FROM cl JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality_score,
+       first_value(doc_id) OVER (
+           PARTITION BY cluster_id
+           ORDER BY quality_score DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS survivor_id,
+       doc_id = first_value(doc_id) OVER (
+           PARTITION BY cluster_id
+           ORDER BY quality_score DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS is_survivor
+FROM j
+""",
+    doc=(
+        "Quality-aware survivor selection: near-dup clusters (portable "
+        "LSH candidates -> exact verify -> connected components, the "
+        "docs_dedup_e2e_portable composition) keep their HIGHEST-"
+        "QUALITY member instead of the lowest id — the survivor "
+        "POLICY layer of production dedup (min-id is an arbitrary "
+        "tiebreak; curation wants the best duplicate, ties to lowest "
+        "id for determinism). One extra cluster-keyed window over the "
+        "cluster assignment; the recursive-CTE closure + quality "
+        "scoring are both replicated in the oracle, so the full "
+        "policy hash-matches."
+    ),
+    tags=("llm", "dedup", "curation", "policy"),
+)
+def q_docs_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..llm.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    verified = ld.portable_minhash_pairs(docs)
+    cc = connected_components(
+        verified.select("doc_a", "doc_b"), docs.select("doc_id")
+    )
+    q = docs.select(
+        "doc_id",
+        lt.quality_score("text")["quality_score"].alias("quality_score"),
+    )
+    j = cc.select("doc_id", "cluster_id").join(q, "doc_id")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    survivor = F.first("doc_id").over(w)
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        survivor.alias("survivor_id"),
+        (F.col("doc_id") == survivor).alias("is_survivor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (classifier evaluation in-engine)
+# ---------------------------------------------------------------------------
+
+_LANG_PRED = f"""CASE WHEN {_hits('en')} >= {_hits('de')} AND {_hits('en')} >= {_hits('es')}
+          AND {_hits('en')} >= {_hits('fr')} AND {_hits('en')} > 0 THEN 'en'
+     WHEN {_hits('de')} >= {_hits('es')} AND {_hits('de')} >= {_hits('fr')}
+          AND {_hits('de')} > 0 THEN 'de'
+     WHEN {_hits('es')} >= {_hits('fr')} AND {_hits('es')} > 0 THEN 'es'
+     WHEN {_hits('fr')} > 0 THEN 'fr'
+     ELSE 'und' END"""
+
+
+@register(
+    "docs_langid_confusion",
+    oracle=f"""
+WITH pred AS (
+  SELECT lang AS lang_true, {_LANG_PRED} AS lang_pred FROM documents
+),
+tot AS (SELECT count(*) AS n FROM pred)
+SELECT lang_true, lang_pred, n_docs, frac_of_true, overall_accuracy FROM (
+  SELECT p.lang_true AS lang_true, p.lang_pred AS lang_pred,
+         count(*) AS n_docs,
+         CAST(count(*) AS DOUBLE)
+           / sum(count(*)) OVER (PARTITION BY p.lang_true) AS frac_of_true,
+         CAST(sum(sum(CASE WHEN p.lang_true = p.lang_pred THEN 1 ELSE 0 END))
+                  OVER () AS DOUBLE) / max(t.n) AS overall_accuracy
+  FROM pred p, tot t
+  GROUP BY p.lang_true, p.lang_pred) s
+""",
+    doc=(
+        "Classifier evaluation in-engine: the language-ID heuristic's "
+        "confusion matrix against the fixture's ground-truth lang "
+        "column — (true, predicted) counts, per-true-language recall "
+        "fraction, and overall accuracy on every row (the same "
+        "measurement-loop pattern as embedding_ann_recall, applied to "
+        "a classifier instead of an index). One projection pass "
+        "computes the prediction, one (true, pred) aggregation builds "
+        "the matrix (at most |langs|^2 rows), window sums derive the "
+        "ratios — integer-ratio doubles, engine-exact."
+    ),
+    tags=("llm", "text", "lang-id", "evaluation"),
+)
+def q_docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_true"),
+        lt.lang_pred("text").alias("lang_pred"),
+    )
+    cells = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_true = Window.partitionBy("lang_true")
+    everything = Window.partitionBy()
+    correct = F.sum(
+        F.when(F.col("lang_true") == F.col("lang_pred"), F.col("n_docs")).otherwise(
+            F.lit(0)
+        )
+    ).over(everything)
+    total = F.sum("n_docs").over(everything)
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(per_true)
+        ).alias("frac_of_true"),
+        (correct.cast("double") / total).alias("overall_accuracy"),
+    )
