@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import dedup as ld
+from ..llm import pca as lpca
 from ..llm import similarity as ls
 from ..llm import text as lt
 from ..operators.graph import pagerank, pagerank_ctes
@@ -933,3 +934,104 @@ def q_docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frac_of_true"),
         (correct.cast("double") / total).alias("overall_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+_WS_SALT = ":ws1"
+
+
+@register(
+    "docs_weighted_sample",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, {_QSCORE} AS quality_score FROM documents
+),
+keyed AS (
+  SELECT doc_id, quality_score,
+         greatest(quality_score, 0.001) AS w,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_WS_SALT}'), 1, 12))::BIGINT
+          + 1) / CAST(281474976710656 AS DOUBLE) AS u
+  FROM q
+)
+SELECT doc_id, quality_score, sample_key FROM (
+  SELECT doc_id, quality_score,
+         floor((ln(u) / w) * 1e9 + 0.5) / 1e9 AS sample_key
+  FROM keyed) t
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {_WS_K}
+""",
+    doc=(
+        f"Deterministic weighted sampling without replacement "
+        f"(Efraimidis-Spirakis A-ES): top {_WS_K} documents by "
+        "ln(u)/w where u is an md5-derived uniform in (0,1] and w is "
+        "the quality score (floored at 0.001) — quality-weighted "
+        "corpus subsetting that is REPRODUCIBLE (salt-keyed hash "
+        "uniforms, no RNG state) and one-pass (projection + "
+        "TakeOrderedAndProject; at 100 TB the per-partition heaps "
+        "keep k rows each, nothing global until the final k merge). "
+        "Changing the salt redraws the sample for free; union of "
+        "per-shard top-k is exact, which is what makes A-ES the "
+        "distributed-sampling standard. ln is quantized at 1e-9 as "
+        "everywhere, so the key is engine-exact."
+    ),
+    tags=("llm", "corpus", "sampling", "weighted"),
+)
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = docs.select(
+        "doc_id",
+        lt.quality_score("text")["quality_score"].alias("quality_score"),
+    )
+    w = F.greatest(F.col("quality_score"), F.lit(0.001))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_WS_SALT))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 48))
+    key = F.floor((F.log(u) / w) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    return (
+        qdf.select("doc_id", "quality_score", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(_WS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# power-iteration top principal component
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_power_iteration",
+    oracle=lpca.power_iteration_oracle_sql(),
+    doc=(
+        "Power-iteration top principal component (2 iterations from "
+        "e_0) scoring every embedding's projection on the dominant "
+        "uncentered direction — the whitening / outlier-axis "
+        "primitive, and the iterative LINEAR-ALGEBRA member of the "
+        "quantized-iteration family (k-means, PageRank, PQ). Each "
+        "iteration is ONE aggregation producing 64 integer sums "
+        "(driver metadata); per-row contributions quantize to "
+        "integers so the corpus sum is order-independent, the norm's "
+        "sum-of-squares stays in exact 128-bit integers, and IEEE "
+        "sqrt is correctly rounded by definition — so the whole "
+        "recursion unrolls into SQL CTEs and hash-matches with NO "
+        "tolerance. Final projection is a pure fold expression, zero "
+        "shuffle. llm/pca.py."
+    ),
+    tags=("llm", "embedding", "pca", "iterative"),
+)
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import pca
+
+    return pca.top_component_scores(load_table(spark, sf_dir, "embeddings"))
