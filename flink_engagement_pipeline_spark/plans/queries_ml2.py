@@ -1035,3 +1035,223 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import pca
 
     return pca.top_component_scores(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# per-source duplication rate
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_dup_rate_by_source",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, md5({_NORM}) AS fp FROM documents
+),
+marked AS (
+  SELECT source,
+         CASE WHEN count(*) OVER (PARTITION BY fp) > 1
+               AND doc_id > min(doc_id) OVER (PARTITION BY fp)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM fp
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+       CAST(sum(is_dup) AS DOUBLE) / count(*) AS dup_rate
+FROM marked
+GROUP BY source
+""",
+    doc=(
+        "Duplication-rate scorecard per source: a document is a "
+        "duplicate if its exact fingerprint (md5 of normalized text) "
+        "appears elsewhere in the CORPUS and it is not the group's "
+        "min-id survivor; rates aggregate per source — the curation "
+        "dashboard number that decides which crawls get re-weighted "
+        "or dropped. One fingerprint-keyed window + one source "
+        "aggregation; cross-source duplicates charge the "
+        "non-survivor's source, matching survivor-selection "
+        "semantics."
+    ),
+    tags=("llm", "dedup", "curation", "metrics"),
+)
+def q_docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", F.md5(lt.normalize("text")).alias("fp")
+    )
+    wfp = Window.partitionBy("fp")
+    is_dup = (
+        (F.count(F.lit(1)).over(wfp) > 1)
+        & (F.col("doc_id") > F.min("doc_id").over(wfp))
+    ).cast("int")
+    return (
+        fp.select("source", is_dup.alias("is_dup"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dups"),
+            (F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring (add-k smoothing)
+# ---------------------------------------------------------------------------
+
+_BLM_K = 0.5
+
+
+@register(
+    "docs_bigram_logprob",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM base
+),
+pairs AS (
+  SELECT doc_id, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM bg
+),
+c12 AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM c12 GROUP BY w1),
+vocab AS (SELECT count(DISTINCT w2) AS v FROM pairs),
+qlp AS (
+  SELECT c12.w1 AS w1, c12.w2 AS w2,
+         CAST(floor(ln((c12.c + CAST({_BLM_K} AS DOUBLE))
+                       / (c1.c + CAST({_BLM_K} AS DOUBLE) * v)) * 1e9
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+  FROM c12 JOIN c1 USING (w1), vocab
+)
+SELECT p.doc_id AS doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(q.q) AS DOUBLE) / 1e9 AS logprob,
+       -(CAST(sum(q.q) AS DOUBLE) / 1e9) / count(*) AS xent
+FROM pairs p JOIN qlp q ON p.w1 = q.w1 AND p.w2 = q.w2
+GROUP BY p.doc_id
+""",
+    doc=(
+        f"Self-trained BIGRAM language-model scoring with add-k "
+        f"smoothing (k={_BLM_K}): p(w2|w1) = (c12+k)/(c1+k*V), every "
+        "document scored by total bigram log-probability and "
+        "per-bigram cross-entropy — the next rung of the LM quality "
+        "ladder above docs_unigram_logprob (bigram perplexity "
+        "separates fluent text from shuffled-word salad that unigram "
+        "stats cannot). Same determinism device: per-bigram log p "
+        "quantizes to integer nano-nats, making the per-doc sum "
+        "order-independent. Plan: one bigram explode feeds the model "
+        "counts AND the scoring join ((w1,w2)-keyed, model never "
+        "collects); c1 derives from c12 (no second pass); one doc "
+        "aggregation."
+    ),
+    tags=("llm", "text", "quality", "language-model"),
+)
+def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = lt.words("text")
+    pairs = docs.select(
+        "doc_id", F.explode(lt.bigrams_list(ws)).alias("bg")
+    ).select(
+        "doc_id",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = pairs.agg(F.countDistinct("w2").alias("v"))
+    qlp = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c12") + F.lit(_BLM_K))
+                    / (F.col("c1") + F.lit(_BLM_K) * F.col("v"))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    scored = pairs.join(qlp, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("q").alias("sq"),
+    )
+    logprob = F.col("sq").cast("double") / F.lit(1e9)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        logprob.alias("logprob"),
+        (-logprob / F.col("n_bigrams")).alias("xent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering quality (inertia per cluster)
+# ---------------------------------------------------------------------------
+
+
+def _km_inertia_oracle() -> str:
+    from .queries_ml import _km_oracle
+
+    return f"""
+WITH assign AS (
+{_km_oracle()}
+)
+SELECT cluster,
+       count(*) AS n_vectors,
+       CAST(sum(CAST(floor(dist * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS inertia_micro,
+       CAST(sum(CAST(floor(dist * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            AS DOUBLE) / (1e6 * count(*)) AS mean_dist
+FROM assign
+GROUP BY cluster
+"""
+
+
+@register(
+    "embedding_kmeans_inertia",
+    oracle=_km_inertia_oracle(),
+    doc=(
+        "Clustering-quality evaluation in-engine: per-cluster size, "
+        "inertia (sum of squared distance to the assigned centroid), "
+        "and mean distance for the k-means run — completing the "
+        "evaluation trio (embedding_ann_recall for indexes, "
+        "docs_langid_confusion for classifiers, this for clustering); "
+        "inertia is THE statistic an elbow/stopping rule consumes. "
+        "Per-row distances quantize to integer micro-units before the "
+        "cluster sum, so the aggregation is order-independent and the "
+        "whole measurement (training included, via the unrolled Lloyd "
+        "CTEs) hash-matches exactly. One aggregation over the "
+        "assignment projection; k rows out."
+    ),
+    tags=("llm", "embedding", "clustering", "evaluation"),
+)
+def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import cluster as lc
+
+    assign = lc.kmeans(load_table(spark, sf_dir, "embeddings"))
+    qd = F.floor(F.col("dist") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        assign.select("cluster", qd.alias("qd"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("qd").alias("inertia_micro"),
+            (
+                F.sum("qd").cast("double")
+                / (F.lit(1e6) * F.count(F.lit(1)))
+            ).alias("mean_dist"),
+        )
+    )

@@ -788,6 +788,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "docs_pmi_bigrams",         # 1-row corpus-totals broadcast x pairs
         "docs_quality_gate",        # 1-row percentile-threshold broadcast
         "embedding_ann_recall",     # composes the allowlisted 1-probe topks
+        "docs_bigram_logprob",      # 1-row vocab-size broadcast x model
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):
