@@ -359,18 +359,35 @@ def portable_band_index(base: DataFrame) -> DataFrame:
     oracle. Per shingle, x = int(first 12 hex chars of md5) — 48
     bits; the j-th signature entry is min over shingles of
     (a_j*x + b_j) mod (2^61-1); signatures band into 4-row CSV keys.
+
+    The signature is an ARRAY-LEVEL projection (array_min over
+    per-shingle transforms, mirroring the xxhash64 form above) — no
+    shingle explode, no per-doc groupBy, so building the index adds
+    ZERO shuffles; the band equi-join downstream is the only one.
+    min-over-array equals min-over-exploded-rows, so the SQL oracle
+    (which aggregates the exploded form) is value-identical.
     """
-    x = F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10).cast("long")
-    xs = base.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", x.alias("x")
+
+    def affine(a: int, b: int):
+        # one-parameter lambda on purpose: a second captured-default
+        # arg would be bound to the ARRAY INDEX by F.transform
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_P)
+
+    hashed = base.select(
+        "doc_id",
+        F.transform(
+            "sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast(
+                "long"
+            ),
+        ).alias("xs"),
     )
-    sig = xs.groupBy("doc_id").agg(
+    sig = hashed.select(
+        "doc_id",
         *[
-            F.min(
-                (F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MERSENNE_P)
-            ).alias(f"h{j}")
+            F.array_min(F.transform("xs", affine(a, b))).alias(f"h{j}")
             for j, (a, b) in enumerate(PORTABLE_COEFFS)
-        ]
+        ],
     )
     num_bands = PORTABLE_HASHES // PORTABLE_BAND_ROWS
     return sig.select(

@@ -1063,3 +1063,25 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_pa
             assert after[t] == (stats[0], 0.0)
         else:
             assert after[t] == stats
+
+
+def test_portable_band_index_is_projection_only(spark, sf_dir):
+    """The portable-MinHash band index must build with ZERO shuffles:
+    signature = array_min over per-shingle transforms (a projection),
+    bands = explode (partition-preserving). The band equi-join
+    downstream is the pipeline's only exchange."""
+    from flink_engagement_pipeline_spark.llm.dedup import (
+        portable_band_index,
+        portable_base,
+    )
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        portable_band_index(portable_base(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # fan_out may add its small-file round-robin repartition locally;
+    # beyond that the index build must not exchange
+    assert plan.count("Exchange") <= 1, plan[:2000]
+    assert "HashAggregate" not in plan, plan[:2000]
