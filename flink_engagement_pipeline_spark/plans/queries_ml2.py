@@ -1255,3 +1255,121 @@ def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_snapshot_diff",
+    oracle=f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+a AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id, fp FROM fp WHERE doc_id % 4 = 0)
+SELECT
+  CASE WHEN a.doc_id IS NULL THEN 'added'
+       WHEN b.doc_id IS NULL THEN 'removed'
+       WHEN a.fp = b.fp THEN 'unchanged'
+       ELSE 'changed' END AS change,
+  count(*) AS n_docs
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+GROUP BY 1
+""",
+    doc=(
+        "Corpus snapshot diff — the dataset-versioning primitive: two "
+        "snapshots (derived deterministically from the fixture: A = "
+        "even ids, B = odd ids plus ids divisible by 4, so all four "
+        "outcomes occur) FULL-OUTER-join on doc_id and classify every "
+        "document as added / removed / changed / unchanged by content "
+        "fingerprint. This is how a training-data release is audited "
+        "against its predecessor before retraining. One id-keyed "
+        "full-outer equi-join + one tiny aggregation; fingerprints "
+        "compare as 16-byte md5, never text."
+    ),
+    tags=("llm", "corpus", "versioning", "diff"),
+)
+def q_docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(lt.normalize("text")).alias("fp"))
+    a = fp.filter(F.col("doc_id") % 2 == 0)
+    b = fp.filter(F.col("doc_id") % 2 == 1).unionByName(
+        fp.filter(F.col("doc_id") % 4 == 0)
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") == F.col("b.fp"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(change.alias("change")).groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# weekly GMV with week-over-week growth
+# ---------------------------------------------------------------------------
+
+@register(
+    "weekly_gmv_growth",
+    oracle="""
+WITH wk AS (
+  SELECT date_trunc('week', o_orderdate) AS week_start,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY 1
+)
+SELECT strftime(week_start, '%Y-%m-%d') AS week_start, gmv, n_orders,
+       lag(gmv) OVER (ORDER BY week_start) AS prev_gmv,
+       CASE WHEN lag(gmv) OVER (ORDER BY week_start) > 0
+            THEN floor((gmv / lag(gmv) OVER (ORDER BY week_start) - 1.0)
+                       * 1000000 + 0.5) / 1000000
+            ELSE NULL END AS wow_growth
+FROM wk
+""",
+    doc=(
+        "Weekly gross order value with week-over-week growth — the "
+        "lag-over-aggregate revenue-trend shape every BI layer runs. "
+        "GMV sums as exact DECIMAL before one double conversion; the "
+        "growth ratio quantizes at 1e-6 so the division is "
+        "engine-exact. The unpartitioned lag window runs over the "
+        "WEEK-count-sized aggregate (hundreds of rows at any corpus "
+        "scale), so the SinglePartition window is metadata-sized, "
+        "never data-sized. date_trunc('week') is ISO-Monday in both "
+        "engines."
+    ),
+    tags=("warehouse", "timeseries", "window"),
+)
+def q_weekly_gmv_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    wk = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).alias("week_ts")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("gmv"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("week_ts")
+    prev = F.lag("gmv").over(w)
+    growth = F.when(
+        prev > 0,
+        F.floor((F.col("gmv") / prev - F.lit(1.0)) * 1_000_000 + F.lit(0.5))
+        / 1_000_000,
+    )
+    return wk.select(
+        F.date_format("week_ts", "yyyy-MM-dd").alias("week_start"),
+        "gmv",
+        "n_orders",
+        prev.alias("prev_gmv"),
+        growth.alias("wow_growth"),
+    )
