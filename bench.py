@@ -33,6 +33,22 @@ import time
 from flink_engagement_pipeline_spark import plans
 from flink_engagement_pipeline_spark.session import get_spark
 
+# Second reported surface (round-4 verdict ask): the legacy 16-query
+# headline set (bench=True specs) has been frozen since round 2 for
+# cross-round comparability, but no longer covers the most expensive
+# real operators. The flagship set times them too — iterative
+# graph/ANN training+serving, the end-to-end oracled dedup pipeline,
+# and two real Structured Streaming replays. (Module-level so
+# tools/gen_plans.py can snapshot the same surface.)
+FLAGSHIP_NAMES = [
+    "parts_pagerank",
+    "embedding_ivf_pq",
+    "embedding_pq_adc",
+    "docs_dedup_e2e_portable",
+    "stream_replay_enriched",
+    "stream_session_replay",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,19 +72,33 @@ def main() -> None:
     # that the min reflects the engine; ~20 s extra for the whole set
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     specs = [s for s in plans.REGISTRY.values() if s.bench]
-    timings: dict[str, float] = {}
-    for spec in sorted(specs, key=lambda s: s.name):
-        runs = []
-        for _ in range(n_runs):
-            runs.append(run_once(spec))
-            spark._jvm.System.gc()
-        timings[spec.name] = round(min(runs), 3)
-        print(
-            f"# {spec.name}: {timings[spec.name]:.3f}s "
-            f"(runs: {', '.join(f'{r:.3f}' for r in runs)})",
-            file=sys.stderr,
-        )
 
+    def time_set(specs_list, runs_per) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for spec in sorted(specs_list, key=lambda s: s.name):
+            runs = []
+            for _ in range(runs_per):
+                runs.append(run_once(spec))
+                spark._jvm.System.gc()
+            timings[spec.name] = round(min(runs), 3)
+            print(
+                f"# {spec.name}: {timings[spec.name]:.3f}s "
+                f"(runs: {', '.join(f'{r:.3f}' for r in runs)})",
+                file=sys.stderr,
+            )
+        return timings
+
+    timings = time_set(specs, n_runs)
+
+    # Streaming replays pay per-job checkpoint/state-store setup each
+    # execution, so the flagship set runs min-of-2 (setup cost
+    # dominates; extra samples buy little).
+    n_runs_flagship = int(os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_RUNS", "2"))
+    flagship = time_set(
+        [plans.REGISTRY[n] for n in FLAGSHIP_NAMES], n_runs_flagship
+    )
+
+    # ONE JSON line (driver contract); both totals ride in it.
     print(
         json.dumps(
             {
@@ -77,6 +107,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "flagship_total_sec": round(sum(flagship.values()), 3),
+                "flagship_queries": flagship,
             }
         )
     )

@@ -253,8 +253,16 @@ def _centroids(emb: DataFrame, k: int = IVF_LISTS) -> list[list[float]]:
     float-avg refinement it replaced was partial-agg-order dependent
     and forced a rows-only check). The only driver-side
     materialization is the k centroid vectors — bounded by k, never
-    by corpus size."""
+    by corpus size.
+
+    Memoized per semantic input (deterministic trainer, same device as
+    pq.train_codebooks)."""
     from .cluster import assign_clusters, update_centroids
+    from .pq import _codebook_memo, _memo_key, _MEMO_MAX
+
+    key = ("ivf_centroids", k, _memo_key(emb))
+    if key in _codebook_memo:
+        return _codebook_memo[key]
 
     n = emb.count()
     stride = max(1, n // k)
@@ -270,7 +278,11 @@ def _centroids(emb: DataFrame, k: int = IVF_LISTS) -> list[list[float]]:
             f"strided seeding expects contiguous vec_ids: wanted {k} "
             f"seeds, found {len(seed_vecs)}"
         )
-    return update_centroids(assign_clusters(e, seed_vecs), seed_vecs, k)
+    cents = update_centroids(assign_clusters(e, seed_vecs), seed_vecs, k)
+    if len(_codebook_memo) >= _MEMO_MAX:
+        _codebook_memo.pop(next(iter(_codebook_memo)))
+    _codebook_memo[key] = cents
+    return cents
 
 
 def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:

@@ -44,7 +44,18 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     edges = edges.localCheckpoint()
     wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
     e = edges.join(wdeg, "src")
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # node set = src ∪ dst: a sink node (appearing only as dst) must
+    # still hold rank — deriving nodes from src alone silently dropped
+    # sinks in directed graphs (round-4 ADVICE). Sinks send nothing
+    # (no out-edges -> absent from wdeg -> absent from e), matching
+    # the "dangling mass discarded" convention the quantized
+    # formulation already uses. For the undirected both-directions
+    # usage src set == dst set, so results are unchanged.
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     r = nodes.select(
         "node", F.lit(INIT_MICRO).cast("long").alias("r")
     )
@@ -77,7 +88,9 @@ def pagerank_ctes(edges_cte: str, iters: int = 3) -> str:
     parts = [
         f"wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg"
         f" FROM {edges_cte} GROUP BY src)",
-        f"nodes AS (SELECT DISTINCT src AS node FROM {edges_cte})",
+        # src ∪ dst, mirroring pagerank(): sink nodes keep their rank
+        f"nodes AS (SELECT src AS node FROM {edges_cte}"
+        f" UNION SELECT dst FROM {edges_cte})",
         f"r0 AS (SELECT node, CAST({INIT_MICRO} AS BIGINT) AS r FROM nodes)",
     ]
     for i in range(1, iters + 1):

@@ -161,9 +161,11 @@ LIMIT 10
         "(32x smaller than float32) via per-subspace codebooks "
         "trained with the integer-quantized Lloyd step — ALL 8 "
         "subspaces in one aggregation pass (1024 metadata rows). The "
-        "query never touches raw vectors after encoding: its 8x16 "
-        "distance table enters as plan literals and the estimated "
-        "distance is 8 array lookups + 7 adds per row, ranked by "
+        "query never touches raw vectors after encoding: serving "
+        "scans the PERSISTED codes table (llm/pq.py:encoded_table, "
+        "built once per corpus), the query's 8x16 distance table "
+        "enters as plan literals, and the estimated distance is 8 "
+        "array lookups + 7 adds per row, ranked by "
         "TakeOrderedAndProject. Training + encoding + ADC ranking "
         "unroll into plain SQL CTEs, so this approximate index "
         "hash-matches its oracle codebook-bit for codebook-bit — the "

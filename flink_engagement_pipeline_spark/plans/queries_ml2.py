@@ -158,8 +158,10 @@ LIMIT 10
         "coarse IVF centroids prune the corpus to the 2 probed "
         "inverted lists, and ranking inside them uses the 8x4-bit PQ "
         "codes via asymmetric-distance lookups, never raw vectors. "
-        "One projection computes the list id AND the 8 codes; the "
-        "probe filter and the ADC sum run in the same stage; top-k is "
+        "Serving scans the PERSISTED codes table (built once per "
+        "corpus by llm/pq.py:encoded_table — train once, encode once, "
+        "serve forever, the FAISS deployment shape); the probe filter "
+        "and ADC sum run in one tiny stage over it; top-k is "
         "TakeOrderedAndProject; only metadata (centroids, codebooks, "
         "the query's 8x16 distance table) leaves the driver. The "
         "integer-quantized Lloyd step makes both quantizers "
@@ -1264,11 +1266,14 @@ def q_embedding_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_snapshot_diff",
     oracle=f"""
-WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp,
+                   md5({_NORM} || '#v2') AS fp2 FROM documents),
 a AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 0),
 b AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 1
       UNION ALL
-      SELECT doc_id, fp FROM fp WHERE doc_id % 4 = 0)
+      SELECT doc_id,
+             CASE WHEN doc_id % 8 = 0 THEN fp2 ELSE fp END AS fp
+      FROM fp WHERE doc_id % 4 = 0)
 SELECT
   CASE WHEN a.doc_id IS NULL THEN 'added'
        WHEN b.doc_id IS NULL THEN 'removed'
@@ -1281,9 +1286,12 @@ GROUP BY 1
     doc=(
         "Corpus snapshot diff — the dataset-versioning primitive: two "
         "snapshots (derived deterministically from the fixture: A = "
-        "even ids, B = odd ids plus ids divisible by 4, so all four "
-        "outcomes occur) FULL-OUTER-join on doc_id and classify every "
-        "document as added / removed / changed / unchanged by content "
+        "even ids; B = odd ids plus ids divisible by 4, with the "
+        "%8==0 subset's content perturbed — md5(norm || '#v2') — so "
+        "all four outcomes genuinely occur: odd=added, even-not-%4="
+        "removed, %8==0=changed, remaining %4==0=unchanged) "
+        "FULL-OUTER-join on doc_id and classify every document as "
+        "added / removed / changed / unchanged by content "
         "fingerprint. This is how a training-data release is audited "
         "against its predecessor before retraining. One id-keyed "
         "full-outer equi-join + one tiny aggregation; fingerprints "
@@ -1293,10 +1301,22 @@ GROUP BY 1
 )
 def q_docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", F.md5(lt.normalize("text")).alias("fp"))
-    a = fp.filter(F.col("doc_id") % 2 == 0)
-    b = fp.filter(F.col("doc_id") % 2 == 1).unionByName(
-        fp.filter(F.col("doc_id") % 4 == 0)
+    norm = lt.normalize("text")
+    fp = docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        # the perturbed-content fingerprint for B's %8==0 subset: makes
+        # the 'changed' outcome reachable from a single fixture
+        F.md5(F.concat(norm, F.lit("#v2"))).alias("fp2"),
+    )
+    a = fp.select("doc_id", "fp").filter(F.col("doc_id") % 2 == 0)
+    b = fp.select("doc_id", "fp").filter(F.col("doc_id") % 2 == 1).unionByName(
+        fp.filter(F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 8 == 0, F.col("fp2"))
+            .otherwise(F.col("fp"))
+            .alias("fp"),
+        )
     )
     j = a.alias("a").join(
         b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"

@@ -47,6 +47,21 @@ def test_pagerank_total_rank_bounded_and_symmetric(spark):
     assert {r["pr"] for r in rows} == {1.0}
 
 
+def test_pagerank_directed_sink_node_kept(spark):
+    # directed chain 1 -> 2 -> 3: node 3 is a pure sink (never a src).
+    # It must appear in the output with the rank it received — the
+    # round-4 ADVICE defect was deriving nodes from DISTINCT src only,
+    # which silently dropped sinks in directed graphs.
+    # wdeg: 1->1, 2->1. r0 = 1_000_000 for all three nodes.
+    # iter1: s(2)=1_000_000, s(3)=1_000_000, s(1)=none
+    #   r1(1)=150_000, r1(2)=1_000_000, r1(3)=1_000_000
+    # iter2: s(2)=150_000, s(3)=1_000_000
+    #   r2(1)=150_000, r2(2)=277_500, r2(3)=1_000_000
+    e = _edges(spark, [(1, 2, 1), (2, 3, 1)])
+    got = {r["node"]: r["rank_micros"] for r in pagerank(e, iters=2).collect()}
+    assert got == {1: 150_000, 2: 277_500, 3: 1_000_000}
+
+
 def test_pagerank_weight_bias(spark):
     # star with one heavy edge: the heavy neighbor must outrank the
     # light one, and ranks stay positive longs.
