@@ -165,6 +165,80 @@ def q_stream_windowed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_committed(spark)
 
 
+@register(
+    "stream_late_drop_replay",
+    oracle=f"""
+SELECT
+    make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // {_WIN_US}) * {_WIN_US})
+        AS window_start,
+    make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // {_WIN_US}) * {_WIN_US}
+        + {_WIN_US})                                          AS window_end,
+    user_id,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)         AS engagement_sum
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc=(
+        "Watermark LATE-DATA DROP under the driver's batch oracle — "
+        "the semantics the other replays leave implicit: after the "
+        "fixture (batch 1), the watermark-advancing sentinel "
+        "(batch 2), and an EMPTY drain batch (batch 3 — eviction "
+        "lags the watermark update by one micro-batch, so the drain "
+        "is what forces the final fixture window out of state; "
+        "measured: without it, a redelivery merges into the one "
+        "still-open window and doubles its sum), the ENTIRE fixture "
+        "is re-delivered as a fourth micro-batch whose every event "
+        "lies below the watermark with NO live window state left. "
+        "If Spark dropped nothing, those rows would rebuild "
+        "already-evicted window state and append-mode would emit "
+        "duplicate window rows into the durable sink; the oracle — "
+        "the plain batch tumbling aggregation of the fixture, "
+        "identical to stream_windowed_replay's — hash-matches only "
+        "because all 10k late rows were discarded (the redelivery "
+        "batch emits zero rows). Bounded-state streaming is exactly "
+        "this guarantee: at 100 TB/day the watermark is what lets "
+        "window state be freed instead of growing forever."
+    ),
+    tags=("streaming", "watermark", "late-data", "exactly-once"),
+)
+def q_stream_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    tmp = tempfile.mkdtemp(prefix="stream_late_")  # outlives the plan
+    events_dir = _sentinel_replay_dir(spark, sf_dir, tmp)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    now = _time.time()
+    # batch 3: empty drain (schema-preserving zero-row file) — evicts
+    # the last fixture window under the sentinel-advanced watermark
+    stage = os.path.join(tmp, "stage_empty")
+    spark.read.parquet(src).limit(0).coalesce(1).write.parquet(stage)
+    (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+    drain = os.path.join(events_dir, "zz-drain.parquet")
+    shutil.copy(part, drain)
+    os.utime(drain, (now + 60, now + 60))
+    # batch 4: the fixture again — every row now below the watermark
+    late = os.path.join(events_dir, "zzz-replayed-late.parquet")
+    shutil.copy(src, late)
+    os.utime(late, (now + 120, now + 120))
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "16")
+    try:
+        run_windowed(
+            spark,
+            events_dir,
+            sink,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(part_key, saved)
+    return sink.read_committed(spark)
+
+
 def _sentinel_replay_dir(spark: SparkSession, sf_dir: str, tmp: str) -> str:
     """Stage a two-micro-batch stream dir: the fixture, then one
     sentinel event 20 minutes past max(ts). The sentinel advances the

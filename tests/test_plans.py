@@ -422,56 +422,54 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
 def test_gate_priority_window_covers_graded_surface():
     """The driver's correctness gate evaluates only the FIRST 50
     registered queries, and the window ROTATES per round so every
-    query eventually gets an external driver-oracle row. This pins the
-    round-4 rotation: the stable sentinels stay in-window, every query
-    that had never had a driver row by round 3 (the 17 round-3
-    additions) is in-window now, and the window's rows-only residue is
+    query eventually gets an external driver-oracle row (policy text:
+    plans/__init__.py). This pins the round-5 rotation: sentinels
+    in-window, every query with no driver CORRECTNESS row ever (the 18
+    late-round-4 additions) in-window, the one query whose only driver
+    row was an error (value_percentiles_by_type, r2) re-proven, every
+    round-5 addition in-window, and the window's rows-only residue is
     exactly the queries with no SQL-expressible oracle."""
     names = list(REGISTRY)
     window = names[:50]
     sentinels = [
-        # cdc_materialize / embedding_cosine_topk / pricing_summary /
-        # regional_revenue rotated out mid-round-4 (1-2 green driver
-        # rows each, unchanged since) for the queries_ml2 additions,
-        # per the round-3 ADVICE that new work must enter the window.
         "enrich_events", "latest_per_key", "hop_engagement_sum",
         "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
     ]
-    new_mid_r4 = [
-        "docs_minhash_ingest", "embedding_ivf_pq", "docs_pmi_bigrams",
-        "docs_quality_deciles",
+    first_proof = [
+        # never driver-checked (added late round 4) + the r2-errored one
+        "value_percentiles_by_type",
+        "docs_token_entropy", "docs_quality_gate", "events_zorder",
+        "docs_head_editdist", "parts_pagerank", "embedding_ann_recall",
+        "events_anomaly_mad", "stream_stateful_replay",
+        "value_rank_distribution", "docs_dedup_survivors_quality",
+        "docs_langid_confusion", "docs_weighted_sample",
+        "embedding_power_iteration", "docs_dup_rate_by_source",
+        "docs_bigram_logprob", "embedding_kmeans_inertia",
+        "docs_snapshot_diff", "weekly_gmv_growth",
     ]
-    never_checked_by_r3 = [
-        "value_hour_correlation", "user_retention_cohort",
-        "events_global_seq", "click_to_purchase_latency",
-        "events_anomaly_zscore", "user_activity_reconciliation",
-        "value_trimmed_mean", "docs_repetition", "embedding_knn_join",
-        "embedding_ann_lsh", "embedding_ann_ivf", "media_resize",
-        "docs_dedup_e2e", "docs_simhash_pairs", "docs_training_manifest",
-        "docs_mixture_sample", "nation_market_share",
-    ]
-    new_in_r4 = [
-        "stream_replay_enriched", "datagen_events", "docs_pii_redact",
-        "docs_span_dedup", "docs_tokenize_ids", "embedding_range_search",
-        "stream_windowed_replay", "events_salted_sum",
-        "embedding_kmeans", "embedding_quantize", "docs_bm25",
-        "docs_epoch_order", "events_ewma", "stream_join_replay",
-        "stream_session_replay", "events_salted_join", "embedding_pq_adc",
-        "user_markov_transitions", "docs_minhash_portable",
-        "docs_unigram_logprob", "user_rfm_scores", "parts_bought_together",
-        "docs_dedup_e2e_portable",
+    new_in_r5: list[str] = [
+        # every query registered during round 5 MUST be appended here
+        # (and to _PRIORITY) the round it is added
+        "events_partitioned_prune",
+        "hll_portable_reach",
+        "orders_scd2_history",
+        "lineitem_bucketed_join",
+        "events_bloom_prune",
+        "user_active_coverage",
+        "embedding_matryoshka_rerank",
+        "events_value_trend_ols",
+        "stream_late_drop_replay",
     ]
     missing = [
-        n
-        for n in sentinels + new_mid_r4 + never_checked_by_r3 + new_in_r4
-        if n not in window
+        n for n in sentinels + first_proof + new_in_r5 if n not in window
     ]
     assert not missing, f"graded queries outside the 50-query gate: {missing}"
     rows_only = sorted(n for n in window if REGISTRY[n].oracle is None)
     assert rows_only == [
-        "datagen_events",      # hash-arithmetic generator
-        "docs_dedup_e2e",      # LSH candidate path (xxhash64 MinHash)
-        "docs_minhash_pairs",  # xxhash64 MinHash (no SQL oracle)
+        "approx_distinct_users",       # HLL sketch; tolerance pytest
+        "docs_minhash_pairs",          # xxhash64 MinHash (no SQL oracle)
+        "ingest_kafka_payload",        # wire-format envelope; pytest serde
+        "value_percentiles_by_type",   # quantile sketch; tolerance pytest
     ], rows_only
 
 
@@ -522,6 +520,120 @@ def test_global_row_number_leaves_no_cached_relation(spark, sf_dir):
         out = global_row_number(ev, ["ts", "event_id"])
         assert out.count() == ev.count()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_lsh_candidate_pairs_single_corpus_pass(spark, sf_dir):
+    """lsh_candidate_pairs computes MinHash signatures ONCE: pair
+    generation is in-bucket (groupBy band key + sorted collect_list +
+    i<j slicing), not a bands self-join — the round-4 verdict's one
+    perf-weak plan paid the 64-seed signature projection in TWO
+    documents scans because Catalyst duplicates a self-joined
+    subtree. Pin: exactly one scan, and no join at all before the
+    pair explode."""
+    from flink_engagement_pipeline_spark.llm.dedup import lsh_candidate_pairs
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        lsh_candidate_pairs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan, plan[:2000]
+
+
+def test_portable_minhash_pairs_single_signature_pass(spark, sf_dir):
+    """portable_minhash_pairs' candidate stage uses the same in-bucket
+    device: of the plan's documents scans, only ONE carries the
+    16-seed affine signature projection (the other two are the exact
+    verify's shingle-array sides, which never pay the signature). The
+    self-join form paid it twice."""
+    from flink_engagement_pipeline_spark.llm.dedup import (
+        portable_minhash_pairs,
+    )
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        portable_minhash_pairs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 3, plan[:2000]
+    # the signature projection is recognizable by the affine modulus:
+    # 16 signature columns x exactly ONE mention each — the self-join
+    # form showed 32 (the whole block duplicated into both sides)
+    assert plan.count("2305843009213693951") == 16, (
+        "signature expressions appear in more than one projection"
+    )
+
+
+def test_events_partitioned_prune_plan(spark, sf_dir, tmp_path):
+    """The partitioned round-trip must prune at planning time: the
+    re-read scan shows a PartitionFilters entry on event_type and
+    touches exactly ONE partition directory's files — reading all
+    five and filtering rows would be the broken-at-100-TB shape."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy(
+        "event_type"
+    ).parquet(out)
+    clicks = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = clicks._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan, plan[:1500]
+    # pruning proof at execution: every file actually touched lives in
+    # the click partition directory (inputFiles() would list the whole
+    # relation pre-filter, so ask the executed rows instead)
+    files = [
+        r[0]
+        for r in clicks.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all("event_type=click" in f for f in files), files[:5]
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact against a filtered dim on the
+    partition column must inject a dynamic-pruning subquery: the fact
+    scan waits for the dim filter's values and lists only matching
+    partitions — at 100 TB this is the difference between scanning
+    one day and scanning the table. Spark plans it as
+    `dynamicpruningexpression` on the fact scan's PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy(
+        "event_type"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 5.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") > 2.0)  # planner can't fold this statically
+    joined = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Bucketed tables joined on the bucket key must not shuffle:
+    the write paid the partitioning once, so the join plan carries NO
+    Exchange on either side — the amortized co-located join strategy
+    for repeatedly-joined fact tables."""
+    from flink_engagement_pipeline_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["lineitem_bucketed_join"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("HashAggregate")[-1]  # below the final agg
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
+    # no Exchange between the join and the bucketed scans
+    below_join = plan.split("Join")[-1]
+    assert "Exchange" not in below_join, below_join[:1500]
 
 
 def test_jaccard_single_corpus_pass(spark, sf_dir):
@@ -611,6 +723,10 @@ def test_fan_out_noop_on_well_partitioned_input(spark, sf_dir, tmp_path):
         assert n_in >= target * 0.5, f"fixture setup produced {n_in} splits"
         out = fan_out(df)
         assert out is df  # identical object: no repartition node added
+        # belt-and-braces: the executed plan carries no round-robin
+        # Exchange either (the shuffle fan_out would have added)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" not in plan, plan
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
@@ -789,6 +905,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "docs_quality_gate",        # 1-row percentile-threshold broadcast
         "embedding_ann_recall",     # composes the allowlisted 1-probe topks
         "docs_bigram_logprob",      # 1-row vocab-size broadcast x model
+        "embedding_matryoshka_rerank",  # single probe row x corpus (coarse)
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):
