@@ -16,8 +16,6 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-import datetime
-
 from pyspark.sql import functions as F
 
 from ..operators.dedup import DEDUP_ORACLE_SQL
@@ -92,7 +90,7 @@ def q_stream_replay_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocation, so the locked-in state width never conflicts).
     part_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(part_key)
-    spark.conf.set(part_key, "16")
+    spark.conf.set(part_key, "8")
     try:
         run_enriched_fanout(
             spark,
@@ -151,7 +149,7 @@ def q_stream_windowed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = IdempotentParquetSink(os.path.join(tmp, "out"))
     part_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(part_key)
-    spark.conf.set(part_key, "16")
+    spark.conf.set(part_key, "8")
     try:
         run_windowed(
             spark,
@@ -225,7 +223,7 @@ def q_stream_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = IdempotentParquetSink(os.path.join(tmp, "out"))
     part_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(part_key)
-    spark.conf.set(part_key, "16")
+    spark.conf.set(part_key, "8")
     try:
         run_windowed(
             spark,
@@ -252,23 +250,31 @@ def _sentinel_replay_dir(spark: SparkSession, sf_dir: str, tmp: str) -> str:
     os.symlink(src, os.path.join(events_dir, "a.parquet"))
     # batch 2: the sentinel. It must carry the SAME physical ts unit
     # as the fixture (the driver has shipped both NANOS and MICROS
-    # units across rounds).
-    from ..schemas import EVENTS_RAW
+    # units across rounds). Built as a JVM-side range(1) projection:
+    # a Python createDataFrame here costs ~5 s per write (the 1-row
+    # write becomes a Python-RDD job — measured, uniform across
+    # schemas), which dominated every sentinel replay's wall-clock.
+    # Epoch arithmetic is integer microseconds end-to-end
+    # (unix_micros/timestamp_micros), so no session-timezone
+    # conversion ever touches the value.
     from ..sources.tables import events_ts_is_nanos
 
     ev = load_table(spark, sf_dir, "events")
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    late = max_ts + datetime.timedelta(minutes=20)
-    if events_ts_is_nanos(src):
-        epoch = datetime.datetime(1970, 1, 1)
-        late_ns = int((late - epoch) / datetime.timedelta(microseconds=1)) * 1000
-        sentinel = spark.createDataFrame(
-            [(-1, late_ns, -1, "sentinel", None, "{}")], EVENTS_RAW
-        )
-    else:
-        sentinel = spark.createDataFrame(
-            [(-1, late, -1, "sentinel", None, "{}")], ev.schema
-        )
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    late_us = max_us + 20 * 60 * 1_000_000
+    ts_col = (
+        F.lit(late_us * 1000).cast("long")  # raw nanos fixture
+        if events_ts_is_nanos(src)
+        else F.timestamp_micros(F.lit(late_us))
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        ts_col.alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
     # stage the single-row write, then place its part file FLAT in the
     # stream dir (a directory named *.parquet would confuse the file
     # source's listing); the fresh copy mtime also orders it after the
@@ -325,7 +331,7 @@ def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = IdempotentParquetSink(os.path.join(tmp, "out"))
     part_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(part_key)
-    spark.conf.set(part_key, "16")
+    spark.conf.set(part_key, "8")
     try:
         run_stream_stream_join(
             spark, events_dir, sink, checkpoint_dir=os.path.join(tmp, "ckpt")
@@ -387,7 +393,7 @@ def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = IdempotentParquetSink(os.path.join(tmp, "out"))
     part_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(part_key)
-    spark.conf.set(part_key, "16")
+    spark.conf.set(part_key, "8")
     try:
         run_session_windowed(
             spark,
@@ -464,7 +470,7 @@ def q_stream_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = IdempotentParquetSink(os.path.join(tmp, "out"))
     part_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(part_key)
-    spark.conf.set(part_key, "16")
+    spark.conf.set(part_key, "8")
     try:
         stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
         totals = running_user_totals_cents(
