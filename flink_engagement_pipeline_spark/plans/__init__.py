@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_matryoshka_rerank",
     "events_value_trend_ols",
     "stream_late_drop_replay",
+    "cms_user_frequency",
     # -- [c] backfill: oldest driver coverage first (r2-only, in
     # registry order; unchanged since, green in the local sweep) --
     "events_identity",
@@ -104,7 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "top_users_per_type",
     "events_from_buyers",
     "events_from_non_buyers",
-    "heavy_users",
 )
 
 

@@ -805,3 +805,114 @@ def q_events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_hr"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# portable count-min sketch (frequency estimation with exact oracle)
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024  # counters per row
+_CMS_ROWS = ((4733, 97), (6101, 433), (7919, 1009))  # d = 3 hash rows
+
+
+def _cms_oracle() -> str:
+    x = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT"
+    cols = [f"(({a} * x + {b}) % {_CMS_W})" for a, b in _CMS_ROWS]
+    counter_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS r, {c} AS col, count(*) AS n FROM h GROUP BY 2"
+        for i, c in enumerate(cols)
+    )
+    est = "least(" + ", ".join(f"c{i}.n" for i in range(len(cols))) + ")"
+    joins = "\n".join(
+        f"JOIN counters c{i} ON c{i}.r = {i} AND c{i}.col = ({c} // 1)"
+        for i, c in enumerate(cols)
+    )
+    return f"""
+WITH h AS (
+    SELECT user_id, {x} AS x
+    FROM events WHERE user_id IS NOT NULL
+),
+counters AS (
+    {counter_rows}
+),
+exact AS (
+    SELECT user_id, any_value(x) AS x, count(*) AS true_count
+    FROM h GROUP BY user_id
+),
+top AS (
+    SELECT * FROM exact ORDER BY true_count DESC, user_id ASC LIMIT 20
+)
+SELECT t.user_id AS user_id,
+       t.true_count AS true_count,
+       CAST({est} AS BIGINT) AS cms_estimate,
+       CAST({est} - t.true_count AS BIGINT) AS overcount
+FROM top t
+{joins}
+"""
+
+
+@register(
+    "cms_user_frequency",
+    oracle=_cms_oracle(),
+    doc=(
+        "Portable count-min sketch — the frequency-estimation sketch "
+        "completing the portable sketch family (MinHash: similarity, "
+        "HLL: cardinality, Bloom: membership, CMS: frequency), every "
+        "one carrying an EXACT cross-engine oracle: 3 hash rows x "
+        "1024 counters built from the md5/affine device with plain "
+        "integer count aggregation (order-independent by "
+        "construction), probed for the top-20 users with "
+        "estimate = min over the 3 rows' counters. true_count rides "
+        "alongside, and the checked overcount column exhibits the "
+        "CMS one-sided-error guarantee: estimate >= truth always "
+        "(pinned in pytest). At 100 TB the counter table is d*w = "
+        "3072 mergeable integers per grouping — the sketch a "
+        "streaming top-talkers monitor keeps instead of a "
+        "billion-key exact map. One scan builds the counters, one "
+        "builds the exact counts; the probe joins are "
+        "3072-row-broadcast lookups."
+    ),
+    tags=("sketch", "count-min", "approx", "portable-oracle"),
+)
+def q_cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    x = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    h = ev.select("user_id", x.alias("x"))
+    # counters: one groupBy per hash row over the same scan, unioned —
+    # Spark computes them as three partial aggregations of one relation
+    counters = None
+    for i, (a, b) in enumerate(_CMS_ROWS):
+        c = (
+            h.groupBy(((F.lit(a) * F.col("x") + F.lit(b)) % _CMS_W).alias("col"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(i).alias("r"), "col", "n")
+        )
+        counters = c if counters is None else counters.unionByName(c)
+    exact = h.groupBy("user_id").agg(
+        F.first("x").alias("x"), F.count(F.lit(1)).alias("true_count")
+    )
+    top = exact.orderBy(
+        F.col("true_count").desc(), F.col("user_id").asc()
+    ).limit(20)
+    est_cols = []
+    probe = top
+    for i, (a, b) in enumerate(_CMS_ROWS):
+        ci = counters.filter(F.col("r") == i).select(
+            F.col("col").alias(f"col{i}"), F.col("n").alias(f"n{i}")
+        )
+        probe = probe.join(
+            F.broadcast(ci),
+            ((F.lit(a) * F.col("x") + F.lit(b)) % _CMS_W) == F.col(f"col{i}"),
+        )
+        est_cols.append(F.col(f"n{i}"))
+    est = F.least(*est_cols)
+    return probe.select(
+        "user_id",
+        "true_count",
+        est.cast("long").alias("cms_estimate"),
+        (est - F.col("true_count")).cast("long").alias("overcount"),
+    )

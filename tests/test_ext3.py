@@ -74,6 +74,19 @@ def test_matryoshka_rerank_agrees_with_exact_topk(spark, sf_dir):
     assert len(got & exact) >= 5, (sorted(got), sorted(exact))
 
 
+def test_cms_one_sided_error(spark, sf_dir):
+    """Count-min's structural guarantee: the estimate NEVER
+    undercounts (every row's counter includes the key's full count
+    plus collisions), so overcount >= 0 on every probed key — and
+    with 3x1024 counters over the fixture's key cardinality,
+    collisions stay small relative to the key's own count."""
+    rows = _run(spark, sf_dir, "cms_user_frequency").collect()
+    assert rows
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["cms_estimate"] >= r["true_count"], r
+
+
 def test_scd2_versions_partition_time(spark, sf_dir):
     """Per customer: exactly one current version, and version
     intervals chain (every non-current row's valid_to equals some

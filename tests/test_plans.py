@@ -459,6 +459,7 @@ def test_gate_priority_window_covers_graded_surface():
         "embedding_matryoshka_rerank",
         "events_value_trend_ols",
         "stream_late_drop_replay",
+        "cms_user_frequency",
     ]
     missing = [
         n for n in sentinels + first_proof + new_in_r5 if n not in window
