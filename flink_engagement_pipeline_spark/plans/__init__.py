@@ -11,6 +11,7 @@ from . import queries_stream  # noqa: F401,E402
 from . import queries_ml  # noqa: F401,E402
 from . import queries_ml2  # noqa: F401,E402
 from . import queries_ext3  # noqa: F401,E402
+from . import queries_ext4  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order is part of the driver contract: the correctness gate
@@ -88,6 +89,9 @@ _PRIORITY: tuple[str, ...] = (
     "events_value_trend_ols",
     "stream_late_drop_replay",
     "cms_user_frequency",
+    "events_hdr_quantiles",
+    "cdc_retract_agg",
+    "stream_retract_replay",
     # -- [c] backfill: oldest driver coverage first (r2-only, in
     # registry order; unchanged since, green in the local sweep) --
     "events_identity",
@@ -102,9 +106,6 @@ _PRIORITY: tuple[str, ...] = (
     "cube_returnflag_status",
     "promo_revenue",
     "ingest_kafka_payload",
-    "top_users_per_type",
-    "events_from_buyers",
-    "events_from_non_buyers",
 )
 
 

@@ -1,0 +1,362 @@
+"""Round-5 extension batch #2: a portable HDR-histogram quantile
+sketch (completing the oracled sketch family: HLL for distincts,
+Bloom for membership, count-min for frequency, HDR for quantiles),
+and Flink-parity retract-stream aggregation over a full Debezium
+changelog (before + after images).
+
+House rules as ever: JVM-side expressions only, each oracle generated
+from the same constants as the Spark plan, every cross-engine float
+hazard quantized or kept integer until a single final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+from .registry import register
+
+# sign-aware integer-cent quantization of `value`: exact in both
+# engines, summable in any order. The NULL->0 form for measures that
+# must never be null; the NULL-preserving form for profiling.
+_CENTS_SQL = """
+CASE WHEN value IS NULL THEN 0
+     WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+     ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT) END
+"""
+
+_CENTS_NULL_SQL = """
+CASE WHEN value IS NULL THEN NULL
+     WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+     ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT) END
+"""
+
+
+def _cents(col: F.Column) -> F.Column:
+    return (
+        F.when(col.isNull(), F.lit(0).cast("long"))
+        .when(col >= 0, F.floor(col * 100 + F.lit(0.5)).cast("long"))
+        .otherwise(-F.floor(-col * 100 + F.lit(0.5)).cast("long"))
+    )
+
+
+def _cents_null(col: F.Column) -> F.Column:
+    return (
+        F.when(col.isNull(), F.lit(None).cast("long"))
+        .when(col >= 0, F.floor(col * 100 + F.lit(0.5)).cast("long"))
+        .otherwise(-F.floor(-col * 100 + F.lit(0.5)).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable HDR-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+_HDR_PCTS = (50, 90, 99)
+
+
+@register(
+    "events_hdr_quantiles",
+    oracle=f"""
+WITH v AS (
+    SELECT event_type, ({_CENTS_NULL_SQL}) * 8 AS w
+    FROM events
+    WHERE value IS NOT NULL AND ({_CENTS_NULL_SQL}) >= 1
+),
+b AS (
+    SELECT event_type, w, length(bin(w)) AS e FROM v
+),
+bb AS (
+    SELECT event_type, w,
+           (e - 4) * 8 + (w >> (e - 4)) - 8 AS bucket,
+           ((w >> (e - 4)) << (e - 4))      AS lb
+    FROM b
+),
+counts AS (
+    SELECT event_type, bucket, max(lb) AS lb,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM bb GROUP BY event_type, bucket
+),
+cum AS (
+    SELECT event_type, bucket, lb, cnt,
+           CAST(sum(cnt) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM counts
+),
+sel AS (
+    SELECT event_type, pct, n, lb AS est_w
+    FROM (
+        SELECT c.*, p.pct,
+               CAST((c.n * p.pct + 99) // 100 AS BIGINT) AS target
+        FROM cum c
+        CROSS JOIN (SELECT unnest([{", ".join(map(str, _HDR_PCTS))}]) AS pct) p
+    )
+    WHERE cum - cnt < target AND cum >= target
+),
+t2 AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n2
+    FROM v GROUP BY event_type
+),
+pcts2 AS (
+    SELECT event_type, pct,
+           CAST((n2 * pct + 99) // 100 AS BIGINT) AS target
+    FROM t2
+    CROSS JOIN (SELECT unnest([{", ".join(map(str, _HDR_PCTS))}]) AS pct) p
+),
+ranked AS (
+    SELECT event_type, w,
+           row_number() OVER (PARTITION BY event_type ORDER BY w) AS rn
+    FROM v
+),
+exact AS (
+    SELECT r.event_type, p.pct, r.w AS exact_w
+    FROM ranked r
+    JOIN pcts2 p ON r.event_type = p.event_type AND r.rn = p.target
+)
+SELECT s.event_type AS event_type,
+       CAST(s.pct AS INTEGER) AS pct,
+       s.n AS n_rows,
+       s.est_w AS est_w,
+       e.exact_w AS exact_w,
+       floor((s.est_w / e.exact_w - 1.0) * 1000000 + 0.5) / 1000000 AS rel_err
+FROM sel s
+JOIN exact e ON s.event_type = e.event_type AND s.pct = e.pct
+""",
+    doc=(
+        "Portable HDR-histogram quantile sketch — the fourth member "
+        "of the oracled sketch family (HLL distincts, Bloom "
+        "membership, count-min frequency, HDR quantiles). Values are "
+        "integer cents scaled by 8 so every input has >= 4 bits; the "
+        "bucket is (exponent, top-3-mantissa-bits) computed with pure "
+        "integer primitives portable across engines (length(bin(w)) "
+        "for the exponent — the HLL device — and shifts for the "
+        "mantissa slice), giving <= 12.5% relative error per octave "
+        "with NO transcendental anywhere. p50/p90/p99 are read off "
+        "the cumulative bucket counts; the discrete exact quantile "
+        "rides alongside via row_number so the sketch's relative "
+        "error is itself part of the hash-checked output (est_w is "
+        "the bucket lower bound, so rel_err is always in (-0.125, "
+        "0]). At 100 TB the histogram is mergeable partial state — "
+        "~8 * 64 counters per group, one shuffle on (type, bucket), "
+        "raw values never reshuffled; the exact-rank branch here is "
+        "the sf-scale verification harness, not the production path. "
+        "value_percentiles_by_type (rows-only) is the built-in "
+        "approx_percentile twin; this one is driver-provable."
+    ),
+    tags=("sketch", "quantiles", "hdr", "approx", "portable-oracle"),
+)
+def q_events_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type", (_cents_null(F.col("value")) * 8).alias("w")
+    ).filter(F.col("w") >= 8)
+    bb = (
+        v.withColumn("e", F.length(F.bin("w")))
+        .withColumn("m", F.expr("shiftright(w, e - 4)"))
+        .withColumn("bucket", (F.col("e") - 4) * 8 + F.col("m") - 8)
+        .withColumn("lb", F.expr("shiftleft(m, e - 4)"))
+    )
+    counts = bb.groupBy("event_type", "bucket").agg(
+        F.max("lb").alias("lb"), F.count(F.lit(1)).alias("cnt")
+    )
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    all_w = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(cum_w)).withColumn(
+        "n", F.sum("cnt").over(all_w)
+    )
+    # quantile selection is PER ROW (prev_cum < target <= cum), so the
+    # sketch path never joins back into its own subtree — one scan,
+    # one (type, bucket) shuffle, one tiny window.
+    pct_col = F.explode(F.array(*[F.lit(p) for p in _HDR_PCTS])).alias("pct")
+    sel = (
+        cum.select("event_type", "lb", "cnt", "cum", "n", pct_col)
+        .withColumn("target", F.expr("(n * pct + 99) DIV 100"))
+        .filter(
+            (F.col("cum") - F.col("cnt") < F.col("target"))
+            & (F.col("cum") >= F.col("target"))
+        )
+        .select("event_type", "pct", "n", F.col("lb").alias("est_w"))
+    )
+    # exact-rank verification branch: targets recomputed from a plain
+    # count so this branch never duplicates the sketch subtree either.
+    pcts2 = (
+        v.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .select("event_type", "n2", pct_col)
+        .withColumn("target", F.expr("(n2 * pct + 99) DIV 100"))
+        .select("event_type", "pct", "target")
+    )
+    rank_w = Window.partitionBy("event_type").orderBy("w")
+    ranked = v.withColumn("rn", F.row_number().over(rank_w))
+    exact = (
+        ranked.join(pcts2, "event_type")
+        .filter(F.col("rn") == F.col("target"))
+        .select("event_type", "pct", F.col("w").alias("exact_w"))
+    )
+    return sel.join(exact, ["event_type", "pct"]).select(
+        "event_type",
+        F.col("pct").cast("int").alias("pct"),
+        F.col("n").alias("n_rows"),
+        "est_w",
+        "exact_w",
+        (
+            F.floor(
+                (F.col("est_w") / F.col("exact_w") - 1.0) * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retract-stream aggregation over a full Debezium changelog
+# ---------------------------------------------------------------------------
+
+_RETRACT_ROW_T = "struct<event_id:bigint,event_type:string,cents:bigint>"
+
+RETRACT_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("cents", T.LongType(), True),
+    ]
+)
+
+# Final-state oracle for the synthetic changelog: shared by the batch
+# retract aggregation and the streaming incremental-maintenance replay
+# (queries_stream.py), which must converge to the same state.
+RETRACT_FINAL_ORACLE = f"""
+WITH f AS (
+    SELECT CASE WHEN event_id % 10 = 0 THEN 'migrated'
+                ELSE event_type END AS g,
+           CASE WHEN event_id % 5 = 0 THEN ({_CENTS_SQL}) + 17
+                ELSE ({_CENTS_SQL}) END AS v
+    FROM events
+    WHERE event_id % 35 <> 0
+)
+SELECT g AS event_type,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(sum(v) AS BIGINT) AS total_cents
+FROM f GROUP BY g
+"""
+
+
+def synth_changelog_wire(events_df: DataFrame, ops: str = "cud") -> DataFrame:
+    """Synthesize the deterministic full-Debezium changelog from raw
+    events and serialize it to the JSON wire envelope. ``ops`` selects
+    which change kinds to emit ('c' creates for every event, 'u'
+    updates for event_id%5==0 with a group move to 'migrated' for
+    %10==0, 'd' trailing deletes for %35==0) — the streaming replay
+    feeds 'c' in micro-batch 0 and 'ud' in micro-batch 1, so the
+    union over batches is exactly the batch changelog. One scan:
+    every emitted change rides one array-explode per source row."""
+    from ..sources import cdc
+
+    base = events_df.select(
+        "event_id",
+        "event_type",
+        _cents(F.col("value")).alias("v1"),
+        (F.unix_micros("ts") / F.lit(1000)).cast("long").alias("ts_ms"),
+    )
+
+    def row(eid: F.Column, g: F.Column, v: F.Column) -> F.Column:
+        return F.struct(
+            eid.alias("event_id"), g.alias("event_type"), v.alias("cents")
+        )
+
+    null_row = F.lit(None).cast(_RETRACT_ROW_T)
+    null_op = F.lit(None).cast("string")
+    g2 = F.when(F.col("event_id") % 10 == 0, F.lit("migrated")).otherwise(
+        F.col("event_type")
+    )
+    v2 = F.col("v1") + 17
+    create = F.struct(
+        (F.lit("c") if "c" in ops else null_op).alias("op"),
+        null_row.alias("before"),
+        row(F.col("event_id"), F.col("event_type"), F.col("v1")).alias(
+            "after"
+        ),
+        F.col("ts_ms").alias("ts_ms"),
+    )
+    update = F.struct(
+        (
+            F.when(F.col("event_id") % 5 == 0, F.lit("u")).otherwise(null_op)
+            if "u" in ops
+            else null_op
+        ).alias("op"),
+        row(F.col("event_id"), F.col("event_type"), F.col("v1")).alias(
+            "before"
+        ),
+        row(F.col("event_id"), g2, v2).alias("after"),
+        (F.col("ts_ms") + 1).alias("ts_ms"),
+    )
+    delete = F.struct(
+        (
+            F.when(F.col("event_id") % 35 == 0, F.lit("d")).otherwise(null_op)
+            if "d" in ops
+            else null_op
+        ).alias("op"),
+        row(F.col("event_id"), g2, v2).alias("before"),
+        null_row.alias("after"),
+        (F.col("ts_ms") + 2).alias("ts_ms"),
+    )
+    changes = base.select(
+        F.explode(
+            F.filter(
+                F.array(create, update, delete),
+                lambda x: x["op"].isNotNull(),
+            )
+        ).alias("ch")
+    ).select("ch.*")
+    return cdc.to_full_cdc_envelope(changes)
+
+
+@register(
+    "cdc_retract_agg",
+    oracle=RETRACT_FINAL_ORACLE,
+    doc=(
+        "Flink retract-stream aggregation (the semantics the "
+        "reference's runtime applies to its PRIMARY-KEY changelog "
+        "table, src/ingest.py:9-32): a Debezium changelog with BOTH "
+        "images — creates for every event, updates (+17 cents, and "
+        "for event_id%10==0 a group MOVE to 'migrated') for "
+        "event_id%5==0, trailing deletes for event_id%35==0 — is "
+        "serialized through the full JSON envelope {{op, before, "
+        "after, ts_ms}}, parsed back with a declared schema, and "
+        "aggregated by signed contributions (+after for c/u, -before "
+        "for u/d). The oracle computes the FINAL-STATE aggregate "
+        "directly, so the hash check proves the retract arithmetic "
+        "reconstructs it exactly — including cross-group moves, where "
+        "the retraction lands in the old group and the accumulation "
+        "in the new one. Order-independence of the signed integer "
+        "sum is the 100 TB property: no per-key state, no window, "
+        "ONE shuffle on the group key; the changelog is scanned once "
+        "(both contributions are built per row and filtered inside "
+        "the array before the explode)."
+    ),
+    tags=("cdc", "retract", "changelog", "aggregates", "json"),
+)
+def q_cdc_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import cdc
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = synth_changelog_wire(ev, "cud")
+    parsed = cdc.parse_full_cdc_envelope(wire, RETRACT_ROW_SCHEMA)
+    agg = cdc.retract_aggregate(parsed, "event_type", "cents")
+    return agg.select(
+        "event_type",
+        "n_live",
+        F.col("total").alias("total_cents"),
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import DEDUP_ORACLE_SQL
+from .queries_ext4 import RETRACT_FINAL_ORACLE
 from ..sources.datagen import gen_events
 from ..sources.tables import load_table
 from ..streaming.pipeline import (
@@ -496,3 +497,98 @@ def q_stream_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sink.out_dir, f"batch_id={last}")
     )
     return final.select("user_id", "n_events", "total_cents")
+
+
+@register(
+    "stream_retract_replay",
+    oracle=RETRACT_FINAL_ORACLE,
+    doc=(
+        "Incremental materialized-view maintenance from a CDC feed — "
+        "the production shape of a streaming warehouse — under the "
+        "driver oracle: micro-batch 0 delivers the snapshot (the "
+        "changelog's creates), micro-batch 1 the incremental CDC day "
+        "(updates with cross-group moves + deletes); each batch's "
+        "signed retract-contributions (sources/cdc.py:"
+        "retract_aggregate, keep_retired=True so delete-heavy batches "
+        "carry their negative partials) MERGE with the previous "
+        "committed state by plain associative addition, and the new "
+        "state commits to the exactly-once IdempotentParquetSink "
+        "keyed by batch id. The final committed state hash-matches "
+        "the SAME final-state oracle as the batch cdc_retract_agg — "
+        "stream==batch for retracting aggregation. At 100 TB the "
+        "state is group-cardinality-sized (not key-sized!): merging "
+        "is a union of two tiny grouped relations, which is why "
+        "retractable SUM/COUNT need no per-key state store at all."
+    ),
+    tags=("streaming", "cdc", "retract", "exactly-once", "consistency"),
+)
+def q_stream_retract_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..sources import cdc
+    from ..streaming.pipeline import read_events_stream
+    from .queries_ext4 import RETRACT_ROW_SCHEMA, synth_changelog_wire
+
+    tmp = tempfile.mkdtemp(prefix="stream_retract_")
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    # same fixture file twice + maxFilesPerTrigger=1 -> two micro-batches
+    os.symlink(src, os.path.join(events_dir, "a.parquet"))
+    os.symlink(src, os.path.join(events_dir, "b.parquet"))
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+
+    def _committed(below: int | None = None) -> list[tuple[int, str]]:
+        out = []
+        for m in glob.glob(os.path.join(sink.out_dir, "*", "_COMMITTED")):
+            d = os.path.dirname(m)
+            bid = int(os.path.basename(d).split("=")[1])
+            if below is None or bid < below:
+                out.append((bid, d))
+        return sorted(out)
+
+    def apply(df, bid):
+        ops = "c" if bid == 0 else "ud"
+        wire = synth_changelog_wire(df, ops)
+        changes = cdc.parse_full_cdc_envelope(wire, RETRACT_ROW_SCHEMA)
+        partial = cdc.retract_aggregate(
+            changes, "event_type", "cents", keep_retired=True
+        )
+        prev_dirs = _committed(below=bid)
+        if prev_dirs:
+            prev = (
+                spark.read.option("pathGlobFilter", "*.parquet")
+                .parquet(prev_dirs[-1][1])
+                .select("event_type", "n_live", "total")
+            )
+            merged = (
+                prev.unionByName(partial)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_live").cast("long").alias("n_live"),
+                    F.sum("total").cast("long").alias("total"),
+                )
+            )
+        else:
+            merged = partial
+        sink.write_batch(merged, bid)
+
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "8")
+    try:
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(part_key, saved)
+    last_dir = _committed()[-1][1]
+    final = spark.read.option("pathGlobFilter", "*.parquet").parquet(last_dir)
+    return final.filter(F.col("n_live") > 0).select(
+        "event_type", "n_live", F.col("total").alias("total_cents")
+    )

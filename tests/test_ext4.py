@@ -1,0 +1,126 @@
+"""Unit tests for the round-5 batch-#2 queries (queries_ext4.py) —
+the registry oracle proves cross-engine equality; these pin the
+SEMANTIC claims: the HDR sketch's one-sided bounded error, and the
+retract-aggregate's Flink changelog semantics (cross-group moves,
+groups retracting to zero, order independence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_engagement_pipeline_spark.plans.registry import REGISTRY
+
+
+def test_hdr_quantile_error_is_one_sided_and_bounded(spark, sf_dir):
+    # est_w is the selected bucket's lower bound and the true discrete
+    # quantile lies inside that bucket, so the estimate is never above
+    # the truth and never more than one sub-bucket width (1/8) below.
+    rows = REGISTRY["events_hdr_quantiles"].spark(spark, sf_dir).collect()
+    assert {r["pct"] for r in rows} == {50, 90, 99}
+    for r in rows:
+        assert r["est_w"] <= r["exact_w"], r
+        assert r["exact_w"] < r["est_w"] * (1 + 1 / 8) + 8, r
+        assert -0.125 < r["rel_err"] <= 0.0, r
+
+
+def _changelog(spark, rows):
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("ts_ms", T.LongType(), False),
+            T.StructField(
+                "before",
+                T.StructType(
+                    [
+                        T.StructField("event_id", T.LongType(), True),
+                        T.StructField("event_type", T.StringType(), True),
+                        T.StructField("cents", T.LongType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField(
+                "after",
+                T.StructType(
+                    [
+                        T.StructField("event_id", T.LongType(), True),
+                        T.StructField("event_type", T.StringType(), True),
+                        T.StructField("cents", T.LongType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_retract_aggregate_flink_semantics(spark):
+    from flink_engagement_pipeline_spark.sources.cdc import retract_aggregate
+
+    rows = [
+        # key 1 created in group a, then MOVED to group b with +5
+        ("c", 1, None, (1, "a", 10)),
+        ("u", 2, (1, "a", 10), (1, "b", 15)),
+        # key 2 lives and stays in group a
+        ("c", 3, None, (2, "a", 7)),
+        # key 3 created in group z then deleted -> z must VANISH
+        ("c", 4, None, (3, "z", 100)),
+        ("d", 5, (3, "z", 100), None),
+        # key 4: in-place value update within group b
+        ("c", 6, None, (4, "b", 1)),
+        ("u", 7, (4, "b", 1), (4, "b", 2)),
+    ]
+    out = {
+        r["event_type"]: (r["n_live"], r["total"])
+        for r in retract_aggregate(
+            _changelog(spark, rows), "event_type", "cents"
+        ).collect()
+    }
+    assert out == {"a": (1, 7), "b": (2, 17)}
+
+    # order independence: the same changelog reversed aggregates
+    # identically (the property that makes it shuffle-safe)
+    out_rev = {
+        r["event_type"]: (r["n_live"], r["total"])
+        for r in retract_aggregate(
+            _changelog(spark, rows[::-1]), "event_type", "cents"
+        ).collect()
+    }
+    assert out_rev == out
+
+
+def test_full_envelope_round_trip(spark):
+    from flink_engagement_pipeline_spark.sources import cdc
+
+    row_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("cents", T.LongType(), True),
+        ]
+    )
+    changes = _changelog(
+        spark,
+        [
+            ("c", 1, None, (1, "a", 10)),
+            ("u", 2, (1, "a", 10), (1, "b", 15)),
+            ("d", 3, (1, "b", 15), None),
+        ],
+    ).select("op", "before", "after", "ts_ms")
+    wire = cdc.to_full_cdc_envelope(changes)
+    payloads = [r["value"] for r in wire.collect()]
+    # creates omit `before`, deletes omit `after` — the Debezium shape
+    assert '"before"' not in payloads[0] and '"after"' in payloads[0]
+    assert '"before"' in payloads[1] and '"after"' in payloads[1]
+    assert '"before"' in payloads[2] and '"after"' not in payloads[2]
+    back = cdc.parse_full_cdc_envelope(wire, row_schema)
+    got = sorted(
+        (r["op"], r["ts_ms"], r["before"], r["after"]) for r in back.collect()
+    )
+    want = sorted(
+        (r["op"], r["ts_ms"], r["before"], r["after"])
+        for r in changes.collect()
+    )
+    assert got == want

@@ -460,6 +460,9 @@ def test_gate_priority_window_covers_graded_surface():
         "events_value_trend_ols",
         "stream_late_drop_replay",
         "cms_user_frequency",
+        "events_hdr_quantiles",
+        "cdc_retract_agg",
+        "stream_retract_replay",
     ]
     missing = [
         n for n in sentinels + first_proof + new_in_r5 if n not in window
@@ -1203,3 +1206,25 @@ def test_portable_band_index_is_projection_only(spark, sf_dir):
     # beyond that the index build must not exchange
     assert plan.count("Exchange") <= 1, plan[:2000]
     assert "HashAggregate" not in plan, plan[:2000]
+
+
+def test_retract_agg_single_scan_single_shuffle(spark, sf_dir):
+    """cdc_retract_agg's whole pipeline — changelog synthesis, JSON
+    envelope round-trip, signed-contribution explode, grouped sum —
+    must stay ONE scan of events with map-side partial aggregation
+    and ONE shuffle on the group key: both contributions are built
+    per change row and filtered inside the array BEFORE the explode,
+    so no self-join, no second pass, no per-key window."""
+    from flink_engagement_pipeline_spark.plans.registry import REGISTRY
+
+    plan = (
+        REGISTRY["cdc_retract_agg"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "partial_sum" in plan, plan[:2000]
