@@ -92,6 +92,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_hdr_quantiles",
     "cdc_retract_agg",
     "stream_retract_replay",
+    "audience_overlap",
+    "events_ntile_quartiles",
     # -- [c] backfill: oldest driver coverage first (r2-only, in
     # registry order; unchanged since, green in the local sweep) --
     "events_identity",
@@ -104,8 +106,6 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_event_type",
     "user_event_gaps",
     "cube_returnflag_status",
-    "promo_revenue",
-    "ingest_kafka_payload",
 )
 
 

@@ -1,8 +1,9 @@
-"""Round-5 extension batch #2: a portable HDR-histogram quantile
+"""Round-5 extension batches #2-3: a portable HDR-histogram quantile
 sketch (completing the oracled sketch family: HLL for distincts,
 Bloom for membership, count-min for frequency, HDR for quantiles),
-and Flink-parity retract-stream aggregation over a full Debezium
-changelog (before + after images).
+Flink-parity retract-stream aggregation over a full Debezium
+changelog (before + after images), HLL audience overlap via sketch
+merge + inclusion-exclusion, and native partitioned NTILE.
 
 House rules as ever: JVM-side expressions only, each oracle generated
 from the same constants as the Spark plan, every cross-engine float
@@ -359,4 +360,224 @@ def q_cdc_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_live",
         F.col("total").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL audience overlap: sketch MERGE + inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+# identical constants to queries_ext3's portable HLL — the overlap
+# query must estimate with the exact same sketch so the two queries
+# cross-check each other.
+from .queries_ext3 import _HLL_EST, _HLL_M, _HLL_SCALE  # noqa: E402
+
+
+@register(
+    "audience_overlap",
+    oracle=f"""
+WITH src AS (
+    SELECT event_type, user_id,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS x
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+),
+lab AS (
+    SELECT unnest([event_type, 'union']) AS label, x, user_id FROM src
+),
+r AS (
+    SELECT label, x % {_HLL_M} AS reg,
+           1 + length(bin(x // {_HLL_M}))
+             - length(rtrim(bin(x // {_HLL_M}), '0')) AS rho
+    FROM lab
+),
+regs AS (
+    SELECT label, reg, max(rho) AS m_rho FROM r GROUP BY label, reg
+),
+sketch AS (
+    SELECT label,
+           count(*) AS registers_used,
+           CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SCALE} - m_rho)) AS BIGINT)
+             + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_SCALE})
+             AS s_scaled
+    FROM regs GROUP BY label
+),
+est AS (
+    SELECT label, {_HLL_EST} AS e FROM sketch
+),
+ex AS (
+    SELECT label, CAST(count(DISTINCT user_id) AS BIGINT) AS d
+    FROM lab GROUP BY label
+),
+w AS (
+    SELECT max(CASE WHEN label = 'view' THEN e END)     AS est_view,
+           max(CASE WHEN label = 'purchase' THEN e END) AS est_purchase,
+           max(CASE WHEN label = 'union' THEN e END)    AS est_union
+    FROM est
+),
+wx AS (
+    SELECT max(CASE WHEN label = 'view' THEN d END)     AS exact_view,
+           max(CASE WHEN label = 'purchase' THEN d END) AS exact_purchase,
+           max(CASE WHEN label = 'union' THEN d END)    AS exact_union
+    FROM ex
+)
+SELECT est_view, est_purchase, est_union,
+       floor(((est_view + est_purchase) - est_union) * 1000000 + 0.5)
+           / 1000000 AS est_intersection,
+       exact_view, exact_purchase, exact_union,
+       (exact_view + exact_purchase) - exact_union AS exact_intersection
+FROM w CROSS JOIN wx
+""",
+    doc=(
+        "Audience overlap via HLL set algebra — the sketch property "
+        "that matters at 100 TB is MERGEABILITY, and this query "
+        "exercises it directly: every event row contributes its "
+        "(register, rho) to its own set's sketch AND to the union "
+        "sketch through one array-explode (so per-set and merged "
+        "registers come out of ONE scan and one shuffle; merging "
+        "sketches is max() over registers, never a re-scan of raw "
+        "ids), then |view INTERSECT purchase| falls out of "
+        "inclusion-exclusion est_view + est_purchase - est_union. "
+        "Identical constants and estimate expression as "
+        "hll_portable_reach (imported, not copied), so the two "
+        "queries cross-check; exact distincts and the exact "
+        "intersection ride alongside, putting the estimator's error "
+        "itself under the hash check. The estimate arithmetic stays "
+        "in the integer-harmonic-sum device end-to-end; the only "
+        "doubles are the final per-label division and the quantized "
+        "inclusion-exclusion sum, written token-identically in both "
+        "dialects."
+    ),
+    tags=("sketch", "hll", "approx", "set-ops", "portable-oracle"),
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    )
+    x = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    src = ev.select("event_type", "user_id", x.alias("x"))
+    lab = src.select(
+        F.explode(F.array(F.col("event_type"), F.lit("union"))).alias(
+            "label"
+        ),
+        "x",
+        "user_id",
+    )
+    b = F.bin(F.expr("x div 64"))
+    r = lab.select(
+        "label",
+        (F.col("x") % _HLL_M).alias("reg"),
+        (
+            F.lit(1)
+            + F.length(b)
+            - F.length(F.expr("trim(TRAILING '0' FROM bin(x div 64))"))
+        ).alias("rho"),
+    )
+    regs = r.groupBy("label", "reg").agg(F.max("rho").alias("m_rho"))
+    sketch = regs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("registers_used"),
+        (
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - m_rho)")
+            )
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_SCALE).cast("long")
+        ).alias("s_scaled"),
+    )
+    est = sketch.select("label", F.expr(_HLL_EST).alias("e"))
+    ex = lab.groupBy("label").agg(
+        F.countDistinct("user_id").alias("d")
+    )
+
+    def one(col: str, lbl: str, out: str) -> F.Column:
+        return F.max(F.when(F.col("label") == lbl, F.col(col))).alias(out)
+
+    w = est.agg(
+        one("e", "view", "est_view"),
+        one("e", "purchase", "est_purchase"),
+        one("e", "union", "est_union"),
+    )
+    wx = ex.agg(
+        one("d", "view", "exact_view"),
+        one("d", "purchase", "exact_purchase"),
+        one("d", "union", "exact_union"),
+    )
+    return w.crossJoin(wx).select(
+        "est_view",
+        "est_purchase",
+        "est_union",
+        (
+            F.floor(
+                ((F.col("est_view") + F.col("est_purchase")) - F.col("est_union"))
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("est_intersection"),
+        "exact_view",
+        "exact_purchase",
+        "exact_union",
+        (
+            (F.col("exact_view") + F.col("exact_purchase"))
+            - F.col("exact_union")
+        ).alias("exact_intersection"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartile profile — completes the ranking-window surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_ntile_quartiles",
+    oracle=f"""
+WITH v AS (
+    SELECT event_type, event_id, ({_CENTS_SQL}) AS c FROM events
+),
+t AS (
+    SELECT event_type, c,
+           ntile(4) OVER (PARTITION BY event_type ORDER BY c, event_id) AS q
+    FROM v
+)
+SELECT event_type, q AS quartile,
+       CAST(count(*) AS BIGINT) AS n,
+       min(c) AS min_cents, max(c) AS max_cents,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM t GROUP BY event_type, q
+""",
+    doc=(
+        "NTILE(4) quartile profile per event type (count, min/max, "
+        "sum of integer cents per tile) — completes the ANSI ranking-"
+        "window surface alongside rank/dense_rank/row_number/"
+        "percent_rank/cume_dist: this is the native PARTITIONED "
+        "F.ntile (docs_quality_deciles deliberately avoids it, "
+        "replicating GLOBAL ntile arithmetic on the distributed "
+        "row-number primitive instead — partitioned NTILE "
+        "parallelizes fine and needs no such rewrite, which is "
+        "exactly the distinction worth pinning). NTILE assignment is only "
+        "deterministic under a TOTAL order, so the tiebreak on "
+        "event_id is load-bearing for the cross-engine hash (both "
+        "engines give earlier tiles the extra rows when n % 4 != 0). "
+        "One shuffle on event_type; at 100 TB a single hot type "
+        "serializes its partition — the HDR sketch is the "
+        "constant-state alternative when tile BOUNDARIES (not exact "
+        "membership) are the requirement."
+    ),
+    tags=("window", "ntile", "ranking", "aggregates"),
+)
+def q_events_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", "event_id", _cents(F.col("value")).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    t = v.withColumn("q", F.ntile(4).over(w))
+    return t.groupBy("event_type", F.col("q").alias("quartile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c").alias("min_cents"),
+        F.max("c").alias("max_cents"),
+        F.sum("c").cast("long").alias("sum_cents"),
     )

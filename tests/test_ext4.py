@@ -124,3 +124,36 @@ def test_full_envelope_round_trip(spark):
         for r in changes.collect()
     )
     assert got == want
+
+
+def test_hdr_bucket_math_properties():
+    # pure-python mirror of the SQL bucket formula: lower bound is the
+    # bucket floor, widths bound relative error at 1/8, the bucket
+    # index is monotone in the value, and (bucket -> lb) inverts.
+    prev_bucket = -1
+    for cents in range(1, 20000):
+        w = cents * 8
+        e = w.bit_length()
+        m = w >> (e - 4)
+        bucket = (e - 4) * 8 + m - 8
+        lb = m << (e - 4)
+        width = 1 << (e - 4)
+        assert lb <= w < lb + width
+        assert width * 8 <= lb  # width/lb <= 1/8 -> <=12.5% rel error
+        assert lb == (8 + bucket % 8) << (bucket // 8)
+        assert bucket >= prev_bucket
+        prev_bucket = bucket
+
+
+def test_audience_overlap_estimates_are_plausible(spark, sf_dir):
+    # inclusion-exclusion amplifies each sketch's error; assert a
+    # generous band so this pins "it is a real estimator", plus the
+    # exact identity that must hold by construction.
+    row = REGISTRY["audience_overlap"].spark(spark, sf_dir).collect()[0]
+    assert row["exact_intersection"] == (
+        row["exact_view"] + row["exact_purchase"] - row["exact_union"]
+    )
+    assert row["exact_union"] > 0
+    assert abs(row["est_union"] / row["exact_union"] - 1) < 0.40
+    slack = 0.40 * (row["exact_view"] + row["exact_purchase"])
+    assert abs(row["est_intersection"] - row["exact_intersection"]) <= slack
