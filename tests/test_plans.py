@@ -1232,3 +1232,19 @@ def test_retract_agg_single_scan_single_shuffle(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan, plan[:2000]
     assert plan.count("Exchange") == 1, plan[:2000]
     assert "partial_sum" in plan, plan[:2000]
+
+
+def test_audience_overlap_two_scans_no_re_mix(spark, sf_dir):
+    """audience_overlap's sketch branch derives per-set AND union
+    registers from ONE events scan (the explode carries each row into
+    both sketches); the exact-distinct branch is the only other scan.
+    A per-set + separate-union formulation would show three."""
+    plan = (
+        REGISTRY["audience_overlap"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
