@@ -268,12 +268,6 @@ def minhash_signature(docs: DataFrame, n: int = 3) -> DataFrame:
     affine re-mixes, so there is no 64-bit arithmetic to overflow under
     ANSI mode. Pure per-row compute — no shuffle.
     """
-    # NB: higher-order lambdas must take exactly ONE parameter — a
-    # captured-default second arg (lambda s, i=i: ...) makes PySpark
-    # bind the array *index* to it, silently changing semantics.
-    def seed_hash(i: int):
-        return lambda h: F.xxhash64(h, F.lit(i))
-
     # Materialize the shingle array (and one base hash per shingle)
     # behind projection boundaries so the 64 per-seed passes reuse the
     # computed arrays instead of re-deriving
@@ -282,15 +276,26 @@ def minhash_signature(docs: DataFrame, n: int = 3) -> DataFrame:
         F.col("doc_id"), shingles("text", n).alias("sh")
     )
     hashed = base.select(
-        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs")
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform("hs", seed_hash(i)))
+    # The 64-element signature is ONE SQL expression string parsed
+    # JVM-side, not 64 Python-built F.transform lambdas: each Python
+    # higher-order lambda costs a py4j round-trip per AST node, and
+    # the loop form measured ~0.8 s of driver time PER PLAN BUILD at
+    # steady state (2.3 s cold) vs ~0.2 s for the parsed string —
+    # same analyzed plan, bit-identical output. (Historical pitfall
+    # kept for the record: a captured-default two-arg lambda
+    # `lambda s, i=i: ...` makes PySpark bind the array *index* to the
+    # second parameter, silently changing semantics.)
+    sig_sql = (
+        "array("
+        + ",".join(
+            f"array_min(transform(hs, h -> xxhash64(h, {i})))"
             for i in range(NUM_HASHES)
-        ]
+        )
+        + ")"
     )
-    return hashed.select("doc_id", sig.alias("sig"))
+    return hashed.select("doc_id", F.expr(sig_sql).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -902,22 +907,20 @@ def minhash_bands(
     batch."""
     num_bands = NUM_HASHES // band_rows
     sigs = minhash_signature(docs, n)
-    return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * band_rows + 1, band_rows)
-                        ).alias("band_sig"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_sig")
+    # one parsed SQL string, not num_bands Python-built structs — the
+    # same per-plan-build py4j saving as the signature expression
+    band_sql = (
+        "explode(array("
+        + ",".join(
+            f"named_struct('band_idx', {b}, 'band_sig',"
+            f" xxhash64(slice(sig, {b * band_rows + 1}, {band_rows})))"
+            for b in range(num_bands)
+        )
+        + "))"
+    )
+    return sigs.select("doc_id", F.expr(band_sql).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_sig"
+    )
 
 
 def incremental_portable_ingest(
