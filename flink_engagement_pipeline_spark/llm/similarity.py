@@ -361,25 +361,36 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     planes = np.random.default_rng(11).standard_normal(
         (NEARDUP_TABLES * NEARDUP_PLANES, DIM)
     )
-    e = _as_double(F.col("embedding"))
-    bits = [
-        F.when(_dot(e, F.array(*[F.lit(float(x)) for x in w])) > 0, 1).otherwise(0)
-        for w in planes
-    ]
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                sum(
-                    (bits[t * NEARDUP_PLANES + j] * (1 << j))
-                    for j in range(NEARDUP_PLANES)
-                ).alias("bucket"),
-            )
+    # the 128 hyperplane dot products are ONE parsed SQL string, not
+    # 128 x 64 Python-built F.lit nodes: the loop form paid ~8 s of
+    # py4j/driver time PER PLAN BUILD (the registry's worst). `!r`
+    # float literals with the D suffix round-trip to the identical
+    # IEEE doubles F.lit produced, and the fold mirrors _dot, so the
+    # buckets (and the recall pytest) are unchanged.
+    def dot_sql(w) -> str:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")"
+        return (
+            f"aggregate(zip_with(cast(embedding as array<double>), {arr},"
+            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    def bucket_sql(t: int) -> str:
+        return " + ".join(
+            f"((CASE WHEN {dot_sql(planes[t * NEARDUP_PLANES + j])} > 0"
+            f" THEN 1 ELSE 0 END) * {1 << j})"
+            for j in range(NEARDUP_PLANES)
+        )
+
+    tables_sql = (
+        "explode(array("
+        + ",".join(
+            f"named_struct('t', {t}, 'bucket', ({bucket_sql(t)}))"
             for t in range(NEARDUP_TABLES)
-        ]
+        )
+        + "))"
     )
     bucketed = emb.select(
-        F.col("vec_id"), F.col("embedding"), F.explode(tables).alias("tb")
+        F.col("vec_id"), F.col("embedding"), F.expr(tables_sql).alias("tb")
     ).select("vec_id", "embedding", "tb.t", "tb.bucket")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cos = _dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding"))) / (
