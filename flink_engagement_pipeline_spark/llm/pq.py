@@ -26,16 +26,22 @@ ties to the lowest code — so PQ training + encoding + ADC ranking
 unroll into plain SQL CTEs and the registered query hash-matches its
 oracle, codebook bits and all.
 
-Cost profile (measured, sf0.1 = 50k vectors): the INDEX BUILD —
-training both quantizers and materializing the encoded table
-(`encoded_table`) — costs ~30 s, almost all of it CONSTANT driver
-overhead (Catalyst analysis of the ~4000-node literal assignment
-expressions; whole-stage codegen on/off was measured at parity, so
-it is analysis, not Janino). Executor work is ~1.3 s. The build runs
-ONCE per corpus (deterministic-trainer memo + persisted codes) and
-amortizes to nothing at real scale; SERVING — the ADC scan over the
-persisted codes — is a tiny compiled plan, ~0.5 s at sf0.1. Per-row
-math is codegen'd plain arithmetic (`_dot_lit`).
+Cost profile (measured): the INDEX BUILD — training both quantizers
+and materializing the encoded table (`encoded_table`) — was ~30 s at
+sf0.1, and the dominant constant turned out to be PY4J TRAFFIC, not
+Catalyst analysis as first diagnosed: constructing the 8 argmin
+assignment columns as Python Column objects cost ~10 s per plan
+build (the whole-stage on/off parity measurement had only ruled out
+Janino). `_assign_code_sql` builds the identical expression as one
+parsed SQL string; the cold end-to-end gate cost measured
+27.5 -> 13.5 s (pq_adc, sf0.01, training + encode + write included)
+and 11.3 -> 5.8 s (ivf_pq) in a same-session A/B. What remains is
+trainer executor work + the (cached-after-first-use) codegen of the
+literal tree. The build runs ONCE per corpus (deterministic-trainer
+memo + persisted codes) and amortizes to nothing at real scale;
+SERVING — the ADC scan over the persisted codes — is a tiny compiled
+plan, ~0.5 s at sf0.1. Per-row math is codegen'd plain arithmetic
+(`_dot_lit` form).
 """
 
 from __future__ import annotations
@@ -93,7 +99,8 @@ def _assign_code(v: Column, s: int, book: list[list[float]]) -> Column:
     struct(dist, code) candidates, array_min — same total order as the
     oracle's row_number (dist ASC, code ASC). Distances use the
     expanded vv - 2vc + cc form over direct element indexing (no
-    slice, no lambdas)."""
+    slice, no lambdas). Kept as the readable reference; the hot
+    builder is :func:`_assign_code_sql` (identical AST)."""
     els = [v.getItem(s * PQ_SUBDIM + i) for i in range(PQ_SUBDIM)]
     vv: Column = F.lit(0.0)
     for el in els:
@@ -103,6 +110,26 @@ def _assign_code(v: Column, s: int, book: list[list[float]]) -> Column:
         d = vv - F.lit(2.0) * _dot_lit(els, c) + F.lit(_dot_py(c, c))
         cands.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
     return F.array_min(F.array(*cands))["c"]
+
+
+def _assign_code_sql(v_name: str, s: int, book: list[list[float]]) -> str:
+    """SQL-string twin of :func:`_assign_code`, token-for-token the
+    same expression tree (same left-to-right adds, same literals via
+    repr-round-trip `D` doubles), parsed JVM-side in one call. The
+    Python-built form cost ~10 s of py4j traffic for the 8 assign
+    columns PER PLAN BUILD — previously misattributed to Catalyst
+    analysis, which is actually ~1.3 s; this is where the PQ family's
+    'constant driver overhead' lived."""
+    els = [f"{v_name}[{s * PQ_SUBDIM + i}]" for i in range(PQ_SUBDIM)]
+    vv = "0.0D" + "".join(f" + {el} * {el}" for el in els)
+    cands = []
+    for j, c in enumerate(book):
+        dot = "0.0D" + "".join(
+            f" + {el} * {float(x)!r}D" for el, x in zip(els, c)
+        )
+        d = f"({vv}) - 2.0D * ({dot}) + {float(_dot_py(c, c))!r}D"
+        cands.append(f"named_struct('d', {d}, 'c', {j})")
+    return f"array_min(array({','.join(cands)})).c"
 
 
 def train_codebooks(emb: DataFrame) -> list[list[list[float]]]:
@@ -144,7 +171,7 @@ def train_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     ]
     # one pass: per-subspace assignment columns + quantized explode
     assigns = [
-        _assign_code(F.col("v"), s, seeds[s]).alias(f"c{s}")
+        F.expr(_assign_code_sql("v", s, seeds[s])).alias(f"c{s}")
         for s in range(PQ_M)
     ]
     long = (
@@ -198,7 +225,7 @@ def encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     return e.select(
         "vec_id",
         *[
-            _assign_code(F.col("v"), s, books[s]).alias(f"c{s}")
+            F.expr(_assign_code_sql("v", s, books[s])).alias(f"c{s}")
             for s in range(PQ_M)
         ],
     )
@@ -240,7 +267,7 @@ def encoded_table(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
         cols = [
-            _assign_code(F.col("v"), s, books[s]).alias(f"c{s}")
+            F.expr(_assign_code_sql("v", s, books[s])).alias(f"c{s}")
             for s in range(PQ_M)
         ]
         if with_cluster:
