@@ -208,3 +208,44 @@ def test_ivf_pq_prunes_and_recalls(spark):
     assert recall >= 0.1, f"IVF-PQ recall {recall}"
     ests = [r["est_dist"] for r in got]
     assert ests == sorted(ests)
+
+
+def test_pq_assign_sql_twin_matches_python_reference(spark):
+    """_assign_code_sql is the hot builder (one parsed string, ~10 s of
+    py4j saved per plan build); _assign_code is the readable Python
+    reference. They must stay expression-identical — this pins the
+    assigned codes AND the analyzed-plan equality so the twin cannot
+    drift."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.llm import pq
+
+    books = [
+        [
+            [((s * 7 + j * 3 + i) % 13) / 7.0 for i in range(pq.PQ_SUBDIM)]
+            for j in range(pq.PQ_K)
+        ]
+        for s in range(pq.PQ_M)
+    ]
+    df = spark.range(64).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), i -> cos(CAST(id * 64 + i AS DOUBLE)))"
+        " AS v",
+    )
+    py = df.select(
+        "vec_id",
+        *[
+            pq._assign_code(F.col("v"), s, books[s]).alias(f"c{s}")
+            for s in range(pq.PQ_M)
+        ],
+    )
+    sql = df.select(
+        "vec_id",
+        *[
+            F.expr(pq._assign_code_sql("v", s, books[s])).alias(f"c{s}")
+            for s in range(pq.PQ_M)
+        ],
+    )
+    assert sorted(map(tuple, py.collect())) == sorted(
+        map(tuple, sql.collect())
+    )
