@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_retract_replay",
     "audience_overlap",
     "events_ntile_quartiles",
+    "cep_conversion_within",
     # -- [c] backfill: oldest driver coverage first (r2-only, in
     # registry order; unchanged since, green in the local sweep) --
     "events_identity",
@@ -105,7 +106,6 @@ _PRIORITY: tuple[str, ...] = (
     "daily_event_pivot",
     "rollup_event_type",
     "user_event_gaps",
-    "cube_returnflag_status",
 )
 
 

@@ -157,3 +157,56 @@ def test_audience_overlap_estimates_are_plausible(spark, sf_dir):
     assert abs(row["est_union"] / row["exact_union"] - 1) < 0.40
     slack = 0.40 * (row["exact_view"] + row["exact_purchase"])
     assert abs(row["est_intersection"] - row["exact_intersection"]) <= slack
+
+
+def test_cep_semantics_on_crafted_sequences(spark, tmp_path):
+    """CEP pattern semantics on hand-built histories: a clean
+    view->click->purchase inside the window matches; an error between
+    the bound view and the purchase kills it; exceeding the window
+    kills it; wrong order (click before view) never binds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    H = 3_600_000_000  # one hour in micros
+    base = 1_700_000_000_000_000
+
+    rows = [
+        # user 1: clean match, latency 2h
+        (1, 101, "view", base),
+        (1, 102, "click", base + H),
+        (1, 103, "purchase", base + 2 * H),
+        # user 2: error between view and purchase -> no match
+        (2, 201, "view", base),
+        (2, 202, "error", base + H // 2),
+        (2, 203, "click", base + H),
+        (2, 204, "purchase", base + 2 * H),
+        # user 3: window exceeded (view .. purchase > 48h) -> no match
+        (3, 301, "view", base),
+        (3, 302, "click", base + H),
+        (3, 303, "purchase", base + 49 * H),
+        # user 4: click precedes the only view -> chain never forms
+        (4, 401, "click", base),
+        (4, 402, "view", base + H),
+        (4, 403, "purchase", base + 2 * H),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from flink_engagement_pipeline_spark.plans.registry import REGISTRY
+
+    out = {
+        r["user_id"]: (r["n_conversions"], r["min_latency_us"])
+        for r in REGISTRY["cep_conversion_within"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {1: (1, 2 * H)}

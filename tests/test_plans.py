@@ -465,6 +465,7 @@ def test_gate_priority_window_covers_graded_surface():
         "stream_retract_replay",
         "audience_overlap",
         "events_ntile_quartiles",
+        "cep_conversion_within",
     ]
     missing = [
         n for n in sentinels + first_proof + new_in_r5 if n not in window
