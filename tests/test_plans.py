@@ -1249,3 +1249,17 @@ def test_audience_overlap_two_scans_no_re_mix(spark, sf_dir):
     )
     assert plan.count("Scan parquet") == 2, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_cep_single_scan_single_shuffle_stacked_windows(spark, sf_dir):
+    """cep_conversion_within must stay the no-join CEP shape: ONE
+    events scan, ONE Exchange on user_id, the cumulative-sum and both
+    carry-forward Windows stacked on the same partitioning, and the
+    final per-user aggregate riding the preserved partitioning with a
+    map-side partial (no second shuffle)."""
+    plan = _plan(spark, sf_dir, "cep_conversion_within")
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Window") == 3, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
