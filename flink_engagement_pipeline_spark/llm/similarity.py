@@ -220,20 +220,30 @@ def _hyperplanes(num_planes: int = NUM_PLANES, dim: int = DIM) -> np.ndarray:
     return np.random.default_rng(7).standard_normal((num_planes, dim))
 
 
-def _bucket_expr(col: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id of an embedding column: bit j = [e . w_j > 0]."""
-    bucket = F.lit(0)
+def _bucket_expr_sql(col_name: str, planes: np.ndarray) -> str:
+    """Sign-bit bucket id of an embedding column: bit j = [e . w_j > 0].
+    One parsed SQL string instead of num_planes x dim Python-built
+    F.lit nodes (the per-plan-build py4j rule; same zip_with/aggregate
+    fold as `_dot`, so the hash-matched oracle replications are
+    unchanged)."""
+    terms = []
     for j, w in enumerate(planes):
-        lit_w = F.array(*[F.lit(float(x)) for x in w])
-        bucket = bucket + F.when(_dot(_as_double(col), lit_w) > 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")"
+        dot = (
+            f"aggregate(zip_with(cast({col_name} as array<double>), {arr},"
+            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
         )
-    return bucket
+        terms.append(
+            f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "0 + " + " + ".join(terms)
 
 
 def bucketize(emb: DataFrame, planes: np.ndarray | None = None) -> DataFrame:
     planes = _hyperplanes() if planes is None else planes
-    return emb.withColumn("bucket", _bucket_expr(F.col("embedding"), planes))
+    return emb.withColumn(
+        "bucket", F.expr(_bucket_expr_sql("embedding", planes))
+    )
 
 
 # --------------------------------------------------------------------------
