@@ -46,6 +46,8 @@ plan, ~0.5 s at sf0.1. Per-row math is codegen'd plain arithmetic
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -66,10 +68,60 @@ _codebook_memo: dict = {}
 
 
 def _memo_key(df: DataFrame) -> tuple:
+    """Semantic plan hash + concrete file identity. File identity is
+    (path, size, mtime_ns), not path alone: data overwritten in place
+    under the same file names (fixture regeneration between rounds)
+    must MISS — a stale codebook served against new vectors is a
+    silent wrong answer, the worst failure mode a trainer memo can
+    have. A non-statable URI (remote scheme, vanished file) keys with
+    size/mtime = None, which still invalidates whenever the file SET
+    changes and never crashes the key builder."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    ident = []
+    for uri in sorted(df.inputFiles()):
+        p = urlparse(uri)
+        local = unquote(p.path) if p.scheme in ("", "file") else None
+        try:
+            st = os.stat(local) if local else None
+        except OSError:
+            st = None
+        ident.append(
+            (uri, st.st_size if st else None, st.st_mtime_ns if st else None)
+        )
     return (
         df._jdf.queryExecution().analyzed().semanticHash(),
-        tuple(sorted(df.inputFiles())),
+        tuple(ident),
     )
+
+
+def _memo_freeze(value):
+    """Deep-tuple nested float lists so a memo hit can never be
+    mutated into cache corruption by a caller editing the returned
+    books/centroids in place."""
+    if isinstance(value, (list, tuple)):
+        return tuple(_memo_freeze(v) for v in value)
+    return value
+
+
+def _memo_thaw(value):
+    if isinstance(value, tuple):
+        return [_memo_thaw(v) for v in value]
+    return value
+
+
+def _memo_put(key: tuple, value) -> None:
+    """Insert with bounded FIFO eviction; an evicted 'encoded' entry
+    is a temp directory we own, so reclaim it instead of leaking."""
+    import shutil
+
+    while len(_codebook_memo) >= _MEMO_MAX:
+        old_key = next(iter(_codebook_memo))
+        old_val = _codebook_memo.pop(old_key)
+        if old_key[0] == "encoded" and isinstance(old_val, str):
+            shutil.rmtree(os.path.dirname(old_val), ignore_errors=True)
+    _codebook_memo[key] = value
 
 PQ_M = 8        # subspaces
 PQ_SUBDIM = 8   # dims per subspace (PQ_M * PQ_SUBDIM == DIM)
@@ -148,7 +200,7 @@ def train_codebooks(emb: DataFrame) -> list[list[list[float]]]:
 
     key = ("books", _memo_key(emb))
     if key in _codebook_memo:
-        return _codebook_memo[key]
+        return _memo_thaw(_codebook_memo[key])
 
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     n = e.count()
@@ -213,9 +265,7 @@ def train_codebooks(emb: DataFrame) -> list[list[list[float]]]:
             else:
                 book.append(seeds[s][j])
         books.append(book)
-    if len(_codebook_memo) >= _MEMO_MAX:
-        _codebook_memo.pop(next(iter(_codebook_memo)))
-    _codebook_memo[key] = books
+    _memo_put(key, _memo_freeze(books))
     return books
 
 
@@ -262,6 +312,12 @@ def encoded_table(
         coarse = _centroids(emb)
     key = ("encoded", with_cluster, _memo_key(emb))
     path = _codebook_memo.get(key)
+    if path is not None and not os.path.exists(path):
+        # tmp reaping in a long-lived session: the memoized directory
+        # is gone, so a hit would hand serving a read of nothing —
+        # rebuild instead
+        _codebook_memo.pop(key, None)
+        path = None
     if path is None:
         e = emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -291,9 +347,7 @@ def encoded_table(
             enc.write.parquet(path)
         finally:
             spark_.conf.set(ws_key, saved)
-        if len(_codebook_memo) >= _MEMO_MAX:
-            _codebook_memo.pop(next(iter(_codebook_memo)))
-        _codebook_memo[key] = path
+        _memo_put(key, path)
     return emb.sparkSession.read.parquet(path), books, coarse
 
 

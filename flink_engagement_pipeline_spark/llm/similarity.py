@@ -268,11 +268,11 @@ def _centroids(emb: DataFrame, k: int = IVF_LISTS) -> list[list[float]]:
     Memoized per semantic input (deterministic trainer, same device as
     pq.train_codebooks)."""
     from .cluster import assign_clusters, update_centroids
-    from .pq import _codebook_memo, _memo_key, _MEMO_MAX
+    from .pq import _codebook_memo, _memo_freeze, _memo_key, _memo_put, _memo_thaw
 
     key = ("ivf_centroids", k, _memo_key(emb))
     if key in _codebook_memo:
-        return _codebook_memo[key]
+        return _memo_thaw(_codebook_memo[key])
 
     n = emb.count()
     stride = max(1, n // k)
@@ -289,9 +289,7 @@ def _centroids(emb: DataFrame, k: int = IVF_LISTS) -> list[list[float]]:
             f"seeds, found {len(seed_vecs)}"
         )
     cents = update_centroids(assign_clusters(e, seed_vecs), seed_vecs, k)
-    if len(_codebook_memo) >= _MEMO_MAX:
-        _codebook_memo.pop(next(iter(_codebook_memo)))
-    _codebook_memo[key] = cents
+    _memo_put(key, _memo_freeze(cents))
     return cents
 
 

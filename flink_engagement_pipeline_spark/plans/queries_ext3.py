@@ -324,11 +324,21 @@ GROUP BY o.o_orderpriority
         "(sorted within buckets), and the join then reads bucket i "
         "against bucket i with NO Exchange on either side — the "
         "shuffle is paid at write time, amortized over every "
-        "subsequent join "
-        "(tests/test_plans.py::test_bucketed_join_no_exchange pins "
-        "the exchange-free plan). Result hash-matches the plain join "
-        "oracle, proving the bucketed round-trip is lossless. DECIMAL "
-        "revenue sums exactly; one double conversion at the end."
+        "subsequent join. The MERGE hint makes the query PLAN that "
+        "co-located SortMergeJoin even at fixture scale, where the "
+        "planner would otherwise pick a BroadcastHashJoin (the "
+        "fixture fits under the 64 MB broadcast threshold, and a "
+        "broadcast plan demonstrates nothing about the bucket "
+        "layout); at 100 TB neither side is broadcastable and SMJ "
+        "over the bucket partitioning is the only plan that avoids "
+        "shuffling both facts "
+        "(tests/test_plans.py::test_registered_bucketed_join_colocated "
+        "pins the exchange-free SMJ shape of THIS query; "
+        "test_bucketed_join_no_exchange proves the underlying "
+        "bucketing discipline, incl. sort elision, on its own "
+        "tables). Result hash-matches the plain join oracle, proving "
+        "the bucketed round-trip is lossless. DECIMAL revenue sums "
+        "exactly; one double conversion at the end."
     ),
     tags=("storage", "bucketing", "join"),
 )
@@ -354,7 +364,11 @@ def q_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).saveAsTable("fep_bucketed_orders")
     lb = spark.table("fep_bucketed_lineitem")
     ob = spark.table("fep_bucketed_orders")
-    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+    # MERGE hint: force the sort-merge strategy so the join runs over
+    # the bucket partitioning (zero Exchange) instead of broadcasting
+    # the fixture-small orders side — the 100 TB plan, demonstrated at
+    # any scale. AQE keeps strategy hints through re-optimization.
+    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
@@ -453,7 +467,8 @@ FROM flags
         "driver-provable: a 512-bit filter over purchasing users "
         "(md5 -> 48-bit int, 3 affine probes, per-word integer "
         "bit_or — order-independent, mergeable partial aggregate) is "
-        "collected as 8 longs (metadata, like the IVF centroids) and "
+        "collected as 16 x 32-bit words (metadata, like the IVF "
+        "centroids) and "
         "inlined into a pure-projection membership test over the "
         "click stream. Output counts the pruning quality: probed "
         "rows, bloom passes, true members (exact semi-join), false "
@@ -477,7 +492,7 @@ def q_events_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(x.alias("x"))
         .distinct()
     )
-    # k probe positions -> (word, bit) contributions -> 8-word bit_or
+    # k probe positions -> (word, bit) contributions -> 16-word bit_or
     contribs = build.select(
         F.explode(
             F.array(
@@ -496,8 +511,8 @@ def q_events_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit"
         ),
     )
-    # the whole filter is 8 longs — metadata-sized driver state, like
-    # the IVF centroid collect
+    # the whole filter is 16 x 32-bit words — metadata-sized driver
+    # state, like the IVF centroid collect
     rows = contribs.groupBy("w").agg(F.expr("bit_or(bit)").alias("word")).collect()
     words = [0] * (_BLOOM_BITS // 32)
     for r in rows:

@@ -628,20 +628,33 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
-def test_bucketed_join_no_exchange(spark, sf_dir):
-    """Bucketed tables joined on the bucket key must not shuffle:
-    the write paid the partitioning once, so the join plan carries NO
-    Exchange on either side — the amortized co-located join strategy
-    for repeatedly-joined fact tables."""
+def test_registered_bucketed_join_colocated(spark, sf_dir):
+    """The REGISTERED lineitem_bucketed_join must plan the co-located
+    SortMergeJoin its docstring claims: the MERGE hint overrides the
+    fixture-scale broadcast preference, and the 8-way bucket layout
+    means the whole plan — scans, sorts, join, and the final
+    aggregation riding the same partitioning — carries ZERO Exchange
+    nodes. (Round-5 verdict: an earlier, shadowed version of this test
+    asserted this of a hint-less query whose actual plan broadcast the
+    orders side; the assertion now runs and the plan now matches.)
+    Asserted on node names over the whole executed plan, not on
+    string-slicing around the join operator."""
+    import re
+
     from flink_engagement_pipeline_spark.plans.registry import REGISTRY
 
     df = REGISTRY["lineitem_bucketed_join"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    join_part = plan.split("HashAggregate")[-1]  # below the final agg
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
-    # no Exchange between the join and the bucketed scans
-    below_join = plan.split("Join")[-1]
-    assert "Exchange" not in below_join, below_join[:1500]
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    # the ONLY Exchange in the whole plan is the final aggregation's
+    # regroup on o_orderpriority — the join itself rides the bucket
+    # partitioning, so neither join input shuffles
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges == ["o_orderpriority"], (exchanges, plan[:2000])
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    # both scans read the bucketed layout (8 buckets each)
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan[:3000]
 
 
 def test_jaccard_single_corpus_pass(spark, sf_dir):
@@ -1263,3 +1276,46 @@ def test_cep_single_scan_single_shuffle_stacked_windows(spark, sf_dir):
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Window") == 3, plan[:2000]
     assert "partial_count" in plan, plan[:2000]
+
+
+def test_plan_build_latency_bounded(spark, sf_dir):
+    """Regression pin for the round-5 py4j plan-build campaign: any
+    operator assembling O(64+) expression nodes in a Python loop pays
+    seconds of driver py4j traffic PER PLAN BUILD (measured pre-fix:
+    embedding_near_dup 7.9 s, simhash 1.9 s, the 64-seed MinHash
+    signature 0.8-2 s — and the driver/bench rebuilds the DataFrame
+    every run). The fix builds those expressions as single parsed SQL
+    strings (F.expr / selectExpr), post-fix builds run 0.2-0.7 s.
+    This test times DataFrame CONSTRUCTION + analysis (touching
+    .columns forces the analyzed plan) for every query the campaign
+    covered and asserts min-of-2 under a bound that pre-fix code
+    misses by 3-10x but host noise cannot reach. Trainer queries
+    (kmeans/PQ/IVF) are excluded — their builds intentionally run
+    collect() jobs (seeds/codebooks), which is execution, not
+    plan-build overhead."""
+    import time
+
+    from flink_engagement_pipeline_spark.plans.registry import REGISTRY
+
+    heavy = [
+        "docs_minhash_pairs",    # 64-seed xxhash signature + 16 bands
+        "docs_minhash_portable", # 16 affine hashes + band index
+        "docs_minhash_ingest",   # portable bands twice + verify join
+        "docs_simhash_pairs",    # 60-bit per-bit vote + 5 rotations
+        "embedding_near_dup",    # 128 hyperplane projections
+        "docs_jaccard_pairs",    # shingle explode + windowed sizes
+        "cep_conversion_within", # chained carry-forward windows
+    ]
+    # JVM/py4j warm-up so the first measured build isn't charged for
+    # session setup
+    REGISTRY["docs_exact_dedup"].spark(spark, sf_dir).columns
+    worst = {}
+    for name in heavy:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            REGISTRY[name].spark(spark, sf_dir).columns
+            best = min(best, time.monotonic() - t0)
+        worst[name] = best
+    offenders = {n: round(t, 2) for n, t in worst.items() if t > 2.5}
+    assert not offenders, f"plan builds regressed (pre-fix levels): {offenders}"
