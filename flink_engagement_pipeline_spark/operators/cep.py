@@ -1,0 +1,286 @@
+"""CEP / MATCH_RECOGNIZE-style pattern matching over DataFrames.
+
+Reference parity: Flink exposes complex-event processing as
+MATCH_RECOGNIZE / the CEP library; the reference pipeline
+(saqqaf/flink-engagement-pipeline) runs on engagement streams where
+the canonical CEP question is an ordered per-user sequence inside a
+time window with negation ("view then click then purchase within 48 h
+with no error in between"). Round 5 proved that shape as ONE
+hand-built query (`cep_conversion_within`); this module is the
+round-6 generalization: a declarative pattern spec compiled to the
+same plan device, so a second pattern is a five-line spec instead of
+a copy-paste.
+
+The compilation target (unchanged from the proven query, see
+plans/queries_ext4.py): NO joins and NO state machine —
+
+- one shuffle partitioning events by the match key, ordered by
+  (ts, tiebreak);
+- an integer prefix-sum of negation hits (``__cep_negcum``);
+- per intermediate step, chained ``last(expr, ignorenulls=True)``
+  carry-forwards over the PRECEDING-exclusive frame: step i's rows
+  re-publish the latest step-(i-1) chain state, so the final step's
+  rows see the whole greedy last-before binding;
+- the final step is a plain filter: all carries bound, the
+  first-to-last gap inside ``within``, and the negation prefix-sum
+  unchanged since the first step.
+
+Per-row carried state is O(pattern length) longs, so the plan is the
+same at 100 TB: per-key sequences ride single partitions, Spark's
+window buffer spills, and nothing is driver-side.
+
+Semantics notes (shared by both engines, pinned by unit tests):
+- GREEDY LAST-BEFORE binding: each step-i row binds the latest
+  step-(i-1) chain strictly before it — the "skip to last" variant of
+  MATCH_RECOGNIZE's after-match semantics, one match row per
+  final-step event.
+- The negation window is (first step, final step]: a negation hit ON
+  the final row itself kills the match, one on the first-step row does
+  not (the prefix-sum at the first step already includes it).
+- ``within`` bounds ts(final) - ts(first), inclusive.
+
+Every compiled pattern has a token-equivalent SQL twin
+(:func:`pattern_oracle_sql`) generated from the SAME spec, so the
+Spark plan and the DuckDB oracle cannot drift — the discipline every
+approximate family in this repo follows (portable MinHash, PQ, HLL).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass(frozen=True)
+class PatternStep:
+    """One ordered step: ``predicate`` is a boolean SQL expression over
+    the event columns, valid in BOTH Spark SQL and DuckDB (stick to
+    ANSI comparisons; both dialects share them)."""
+
+    name: str
+    predicate: str
+
+
+@dataclass(frozen=True)
+class Pattern:
+    """An ordered-event pattern: steps in order, an optional time
+    window over the whole sequence (in ``ts_col`` units), and an
+    optional negation predicate that must match NO event between the
+    bound first step (exclusive) and the final step (inclusive)."""
+
+    steps: tuple[PatternStep, ...]
+    within: int | None = None
+    negation: str | None = None
+
+    def __post_init__(self) -> None:
+        if len(self.steps) < 2:
+            raise ValueError("a pattern needs at least two steps")
+        names = [s.name for s in self.steps]
+        if len(set(names)) != len(names):
+            raise ValueError(f"step names must be unique: {names}")
+
+
+def _ts_cols(pattern: Pattern) -> list[str]:
+    return [f"{s.name}_ts" for s in pattern.steps]
+
+
+def match_pattern(
+    events: DataFrame,
+    pattern: Pattern,
+    *,
+    partition_by: str,
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Match ``pattern`` over ``events``; one output row per final-step
+    event that completes it, with columns: ``partition_by``, one
+    ``<step>_ts`` per step (the matched event's ``ts_col``), and
+    ``latency`` = final ts - first ts.
+
+    ``ts_col`` must be a totally-orderable integer (epoch micros is
+    the house convention — no session-TZ exposure); ``tiebreak``
+    breaks ts collisions to make binding deterministic.
+
+    ``carry_cols``: extra event columns captured AT the bound
+    first-step row and carried through the chain to the match row,
+    output as ``<first_step>_<col>`` alongside the final row's own
+    value as ``<final_step>_<col>`` — the device that expresses
+    session-scoped patterns (carry the first step's session id, demand
+    equality with the match row's) and any other
+    same-attribute-across-the-sequence constraint, without touching
+    the operator's plan shape (each carried column is one more long of
+    per-row state).
+    """
+    steps = pattern.steps
+    k = len(steps)
+    order = Window.partitionBy(partition_by).orderBy(ts_col, *tiebreak)
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+
+    base_cols = list(events.columns)
+    df = events
+    if pattern.negation is not None:
+        df = df.withColumn(
+            "__cep_negcum",
+            F.sum(
+                F.when(F.expr(pattern.negation), 1).otherwise(0)
+            ).over(cum).cast("long"),
+        )
+        base_cols.append("__cep_negcum")
+
+    def carry(pred: str, src: Column, out: str) -> Column:
+        return (
+            F.last(F.when(F.expr(pred), src), ignorenulls=True)
+            .over(prev)
+            .alias(out)
+        )
+
+    # level i (1-based, steps[0..k-2]): rows re-publish the latest
+    # step-i chain state — its own ts, every earlier step's ts as bound
+    # AT that step-i row, and the first step's negation prefix-sum
+    for i in range(1, k):
+        pred = steps[i - 1].predicate
+        carries = [carry(pred, F.col(ts_col), f"__cep_ts{i}")]
+        rebound = set()
+        for j in range(1, i):
+            carries.append(carry(pred, F.col(f"__cep_ts{j}"), f"__cep_ts{j}"))
+            rebound.add(f"__cep_ts{j}")
+        if pattern.negation is not None:
+            src = (
+                F.col("__cep_negcum") if i == 1 else F.col("__cep_neg")
+            )
+            carries.append(carry(pred, src, "__cep_neg"))
+            if i > 1:
+                rebound.add("__cep_neg")
+        for col in carry_cols:
+            src = F.col(col) if i == 1 else F.col(f"__cep_c_{col}")
+            carries.append(carry(pred, src, f"__cep_c_{col}"))
+            if i > 1:
+                rebound.add(f"__cep_c_{col}")
+        # re-bound carries are produced fresh by this level's window
+        # expressions (which read the INPUT row's values), so they must
+        # not also pass through, or the output would duplicate names
+        carry_names = [f"__cep_ts{j}" for j in range(1, i + 1)]
+        if pattern.negation is not None:
+            carry_names.append("__cep_neg")
+        carry_names += [f"__cep_c_{col}" for col in carry_cols]
+        df = df.select(
+            *[c for c in base_cols if c not in rebound], *carries
+        )
+        base_cols = [c for c in base_cols if c not in rebound] + carry_names
+
+    cond = F.expr(steps[-1].predicate)
+    for j in range(1, k):
+        cond = cond & F.col(f"__cep_ts{j}").isNotNull()
+    if pattern.within is not None:
+        cond = cond & (F.col(ts_col) - F.col("__cep_ts1") <= pattern.within)
+    if pattern.negation is not None:
+        cond = cond & (F.col("__cep_negcum") - F.col("__cep_neg") == 0)
+
+    out = [F.col(partition_by)]
+    out += [
+        F.col(f"__cep_ts{j}").alias(f"{steps[j - 1].name}_ts")
+        for j in range(1, k)
+    ]
+    out.append(F.col(ts_col).alias(f"{steps[-1].name}_ts"))
+    out.append((F.col(ts_col) - F.col("__cep_ts1")).alias("latency"))
+    for col in carry_cols:
+        out.append(F.col(f"__cep_c_{col}").alias(f"{steps[0].name}_{col}"))
+        out.append(F.col(col).alias(f"{steps[-1].name}_{col}"))
+    return df.filter(cond).select(*out)
+
+
+def pattern_oracle_sql(
+    pattern: Pattern,
+    *,
+    source_sql: str,
+    partition_by: str,
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+    carry_cols: Sequence[str] = (),
+) -> str:
+    """The DuckDB twin of :func:`match_pattern`, generated from the
+    SAME spec: identical CTE chain (prefix-sum, per-level
+    ``last_value IGNORE NULLS`` carries over the PRECEDING-exclusive
+    frame, final filter). ``source_sql`` must yield the same rows and
+    columns the Spark side's ``events`` DataFrame has. Returns a full
+    SELECT producing (partition, <step>_ts..., latency), one row per
+    match — wrap it in any aggregation the registered query needs."""
+    steps = pattern.steps
+    k = len(steps)
+    over = (
+        f"PARTITION BY {partition_by} ORDER BY "
+        + ", ".join([ts_col, *tiebreak])
+    )
+    prev = f"{over} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    cum = f"{over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+    ctes = [f"__cep_ev AS ({source_sql})"]
+    prev_level = "__cep_ev"
+    if pattern.negation is not None:
+        ctes.append(
+            "__cep_seq AS (SELECT *, "
+            f"CAST(sum(CASE WHEN {pattern.negation} THEN 1 ELSE 0 END) "
+            f"OVER ({cum}) AS BIGINT) AS __cep_negcum FROM __cep_ev)"
+        )
+        prev_level = "__cep_seq"
+
+    def carry_sql(pred: str, src: str, out: str) -> str:
+        return (
+            f"last_value(CASE WHEN {pred} THEN {src} END IGNORE NULLS) "
+            f"OVER ({prev}) AS {out}"
+        )
+
+    for i in range(1, k):
+        pred = steps[i - 1].predicate
+        exprs = [carry_sql(pred, ts_col, f"__cep_ts{i}")]
+        for j in range(1, i):
+            exprs.append(carry_sql(pred, f"__cep_ts{j}", f"__cep_ts{j}"))
+        if pattern.negation is not None:
+            src = "__cep_negcum" if i == 1 else "__cep_neg"
+            exprs.append(carry_sql(pred, src, "__cep_neg"))
+        for col in carry_cols:
+            src = col if i == 1 else f"__cep_c_{col}"
+            exprs.append(carry_sql(pred, src, f"__cep_c_{col}"))
+        # star-minus the carries being rebound: DuckDB supports
+        # EXCLUDE, which keeps the generated text short and exact
+        excluded = [f"__cep_ts{j}" for j in range(1, i)]
+        if pattern.negation is not None and i > 1:
+            excluded.append("__cep_neg")
+        if i > 1:
+            excluded += [f"__cep_c_{col}" for col in carry_cols]
+        star = f"* EXCLUDE ({', '.join(excluded)})" if excluded else "*"
+        ctes.append(
+            f"__cep_l{i} AS (SELECT {star}, "
+            + ", ".join(exprs)
+            + f" FROM {prev_level})"
+        )
+        prev_level = f"__cep_l{i}"
+
+    conds = [steps[-1].predicate]
+    conds += [f"__cep_ts{j} IS NOT NULL" for j in range(1, k)]
+    if pattern.within is not None:
+        conds.append(f"{ts_col} - __cep_ts1 <= {pattern.within}")
+    if pattern.negation is not None:
+        conds.append("__cep_negcum - __cep_neg = 0")
+
+    out = [partition_by]
+    out += [
+        f"__cep_ts{j} AS {steps[j - 1].name}_ts" for j in range(1, k)
+    ]
+    out.append(f"{ts_col} AS {steps[-1].name}_ts")
+    out.append(f"{ts_col} - __cep_ts1 AS latency")
+    for col in carry_cols:
+        out.append(f"__cep_c_{col} AS {steps[0].name}_{col}")
+        out.append(f"{col} AS {steps[-1].name}_{col}")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT {', '.join(out)} FROM {prev_level}\nWHERE "
+        + " AND ".join(conds)
+    )

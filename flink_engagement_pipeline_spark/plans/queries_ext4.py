@@ -585,101 +585,42 @@ def q_events_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # CEP pattern detection: ordered sequence + time window + negation
+#
+# Round 5 proved this shape as ONE hand-built query; round 6
+# generalizes it into operators/cep.py (a declarative Pattern spec
+# compiled to the chained last(ignorenulls) carry-forward device).
+# BOTH dialects of each query below — the Spark plan AND the DuckDB
+# oracle — are generated from the SAME Pattern object, so they cannot
+# drift (the portable-MinHash discipline applied to CEP).
 # ---------------------------------------------------------------------------
 
+from ..operators.cep import (  # noqa: E402
+    Pattern,
+    PatternStep,
+    match_pattern,
+    pattern_oracle_sql,
+)
+
 _CEP_WINDOW_US = 172_800_000_000  # 48 hours
-
-
-@register(
-    "cep_conversion_within",
-    oracle=f"""
-WITH ev AS (
-    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-    FROM events WHERE user_id IS NOT NULL
-),
-seq AS (
-    SELECT user_id, event_id, event_type, ts_us,
-           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
-               PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS err_cum
-    FROM ev
-),
-v AS (
-    SELECT *,
-           last_value(CASE WHEN event_type = 'view' THEN ts_us END
-                      IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ) AS v_ts,
-           last_value(CASE WHEN event_type = 'view' THEN err_cum END
-                      IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ) AS v_cum
-    FROM seq
-),
-c AS (
-    SELECT *,
-           last_value(CASE WHEN event_type = 'click' THEN ts_us END
-                      IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ) AS c_ts,
-           last_value(CASE WHEN event_type = 'click' THEN v_ts END
-                      IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ) AS c_v_ts,
-           last_value(CASE WHEN event_type = 'click' THEN v_cum END
-                      IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ) AS c_v_cum
-    FROM v
-),
-hits AS (
-    SELECT user_id, ts_us - c_v_ts AS latency_us
-    FROM c
-    WHERE event_type = 'purchase'
-      AND c_ts IS NOT NULL AND c_v_ts IS NOT NULL
-      AND ts_us - c_v_ts <= {_CEP_WINDOW_US}
-      AND err_cum - c_v_cum = 0
+_CEP_SOURCE_SQL = (
+    "SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us "
+    "FROM events WHERE user_id IS NOT NULL"
 )
-SELECT user_id,
-       CAST(count(*) AS BIGINT) AS n_conversions,
-       min(latency_us) AS min_latency_us
-FROM hits GROUP BY user_id
-""",
-    doc=(
-        "CEP pattern detection — the Flink MATCH_RECOGNIZE shape the "
-        "reference's engagement domain asks for: view -> click -> "
-        "purchase per user, the WHOLE sequence inside a 48-hour "
-        "window, with NEGATION (no 'error' event anywhere between "
-        "the matched view and the purchase). Semantics are greedy "
-        "last-before (each purchase binds the latest prior click, "
-        "which binds its latest prior view). No joins and no state "
-        "machine: ONE shuffle on user_id, then chained "
-        "last(..., ignorenulls) carry-forwards over the "
-        "PRECEDING-exclusive frame propagate the view's (ts, "
-        "error-prefix-count) through the click to the purchase row, "
-        "and the negation is an integer prefix-sum difference — the "
-        "same plan at 100 TB, since per-user sequences ride single "
-        "partitions and the carried state is three longs. "
-        "conversion_funnel is the aggregate-join form of the "
-        "ordered-steps question; this is the per-match form with "
-        "temporal and negation constraints, which the join form "
-        "cannot express without re-scanning per constraint. "
-        "Timestamps stay integer epoch micros end-to-end (no "
-        "session-TZ exposure). The 48 h window is sized to the "
-        "fixture's sparse per-user spacing so every constraint "
-        "DISCRIMINATES (sf0.001: 26 matches, 17 sequences killed by "
-        "the error-negation alone, 19 by the window alone)."
+_CEP_VCP = Pattern(
+    steps=(
+        PatternStep("view", "event_type = 'view'"),
+        PatternStep("click", "event_type = 'click'"),
+        PatternStep("purchase", "event_type = 'purchase'"),
     ),
-    tags=("cep", "window", "sequence", "engagement", "negation"),
+    within=_CEP_WINDOW_US,
+    negation="event_type = 'error'",
 )
-def q_cep_conversion_within(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
+
+
+def _cep_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared CEP input: integer epoch-micro timestamps end-to-end
+    (no session-TZ exposure), keyed rows only."""
+    return (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select(
@@ -689,48 +630,222 @@ def q_cep_conversion_within(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("ts_us"),
         )
     )
-    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = order.rowsBetween(Window.unboundedPreceding, -1)
-    seq = ev.withColumn(
-        "err_cum",
-        F.sum(
-            F.when(F.col("event_type") == "error", 1).otherwise(0)
-        ).over(cum).cast("long"),
+
+
+def _cep_oracle(pattern: Pattern) -> str:
+    return pattern_oracle_sql(
+        pattern,
+        source_sql=_CEP_SOURCE_SQL,
+        partition_by="user_id",
+        ts_col="ts_us",
+        tiebreak=("event_id",),
     )
 
-    def carry(src: F.Column, out: str) -> F.Column:
-        return F.last(src, ignorenulls=True).over(prev).alias(out)
 
-    v = seq.select(
-        "*",
-        carry(
-            F.when(F.col("event_type") == "view", F.col("ts_us")), "v_ts"
-        ),
-        carry(
-            F.when(F.col("event_type") == "view", F.col("err_cum")), "v_cum"
-        ),
+@register(
+    "cep_conversion_within",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       min(latency) AS min_latency_us
+FROM ({_cep_oracle(_CEP_VCP)})
+GROUP BY user_id
+""",
+    doc=(
+        "CEP pattern detection — the Flink MATCH_RECOGNIZE shape the "
+        "reference's engagement domain asks for: view -> click -> "
+        "purchase per user, the WHOLE sequence inside a 48-hour "
+        "window, with NEGATION (no 'error' event anywhere between "
+        "the matched view and the purchase). Semantics are greedy "
+        "last-before (each purchase binds the latest prior click, "
+        "which binds its latest prior view). Compiled from a "
+        "declarative Pattern spec by operators/cep.py — no joins and "
+        "no state machine: ONE shuffle on user_id, then chained "
+        "last(..., ignorenulls) carry-forwards over the "
+        "PRECEDING-exclusive frame propagate the view's (ts, "
+        "error-prefix-count) through the click to the purchase row, "
+        "and the negation is an integer prefix-sum difference — the "
+        "same plan at 100 TB, since per-user sequences ride single "
+        "partitions and the carried state is three longs. The DuckDB "
+        "oracle is generated from the SAME spec "
+        "(pattern_oracle_sql), so the dialects cannot drift; "
+        "operator semantics are unit-pinned on inline frames in "
+        "tests/test_cep.py. conversion_funnel is the aggregate-join "
+        "form of the ordered-steps question; this is the per-match "
+        "form with temporal and negation constraints, which the join "
+        "form cannot express without re-scanning per constraint. "
+        "The 48 h window is sized to the fixture's sparse per-user "
+        "spacing so every constraint DISCRIMINATES (sf0.001: 26 "
+        "matches, 17 sequences killed by the error-negation alone, "
+        "19 by the window alone)."
+    ),
+    tags=("cep", "window", "sequence", "engagement", "negation"),
+)
+def q_cep_conversion_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = match_pattern(
+        _cep_events(spark, sf_dir),
+        _CEP_VCP,
+        partition_by="user_id",
+        ts_col="ts_us",
+        tiebreak=("event_id",),
     )
-    c = v.select(
-        "*",
-        carry(
-            F.when(F.col("event_type") == "click", F.col("ts_us")), "c_ts"
-        ),
-        carry(
-            F.when(F.col("event_type") == "click", F.col("v_ts")), "c_v_ts"
-        ),
-        carry(
-            F.when(F.col("event_type") == "click", F.col("v_cum")), "c_v_cum"
-        ),
-    )
-    hits = c.filter(
-        (F.col("event_type") == "purchase")
-        & F.col("c_ts").isNotNull()
-        & F.col("c_v_ts").isNotNull()
-        & (F.col("ts_us") - F.col("c_v_ts") <= _CEP_WINDOW_US)
-        & (F.col("err_cum") - F.col("c_v_cum") == 0)
-    ).select("user_id", (F.col("ts_us") - F.col("c_v_ts")).alias("latency_us"))
     return hits.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_conversions"),
-        F.min("latency_us").alias("min_latency_us"),
+        F.min("latency").alias("min_latency_us"),
+    )
+
+
+_CEP_DIRECT_WINDOW_US = 86_400_000_000  # 24 hours
+_CEP_DIRECT = Pattern(
+    steps=(
+        PatternStep("view", "event_type = 'view'"),
+        PatternStep("purchase", "event_type = 'purchase'"),
+    ),
+    within=_CEP_DIRECT_WINDOW_US,
+    negation="event_type = 'click'",
+)
+
+
+@register(
+    "cep_direct_purchase",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_direct,
+       min(latency) AS min_latency_us,
+       max(latency) AS max_latency_us
+FROM ({_cep_oracle(_CEP_DIRECT)})
+GROUP BY user_id
+""",
+    doc=(
+        "Second CEP pattern, proving operators/cep.py is an operator "
+        "and not a one-off: view -> purchase within 24 h with NO "
+        "click in between — the 'direct' conversion that skipped the "
+        "funnel, per user. A different arity (2 steps vs 3), a "
+        "TIGHTENED window (24 h vs 48 h), and a different negation "
+        "class (a funnel step as the negation, not an error) from "
+        "cep_conversion_within, all expressed as a five-line Pattern "
+        "spec compiled to the same one-shuffle, no-join plan; the "
+        "DuckDB oracle is generated from the SAME spec. Every "
+        "constraint discriminates on the fixture (sf0.001: 59 "
+        "matches; the click-negation alone kills 11 sequences, the "
+        "24 h window alone kills 33 — empty results are weak proof, "
+        "so the parameters are sized to keep all three constraint "
+        "classes load-bearing)."
+    ),
+    tags=("cep", "window", "sequence", "engagement", "negation"),
+)
+def q_cep_direct_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = match_pattern(
+        _cep_events(spark, sf_dir),
+        _CEP_DIRECT,
+        partition_by="user_id",
+        ts_col="ts_us",
+        tiebreak=("event_id",),
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_direct"),
+        F.min("latency").alias("min_latency_us"),
+        F.max("latency").alias("max_latency_us"),
+    )
+
+
+_CEP_SESSION_GAP_US = 43_200_000_000  # 12 hours of inactivity ends a session
+_CEP_SESSION = Pattern(
+    steps=(
+        PatternStep("view", "event_type = 'view'"),
+        PatternStep("click", "event_type = 'click'"),
+        PatternStep("purchase", "event_type = 'purchase'"),
+    ),
+    negation="event_type = 'error'",
+)
+# Sessionized CEP source: gap-based session ids ride every event, so
+# the pattern can demand the WHOLE sequence inside one session (the
+# MATCH_RECOGNIZE-within-session shape) instead of a fixed window.
+_CEP_SESSION_SOURCE_SQL = f"""
+SELECT user_id, event_id, event_type, ts_us,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                          OR ts_us - prev_ts > {_CEP_SESSION_GAP_US}
+                     THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS sess_id
+FROM (
+    SELECT user_id, event_id, event_type, ts_us,
+           lag(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS prev_ts
+    FROM ({_CEP_SOURCE_SQL})
+)
+"""
+
+
+@register(
+    "cep_session_conversion",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       min(latency) AS min_latency_us
+FROM ({pattern_oracle_sql(
+        _CEP_SESSION,
+        source_sql=_CEP_SESSION_SOURCE_SQL,
+        partition_by="user_id",
+        ts_col="ts_us",
+        tiebreak=("event_id",),
+        carry_cols=("sess_id",),
+    )})
+WHERE view_sess_id = purchase_sess_id
+GROUP BY user_id
+""",
+    doc=(
+        "Third CEP pattern: view -> click -> purchase with no error "
+        "between, where the WHOLE sequence must fall inside ONE "
+        "gap-based session (12 h of inactivity ends a session) — the "
+        "MATCH_RECOGNIZE-within-session shape, replacing the fixed "
+        "time window with a data-driven boundary. Exercises the "
+        "operator's carry-column device: the bound view's session id "
+        "is carried through the chain (one extra long of per-row "
+        "state) and compared to the match row's own session id; "
+        "sessionization itself is a lag + prefix-sum over the SAME "
+        "user_id partitioning, so the whole query is still one "
+        "shuffle, no joins. Both dialects — the sessionized source, "
+        "the carried chain, the equality — are generated from the "
+        "same spec/SQL fragments. Constraint discrimination at "
+        "sf0.001: 45 sequences pass the order+negation constraints, "
+        "the session equality kills 37 of them, 8 survive — every "
+        "constraint class is load-bearing (empty results are weak "
+        "proof)."
+    ),
+    tags=("cep", "session", "sequence", "engagement", "negation"),
+)
+def q_cep_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _cep_events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn(
+        "prev_ts", F.lag("ts_us").over(order)
+    ).withColumn(
+        "sess_id",
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts_us") - F.col("prev_ts") > _CEP_SESSION_GAP_US),
+                1,
+            ).otherwise(0)
+        ).over(cum).cast("long"),
+    ).drop("prev_ts")
+    hits = match_pattern(
+        sess,
+        _CEP_SESSION,
+        partition_by="user_id",
+        ts_col="ts_us",
+        tiebreak=("event_id",),
+        carry_cols=("sess_id",),
+    )
+    return (
+        hits.filter(F.col("view_sess_id") == F.col("purchase_sess_id"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.min("latency").alias("min_latency_us"),
+        )
     )
