@@ -320,27 +320,30 @@ def lsh_candidate_pairs(
     `max_bucket_size` bounds the collect_list buffer against
     pathological buckets (a corpus that is one giant duplicate class
     would otherwise collect every doc_id into one aggregation buffer,
-    which cannot spill): buckets above the cap are dropped via a
-    count-over-window on the SAME hash partitioning as the group-by
-    (one Exchange, window sort spills to disk). A dropped bucket means
-    those pairs must agree on one of the other 15 bands to remain
-    candidates — at any realistic cap this only sheds pairs that are
-    trivially-detectable exact-class duplicates. Fixture bucket max is
-    single digits; ``None`` disables the cap.
+    which cannot spill). Oversized buckets are NOT dropped — a
+    round-5 advisory showed that dropping them sheds exactly the
+    largest duplicate classes, since an exact-duplicate class
+    saturates every band and so loses ALL its candidate pairs.
+    Instead each oversized bucket collapses to a REPRESENTATIVE
+    CHAIN: every member pairs with the bucket's min doc_id (a
+    per-row value from the same count-over-window pass), which
+    preserves connected-component connectivity with O(bucket) pairs —
+    the star survives downstream exact verification precisely for the
+    band-saturating near-identical classes it exists for. To keep the
+    chain's aggregation buffers bounded too, oversized-bucket rows are
+    SALTED into ceil(size/cap) sub-groups before the collect; the
+    sub-group key is a superset of the window's partitioning, so the
+    whole thing still costs ONE Exchange (window count, min, salt, and
+    both pair forms ride the same hash partitioning). Fixture bucket
+    max is single digits — small buckets take the exact-pair path,
+    identical to before; ``None`` disables the cap entirely.
     """
     bands = minhash_bands(docs, n, band_rows)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band_idx", "band_sig")
-        bands = (
-            bands.withColumn("__bs", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bs") <= F.lit(max_bucket_size))
-            .drop("__bs")
-        )
     ids = F.array_sort(F.collect_list("doc_id"))
     # i<j slicing over the sorted array emits each in-bucket pair once,
-    # already in (doc_a < doc_b) order; bucket sizes are LSH-bounded so
-    # the pair arrays stay small.
-    pair_list = F.flatten(
+    # already in (doc_a < doc_b) order; bucket sizes are LSH-bounded
+    # (or salt-bounded) so the pair arrays stay small.
+    full_pairs = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
@@ -349,11 +352,53 @@ def lsh_candidate_pairs(
             ),
         )
     )
+    if max_bucket_size is None:
+        return (
+            bands.groupBy("band_idx", "band_sig")
+            .agg(ids.alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(F.explode(full_pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+    w = Window.partitionBy("band_idx", "band_sig")
+    sized = (
+        bands.withColumn("__bs", F.count(F.lit(1)).over(w))
+        .withColumn("__bmin", F.min("doc_id").over(w))
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__bs") > max_bucket_size,
+                F.pmod(
+                    F.xxhash64("doc_id"),
+                    F.ceil(F.col("__bs") / max_bucket_size),
+                ).cast("int"),
+            ).otherwise(0),
+        )
+    )
+    # sorted ids ensure doc_a < doc_b in both forms (__bmin is the
+    # bucket-global min, <= every id in any sub-group)
+    chain_pairs = F.transform(
+        F.filter(F.col("ids"), lambda x: x != F.col("__bmin")),
+        lambda x: F.struct(F.col("__bmin").alias("doc_a"), x.alias("doc_b")),
+    )
     return (
-        bands.groupBy("band_idx", "band_sig")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.explode(pair_list).alias("p"))
+        sized.groupBy("band_idx", "band_sig", "__salt")
+        .agg(
+            ids.alias("ids"),
+            F.first("__bs").alias("__bs"),
+            F.first("__bmin").alias("__bmin"),
+        )
+        .filter(
+            (F.size("ids") >= 2) | (F.col("__bs") > F.lit(max_bucket_size))
+        )
+        .select(
+            F.explode(
+                F.when(
+                    F.col("__bs") <= F.lit(max_bucket_size), full_pairs
+                ).otherwise(chain_pairs)
+            ).alias("p")
+        )
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -1029,22 +1074,14 @@ def dedup_clusters_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
     return closure_oracle_sql(jaccard_oracle_sql(n, threshold))
 
 
-def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 8, rotations: int = 5
-) -> DataFrame:
-    """SimHash near-dup pairs: candidates from 12-bit prefix buckets of
-    ``rotations`` bit-rotations of the signature, verified by exact
-    Hamming distance ``bit_count(xor) <= max_hamming``.
-
-    A single prefix probe misses near-dups whose differing bits fall in
-    the prefix; rotating the signature moves every bit region through
-    the prefix, so a pair within Hamming distance h collides on at
-    least one rotation unless its differing bits straddle all probed
-    prefixes (measured recall vs Jaccard>=0.8 at the fixture: 0.68
-    with one probe, 0.96 with five). Same candidate-generation discipline as the
-    MinHash/hyperplane paths: equi-join on (rotation, bucket), exact
-    verify, never all-pairs.
-    """
+def simhash_buckets(docs: DataFrame, rotations: int = 5) -> DataFrame:
+    """The persistable SimHash bucket index of a corpus: (doc_id,
+    simhash, rot, bucket) — `rotations` 12-bit prefix probes per
+    document, carrying the full 60-bit signature. This is ALL the
+    corpus-side state incremental SimHash ingest needs: unlike the
+    MinHash path (whose exact-Jaccard verification re-reads candidate
+    TEXT), Hamming verification runs on the signatures already in the
+    index, so a daily batch never touches corpus text at all."""
     bits = SIMHASH_BITS
     prefix = 12
     sigs = simhash(docs).select("doc_id", "simhash")
@@ -1064,7 +1101,7 @@ def simhash_near_pairs(
             for r in range(rotations)
         ]
     )
-    bucketed = sigs.select(
+    return sigs.select(
         "doc_id", "simhash", F.explode(rots).alias("rb")
     ).select(
         "doc_id",
@@ -1072,6 +1109,25 @@ def simhash_near_pairs(
         "rb.rot",
         F.shiftright(F.col("rb.rotated"), bits - prefix).alias("bucket"),
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, rotations: int = 5
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates from 12-bit prefix buckets of
+    ``rotations`` bit-rotations of the signature, verified by exact
+    Hamming distance ``bit_count(xor) <= max_hamming``.
+
+    A single prefix probe misses near-dups whose differing bits fall in
+    the prefix; rotating the signature moves every bit region through
+    the prefix, so a pair within Hamming distance h collides on at
+    least one rotation unless its differing bits straddle all probed
+    prefixes (measured recall vs Jaccard>=0.8 at the fixture: 0.68
+    with one probe, 0.96 with five). Same candidate-generation discipline as the
+    MinHash/hyperplane paths: equi-join on (rotation, bucket), exact
+    verify, never all-pairs.
+    """
+    bucketed = simhash_buckets(docs, rotations)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
@@ -1089,5 +1145,52 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
+    )
+
+
+def incremental_simhash_ingest(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    max_hamming: int = 8,
+    rotations: int = 5,
+) -> DataFrame:
+    """Incremental SimHash ingest: screen a NEW batch of documents
+    against a persisted corpus bucket index (`simhash_buckets`,
+    appended per batch) — the daily-batch shape the MinHash family
+    already has (`incremental_minhash_dedup`), completed for SimHash
+    per the round-5 verdict.
+
+    Strictly cheaper than the MinHash ingest at corpus scale: the
+    index rows carry the 60-bit signatures, and Hamming verification
+    is ``bit_count(xor)`` on those very rows — so corpus TEXT is
+    never read, not even for verification. The only corpus-side
+    input at any corpus size is the (doc_id, simhash, rot, bucket)
+    index, and the only join is the bounded-key (rot, bucket)
+    equi-join. Assumes an append-only id space (ingest ids larger
+    than corpus ids), so ``dup_of < doc_id`` covers both corpus
+    matches and in-batch ordering. Returns (doc_id, dup_of, hamming)
+    for every <= max_hamming match of a new doc against
+    corpus + batch.
+    """
+    new_idx = simhash_buckets(new_docs, rotations)
+    all_idx = corpus_index.unionByName(new_idx)
+    return (
+        new_idx.alias("a")
+        .join(
+            all_idx.alias("b"),
+            (F.col("a.rot") == F.col("b.rot"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("dup_of"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_id", "dup_of")
         .agg(F.first("hamming").alias("hamming"))
     )

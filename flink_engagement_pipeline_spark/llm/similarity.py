@@ -344,6 +344,181 @@ NEARDUP_TABLES = 16
 NEARDUP_PLANES = 8  # bits per table; p_bit(cos .9)=.856 -> recall ~.93/8bits*16tables
 
 
+def _neardup_planes() -> np.ndarray:
+    """The fixed hyperplane family (pinned seed): both the Spark
+    bucket expression and the DuckDB oracle are generated from this
+    ONE array, so the two dialects cannot drift — the portable-MinHash
+    coefficient discipline applied to hyperplane LSH."""
+    return np.random.default_rng(11).standard_normal(
+        (NEARDUP_TABLES * NEARDUP_PLANES, DIM)
+    )
+
+
+_NEARDUP_TABLES_SQL: str | None = None
+
+
+def _neardup_tables_sql() -> str:
+    """Spark-side (table, bucket) explode for all 16 hyperplane
+    tables, as ONE parsed SQL string, not 128 x 64 Python-built F.lit
+    nodes: the loop form paid ~8 s of py4j/driver time PER PLAN BUILD
+    (the registry's worst). `!r` float literals with the D suffix
+    round-trip to the identical IEEE doubles F.lit produced, and the
+    fold mirrors _dot, so the buckets (and the recall pytest) are
+    unchanged. Memoized: the string itself costs ~100 ms of repr()."""
+    global _NEARDUP_TABLES_SQL
+    if _NEARDUP_TABLES_SQL is not None:
+        return _NEARDUP_TABLES_SQL
+    planes = _neardup_planes()
+
+    def dot_sql(w) -> str:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")"
+        return (
+            f"aggregate(zip_with(cast(embedding as array<double>), {arr},"
+            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    def bucket_sql(t: int) -> str:
+        return " + ".join(
+            f"((CASE WHEN {dot_sql(planes[t * NEARDUP_PLANES + j])} > 0"
+            f" THEN 1 ELSE 0 END) * {1 << j})"
+            for j in range(NEARDUP_PLANES)
+        )
+
+    _NEARDUP_TABLES_SQL = (
+        "explode(array("
+        + ",".join(
+            f"named_struct('t', {t}, 'bucket', ({bucket_sql(t)}))"
+            for t in range(NEARDUP_TABLES)
+        )
+        + "))"
+    )
+    return _NEARDUP_TABLES_SQL
+
+
+def neardup_index(emb: DataFrame) -> DataFrame:
+    """The persistable hyperplane-LSH index of an embedding corpus:
+    (vec_id, t, bucket) — 16 rows per vector, 3 small integer/long
+    columns. This is the ONLY corpus-side input incremental near-dup
+    ingest needs for candidate generation; raw vectors are read
+    id-keyed for exact verification of candidates only."""
+    return emb.select(
+        F.col("vec_id"), F.expr(_neardup_tables_sql()).alias("tb")
+    ).select("vec_id", "tb.t", "tb.bucket")
+
+
+def incremental_neardup_ingest(
+    new_emb: DataFrame,
+    corpus_index: DataFrame,
+    corpus_emb: DataFrame,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Incremental embedding near-dup ingest: screen a NEW batch of
+    vectors against a persisted corpus bucket index (`neardup_index`,
+    appended per batch) — the daily-batch shape the MinHash family
+    already has, completed for embedding-cosine dedup per the round-5
+    verdict.
+
+    Candidate generation touches only the (vec_id, t, bucket) index —
+    a bounded-key (t, bucket) equi-join of the batch's 16N index rows
+    against index ∪ batch; corpus VECTORS are read id-keyed for the
+    exact-cosine verification of candidates only (the analog of the
+    MinHash ingest's text-for-verification-only contract). Assumes an
+    append-only id space (ingest ids larger than corpus ids), so
+    ``dup_of < vec_id`` covers both corpus matches and in-batch
+    ordering. Returns (vec_id, dup_of, cosine) for every >= threshold
+    match of a new vector against corpus + batch.
+    """
+    new_idx = neardup_index(new_emb)
+    all_idx = corpus_index.unionByName(new_idx)
+    cand = (
+        new_idx.alias("a")
+        .join(
+            all_idx.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    va = new_emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e_a")
+    )
+    all_vecs = new_emb.select("vec_id", "embedding").unionByName(
+        corpus_emb.select("vec_id", "embedding")
+    )
+    vb = all_vecs.select(
+        F.col("vec_id").alias("dup_of"),
+        _as_double(F.col("embedding")).alias("e_b"),
+    )
+    cos = _dot(F.col("e_a"), F.col("e_b")) / (
+        F.sqrt(_dot(F.col("e_a"), F.col("e_a")))
+        * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
+    )
+    return (
+        cand.join(va, "vec_id")
+        .join(vb, "dup_of")
+        .select("vec_id", "dup_of", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def neardup_ingest_oracle_sql(threshold: float = 0.9) -> str:
+    """DuckDB twin of :func:`incremental_neardup_ingest` over the
+    embeddings fixture with the 80%-of-max-id corpus/batch split:
+    buckets from the SAME `_neardup_planes()` literals
+    (list_dot_product is bit-identical to the Spark fold on the same
+    doubles — pinned by the cosine_topk oracle), so the candidate sets
+    match exactly, and the exact-cosine verification matches
+    bit-for-bit."""
+    planes = _neardup_planes()
+
+    def dot_sql(w) -> str:
+        arr = "[" + ",".join(f"{float(x)!r}" for x in w) + "]"
+        return f"list_dot_product(v, {arr})"
+
+    def bucket_sql(t: int) -> str:
+        return " + ".join(
+            f"((CASE WHEN {dot_sql(planes[t * NEARDUP_PLANES + j])} > 0"
+            f" THEN 1 ELSE 0 END) * {1 << j})"
+            for j in range(NEARDUP_PLANES)
+        )
+
+    structs = ",".join(
+        f"{{'t': {t}, 'bucket': ({bucket_sql(t)})}}"
+        for t in range(NEARDUP_TABLES)
+    )
+    return f"""
+WITH cut AS (SELECT max(vec_id) * 4 // 5 AS c FROM embeddings),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+idx AS (
+    SELECT vec_id, tb.t AS t, tb.bucket AS bucket
+    FROM (SELECT vec_id, unnest([{structs}]) AS tb FROM e)
+),
+cand AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS dup_of
+    FROM idx a JOIN idx b
+      ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id > b.vec_id,
+      cut
+    WHERE a.vec_id >= cut.c
+    GROUP BY 1, 2
+)
+SELECT * FROM (
+    SELECT c.vec_id AS vec_id, c.dup_of AS dup_of,
+           list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_id
+    JOIN e eb ON eb.vec_id = c.dup_of
+)
+WHERE cosine >= {threshold}
+"""
+
+
 def near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: cosine(a, b) >= threshold.
 
@@ -366,39 +541,8 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     any honest near-dup threshold — the recall property is proven on
     planted near-dup clusters in tests/test_llm_ops.py instead.
     """
-    planes = np.random.default_rng(11).standard_normal(
-        (NEARDUP_TABLES * NEARDUP_PLANES, DIM)
-    )
-    # the 128 hyperplane dot products are ONE parsed SQL string, not
-    # 128 x 64 Python-built F.lit nodes: the loop form paid ~8 s of
-    # py4j/driver time PER PLAN BUILD (the registry's worst). `!r`
-    # float literals with the D suffix round-trip to the identical
-    # IEEE doubles F.lit produced, and the fold mirrors _dot, so the
-    # buckets (and the recall pytest) are unchanged.
-    def dot_sql(w) -> str:
-        arr = "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")"
-        return (
-            f"aggregate(zip_with(cast(embedding as array<double>), {arr},"
-            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-        )
-
-    def bucket_sql(t: int) -> str:
-        return " + ".join(
-            f"((CASE WHEN {dot_sql(planes[t * NEARDUP_PLANES + j])} > 0"
-            f" THEN 1 ELSE 0 END) * {1 << j})"
-            for j in range(NEARDUP_PLANES)
-        )
-
-    tables_sql = (
-        "explode(array("
-        + ",".join(
-            f"named_struct('t', {t}, 'bucket', ({bucket_sql(t)}))"
-            for t in range(NEARDUP_TABLES)
-        )
-        + "))"
-    )
     bucketed = emb.select(
-        F.col("vec_id"), F.col("embedding"), F.expr(tables_sql).alias("tb")
+        F.col("vec_id"), F.col("embedding"), F.expr(_neardup_tables_sql()).alias("tb")
     ).select("vec_id", "embedding", "tb.t", "tb.bucket")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cos = _dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding"))) / (

@@ -1393,3 +1393,116 @@ def q_weekly_gmv_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_gmv"),
         growth.alias("wow_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6: incremental ingest for the OTHER dedup families (SimHash,
+# embedding cosine) — MinHash got the persisted-index daily-batch shape
+# in round 4 (docs_minhash_ingest above); these complete the family per
+# the round-5 verdict. Same corpus/batch convention: ids below 80% of
+# max are "the corpus" (represented ONLY by its persisted index),
+# the rest are "today's batch".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_simhash_ingest",
+    oracle="""
+WITH cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents),
+toks AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    )
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+bits AS (
+    SELECT t.doc_id, b.b,
+           CASE WHEN 2 * SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END) > max(c.n)
+                THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bitval
+    FROM toks t
+    CROSS JOIN (SELECT unnest(range(60)) AS b) b
+    JOIN cnt c ON c.doc_id = t.doc_id
+    GROUP BY t.doc_id, b.b
+),
+sigs AS (
+    SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+),
+bucketed AS (
+    SELECT doc_id, simhash, r.r AS rot,
+           (((simhash % (CAST(1 AS BIGINT) << (60 - 12 * r.r))) * (CAST(1 AS BIGINT) << (12 * r.r))
+             + simhash // (CAST(1 AS BIGINT) << (60 - 12 * r.r))) >> 48) AS bucket
+    FROM sigs CROSS JOIN (SELECT unnest(range(5)) AS r) r
+)
+SELECT a.doc_id AS doc_id, b.doc_id AS dup_of,
+       CAST(min(bit_count(xor(a.simhash, b.simhash))) AS INT) AS hamming
+FROM bucketed a
+JOIN bucketed b
+  ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id > b.doc_id,
+  cut
+WHERE a.doc_id >= cut.c
+  AND bit_count(xor(a.simhash, b.simhash)) <= 8
+GROUP BY 1, 2
+""",
+    doc=(
+        "Incremental SimHash ingest, fully oracled: the corpus (doc_id "
+        "below 80% of max id) is represented ONLY by its persisted "
+        "bucket index (simhash_buckets: doc_id, simhash, rot, bucket); "
+        "the ingest batch builds its own buckets, candidates come from "
+        "one (rot, bucket) equi-join against index ∪ batch, and "
+        "Hamming verification (bit_count(xor) <= 8) runs on the "
+        "signatures ALREADY IN THE INDEX — so unlike the MinHash "
+        "ingest, corpus text is never read at all, not even for "
+        "verification. That makes SimHash the cheapest daily-batch "
+        "screen of the three dedup families at 100 TB: the only "
+        "corpus-side input is a 4-column integer index, appended per "
+        "batch. The oracle replays the exact md5 signature + rotation "
+        "arithmetic in SQL (deterministic integers end to end); a "
+        "rebuild-equivalence pytest additionally proves "
+        "index-append == full rebuild on the batch's pair set."
+    ),
+    tags=("llm", "dedup", "simhash", "incremental"),
+)
+def q_docs_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr("max(doc_id) * 4 div 5").alias("c")).first()["c"]
+    corpus = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+    corpus_index = ld.simhash_buckets(corpus)
+    return ld.incremental_simhash_ingest(new, corpus_index)
+
+
+@register(
+    "embedding_neardup_ingest",
+    oracle=ls.neardup_ingest_oracle_sql(threshold=0.35),
+    doc=(
+        "Incremental embedding near-dup ingest, fully oracled: the "
+        "corpus (vec_id below 80% of max id) is represented ONLY by "
+        "its persisted hyperplane-LSH index (neardup_index: vec_id, "
+        "table, bucket); the ingest batch builds its own 16-table "
+        "buckets, candidates come from one (table, bucket) equi-join "
+        "against index ∪ batch, and exact cosine verifies candidates "
+        "only — raw vectors are read id-keyed for verification, never "
+        "for candidate generation (the MinHash ingest contract, "
+        "applied to vectors). The DuckDB oracle generates its buckets "
+        "from the SAME pinned hyperplane literals (list_dot_product "
+        "is bit-identical to the Spark fold), so candidates AND "
+        "cosines hash-match exactly. The 0.35 threshold is sized to "
+        "the i.i.d. fixture (max pairwise cosine ~0.5): 31 matches at "
+        "sf0.001, 38 at sf0.01, with the cosine filter pruning ~2/3 "
+        "of colliding candidates — every stage discriminates, while "
+        "the production 0.9-threshold recall story is pinned on "
+        "planted clusters in tests/test_llm_ops.py."
+    ),
+    tags=("llm", "dedup", "embedding", "ann", "incremental"),
+)
+def q_embedding_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.expr("max(vec_id) * 4 div 5").alias("c")).first()["c"]
+    corpus = emb.filter(F.col("vec_id") < cut)
+    new = emb.filter(F.col("vec_id") >= cut)
+    corpus_index = ls.neardup_index(corpus)
+    return ls.incremental_neardup_ingest(new, corpus_index, corpus, threshold=0.35)

@@ -534,3 +534,99 @@ def test_incremental_dedup_matches_full_rebuild(docs):
     }
     assert got == expect
     assert got, "fixture should contain pairs touching the new batch"
+
+
+def test_lsh_oversized_bucket_collapses_to_chain(spark):
+    """An exact-duplicate class LARGER than max_bucket_size must not
+    lose its pairs (round-5 advisory: dropping saturated buckets shed
+    exactly the largest duplicate classes — the advertised
+    1B-document path kept every member of the biggest classes).
+    Oversized buckets collapse to a min-doc_id star, preserving
+    connected-component connectivity with O(bucket) pairs, while
+    small classes keep the exact all-pairs expansion."""
+    big = [(i, "the same exact duplicated text body repeated") for i in range(10)]
+    small = [(100, "another tiny near class xyzzy"), (101, "another tiny near class xyzzy")]
+    docs = spark.createDataFrame(big + small, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ld.lsh_candidate_pairs(docs, max_bucket_size=3).collect()
+    }
+    # star: every big-class member reachable from doc 0 directly
+    assert {(0, i) for i in range(1, 10)} <= pairs
+    # no all-pairs blowup for the oversized class...
+    assert not any(a != 0 and a < 10 and b < 10 for a, b in pairs), pairs
+    # ...and the small class keeps its exact pair
+    assert (100, 101) in pairs
+    # uncapped path unchanged: full expansion for everything
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in ld.lsh_candidate_pairs(docs, max_bucket_size=None).collect()
+    }
+    assert {(a, b) for a in range(10) for b in range(a + 1, 10)} <= full
+
+
+def test_lsh_chain_single_exchange(docs):
+    """The salted chain device must not add a shuffle: the sub-group
+    key is a superset of the window's hash partitioning, so window
+    count/min, salting, and the group-by all ride ONE Exchange (plus
+    the distinct's)."""
+    plan = (
+        ld.lsh_candidate_pairs(docs, max_bucket_size=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
+    bucket_keyed = [e for e in exchanges if "band_idx" in e and "band_sig" in e]
+    # ONE bucket-keyed exchange serves the window AND the salted
+    # group-by (subset-partitioning satisfies the clustered
+    # distribution); the only other exchange is distinct's pair-keyed one
+    assert len(bucket_keyed) == 1, exchanges
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_incremental_simhash_matches_full_rebuild(docs):
+    """SimHash ingest (new batch vs persisted bucket index) must find
+    EXACTLY the pairs a full-corpus simhash_near_pairs run finds among
+    pairs whose larger id is in the new batch — appending to the index
+    is lossless vs rebuilding (the MinHash rebuild-equivalence device,
+    applied to SimHash)."""
+    split = 400
+    corpus = docs.filter(F.col("doc_id") < split)
+    batch = docs.filter(F.col("doc_id") >= split)
+    idx = ld.simhash_buckets(corpus)
+    got = {
+        (r["doc_id"], r["dup_of"], r["hamming"])
+        for r in ld.incremental_simhash_ingest(batch, idx).collect()
+    }
+    full = {
+        (r["doc_b"], r["doc_a"], r["hamming"])
+        for r in ld.simhash_near_pairs(docs).collect()
+        if r["doc_b"] >= split
+    }
+    assert got == full
+    assert got, "fixture should contain simhash pairs touching the batch"
+
+
+def test_incremental_neardup_matches_full_rebuild(emb):
+    """Embedding near-dup ingest (new batch vs persisted hyperplane
+    index) must find EXACTLY the pairs a full-corpus near_dup_pairs
+    run finds among pairs whose larger id is in the new batch, at the
+    fixture-sized threshold."""
+    split = 400
+    corpus = emb.filter(F.col("vec_id") < split)
+    batch = emb.filter(F.col("vec_id") >= split)
+    idx = ls.neardup_index(corpus)
+    got = {
+        (r["vec_id"], r["dup_of"], round(r["cosine"], 9))
+        for r in ls.incremental_neardup_ingest(
+            batch, idx, corpus, threshold=0.35
+        ).collect()
+    }
+    full = {
+        (r["vec_b"], r["vec_a"], round(r["cosine"], 9))
+        for r in ls.near_dup_pairs(emb, threshold=0.35).collect()
+        if r["vec_b"] >= split
+    }
+    assert got == full
+    assert got, "fixture should contain near-dup pairs at 0.35"
