@@ -39,11 +39,18 @@ from . import queries_ext4  # noqa: F401,E402
 #   round 3: reference surface + LLM ops + TPC-H block (CORRECTNESS_r03.json);
 #   round 4: sentinels + 17 round-3 additions + round-4 additions
 #       (CORRECTNESS_r04.json: 47 hash + 3 rows-only, 0 err);
-#   round 5 (this list): sentinels + the 18 late-round-4 additions that
-#       missed the r4 window + value_percentiles_by_type (errored r2,
-#       fixed r3, never re-proven) + round-5 additions + r2-only backfill.
-#       A green round closes cumulative driver coverage at 154/154 — every
-#       query ever registered externally verified at least once.
+#   round 5: sentinels + the 18 late-round-4 additions that missed the
+#       r4 window + value_percentiles_by_type (errored r2, fixed r3,
+#       never re-proven) + round-5 additions + r2-only backfill
+#       (CORRECTNESS_r05.json: 47 hash + 3 rows-only, 0 err — closed
+#       cumulative driver coverage at 170/170);
+#   round 6 (this list): with cumulative coverage closed and only three
+#       new queries this round, the window is almost all [c]: sentinels
+#       + the 3 round-6 additions (second CEP pattern, SimHash ingest,
+#       embedding near-dup ingest) + ALL 32 queries whose last green
+#       driver row is round 2 + the 9 oldest round-3-checked queries in
+#       registry order — the staleness-driven re-proof pass the policy
+#       prescribes once first-proof demand is low.
 #
 # Everything not listed keeps module import order after the priority block
 # and remains covered by tests/test_registry_oracle.py locally.
@@ -57,55 +64,55 @@ _PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_minhash_pairs",
-    # -- [b] first-proof: late-round-4 additions with no driver row ever --
-    "value_percentiles_by_type",  # errored r2, fixed r3 — re-proof
-    "docs_token_entropy",
-    "docs_quality_gate",
-    "events_zorder",
-    "docs_head_editdist",
-    "parts_pagerank",
-    "embedding_ann_recall",
-    "events_anomaly_mad",
-    "stream_stateful_replay",
-    "value_rank_distribution",
-    "docs_dedup_survivors_quality",
-    "docs_langid_confusion",
-    "docs_weighted_sample",
-    "embedding_power_iteration",
-    "docs_dup_rate_by_source",
-    "docs_bigram_logprob",
-    "embedding_kmeans_inertia",
-    "docs_snapshot_diff",
-    "weekly_gmv_growth",
-    # -- [b] new in round 5 --
+    # -- [b] new in round 6 --
     # (each addition displaces one backfill entry from the tail of [c])
-    "events_partitioned_prune",
-    "hll_portable_reach",
-    "orders_scd2_history",
-    "lineitem_bucketed_join",
-    "events_bloom_prune",
-    "user_active_coverage",
-    "embedding_matryoshka_rerank",
-    "events_value_trend_ols",
-    "stream_late_drop_replay",
-    "cms_user_frequency",
-    "events_hdr_quantiles",
-    "cdc_retract_agg",
-    "stream_retract_replay",
-    "audience_overlap",
-    "events_ntile_quartiles",
-    "cep_conversion_within",
-    # -- [c] backfill: oldest driver coverage first (r2-only, in
-    # registry order; unchanged since, green in the local sweep) --
-    "events_identity",
-    "sink_projection",
-    "leaderboard_rank",
-    "distinct_users_by_type",
-    "approx_distinct_users",
-    "props_k_agg",
-    "daily_event_pivot",
-    "rollup_event_type",
-    "user_event_gaps",
+    "cep_direct_purchase",
+    "docs_simhash_ingest",
+    "embedding_neardup_ingest",
+    "cep_session_conversion",
+    # -- [c] backfill: oldest driver coverage first — the full block of
+    # queries whose last green row is ROUND 2 (registry order) --
+    "cube_returnflag_status",
+    "promo_revenue",
+    "ingest_kafka_payload",
+    "top_users_per_type",
+    "events_from_buyers",
+    "events_from_non_buyers",
+    "heavy_users",
+    "user_value_median",
+    "docs_tfidf",
+    "orders_events_interval_join",
+    "conversion_funnel",
+    "events_profile",
+    "part_string_functions",
+    "orders_by_month",
+    "embedding_array_ops",
+    "clickers_also_purchasing",
+    "clickers_never_erroring",
+    "user_running_totals",
+    "value_percentiles_exact",
+    "activity_union_all",
+    "grouping_sets_engagement",
+    "minute_rollup",
+    "hll_user_reach",
+    "user_value_ranking",
+    "minute_rollup_gapfill",
+    "event_stats_unpivot",
+    "user_first_last_event",
+    "value_histogram",
+    "value_moments_by_type",
+    "user_trailing_7d_value",
+    "user_event_type_sets",
+    "lateral_top_users",
+    # -- [c] continued: the 9 oldest ROUND-3-checked queries --
+    "tumbling_stats",
+    "leaderboard_topk",
+    "session_windows",
+    "events_asof_orders",
+    "events_dim_asof",
+    "cdc_materialize",
+    "docs_token_stats",
+    "docs_quality",
 )
 
 

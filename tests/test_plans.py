@@ -423,61 +423,62 @@ def test_gate_priority_window_covers_graded_surface():
     """The driver's correctness gate evaluates only the FIRST 50
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
-    plans/__init__.py). This pins the round-5 rotation: sentinels
-    in-window, every query with no driver CORRECTNESS row ever (the 18
-    late-round-4 additions) in-window, the one query whose only driver
-    row was an error (value_percentiles_by_type, r2) re-proven, every
-    round-5 addition in-window, and the window's rows-only residue is
-    exactly the queries with no SQL-expressible oracle."""
+    plans/__init__.py). This pins the round-6 rotation: cumulative
+    coverage closed at 170/170 in round 5, so beyond the sentinels and
+    the three round-6 additions the window is a staleness re-proof
+    pass — ALL 32 queries whose last green driver row is round 2, then
+    the 9 oldest round-3-checked queries; the window's rows-only
+    residue is exactly the queries with no SQL-expressible oracle."""
     names = list(REGISTRY)
     window = names[:50]
     sentinels = [
         "enrich_events", "latest_per_key", "hop_engagement_sum",
         "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
     ]
-    first_proof = [
-        # never driver-checked (added late round 4) + the r2-errored one
-        "value_percentiles_by_type",
-        "docs_token_entropy", "docs_quality_gate", "events_zorder",
-        "docs_head_editdist", "parts_pagerank", "embedding_ann_recall",
-        "events_anomaly_mad", "stream_stateful_replay",
-        "value_rank_distribution", "docs_dedup_survivors_quality",
-        "docs_langid_confusion", "docs_weighted_sample",
-        "embedding_power_iteration", "docs_dup_rate_by_source",
-        "docs_bigram_logprob", "embedding_kmeans_inertia",
-        "docs_snapshot_diff", "weekly_gmv_growth",
+    new_in_r6: list[str] = [
+        # every query registered during round 6 MUST be appended here
+        # (and to _PRIORITY) the round it is added, displacing one
+        # backfill entry from the tail each
+        "cep_direct_purchase",
+        "docs_simhash_ingest",
+        "embedding_neardup_ingest",
+        "cep_session_conversion",
     ]
-    new_in_r5: list[str] = [
-        # every query registered during round 5 MUST be appended here
-        # (and to _PRIORITY) the round it is added
-        "events_partitioned_prune",
-        "hll_portable_reach",
-        "orders_scd2_history",
-        "lineitem_bucketed_join",
-        "events_bloom_prune",
-        "user_active_coverage",
-        "embedding_matryoshka_rerank",
-        "events_value_trend_ols",
-        "stream_late_drop_replay",
-        "cms_user_frequency",
-        "events_hdr_quantiles",
-        "cdc_retract_agg",
-        "stream_retract_replay",
-        "audience_overlap",
-        "events_ntile_quartiles",
-        "cep_conversion_within",
+    r2_backfill = [
+        # last driver row: CORRECTNESS_r02.json (green; unchanged since,
+        # green in every local sweep) — the oldest-coverage block
+        "cube_returnflag_status", "promo_revenue", "ingest_kafka_payload",
+        "top_users_per_type", "events_from_buyers", "events_from_non_buyers",
+        "heavy_users", "user_value_median", "docs_tfidf",
+        "orders_events_interval_join", "conversion_funnel", "events_profile",
+        "part_string_functions", "orders_by_month", "embedding_array_ops",
+        "clickers_also_purchasing", "clickers_never_erroring",
+        "user_running_totals", "value_percentiles_exact",
+        "activity_union_all", "grouping_sets_engagement", "minute_rollup",
+        "hll_user_reach", "user_value_ranking", "minute_rollup_gapfill",
+        "event_stats_unpivot", "user_first_last_event", "value_histogram",
+        "value_moments_by_type", "user_trailing_7d_value",
+        "user_event_type_sets", "lateral_top_users",
     ]
-    missing = [
-        n for n in sentinels + first_proof + new_in_r5 if n not in window
+    r3_backfill = [
+        # oldest round-3-checked queries, registry order (docs_lang_id
+        # displaced by the fourth round-6 addition)
+        "tumbling_stats", "leaderboard_topk", "session_windows",
+        "events_asof_orders", "events_dim_asof", "cdc_materialize",
+        "docs_token_stats", "docs_quality",
     ]
-    assert not missing, f"graded queries outside the 50-query gate: {missing}"
+    expected = sentinels + new_in_r6 + r2_backfill + r3_backfill
+    assert window == expected, (
+        [n for n in expected if n not in window],
+        [n for n in window if n not in expected],
+    )
     rows_only = sorted(n for n in window if REGISTRY[n].oracle is None)
     assert rows_only == [
-        # ingest_kafka_payload (rows-only, r2-checked) rotated out to
-        # make room for late-round-5 additions
-        "approx_distinct_users",       # HLL sketch; tolerance pytest
-        "docs_minhash_pairs",          # xxhash64 MinHash (no SQL oracle)
-        "value_percentiles_by_type",   # quantile sketch; tolerance pytest
+        "docs_minhash_pairs",   # xxhash64 MinHash (no SQL oracle);
+                                # recall-tested, portable twin oracled
+        "hll_user_reach",       # xxhash64 HLL; hll_portable_reach is
+                                # the oracled twin
+        "ingest_kafka_payload", # wire-format payload; payload pytest
     ], rows_only
 
 
