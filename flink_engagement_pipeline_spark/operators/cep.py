@@ -284,3 +284,229 @@ def pattern_oracle_sql(
         + f"\nSELECT {', '.join(out)} FROM {prev_level}\nWHERE "
         + " AND ".join(conds)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (streaming) form: constant per-key state
+# ---------------------------------------------------------------------------
+
+def state_schema_cols(pattern: Pattern, carry_cols: Sequence[str] = ()) -> list[str]:
+    """The carry-state columns `match_pattern_incremental` persists
+    between batches, EXCLUDING the partition key. State is PER LEVEL:
+    level i's fallback tuple is the chain as bound at the latest
+    step-i event — e.g. "the latest view" (level 1) and "the view
+    bound at the latest click" (level 2) are DIFFERENT values and both
+    are needed. O(k^2) longs per key: constant in the event count."""
+    k = len(pattern.steps)
+    cols: list[str] = []
+    for i in range(1, k):
+        cols += [f"__cep_l{i}_ts{j}" for j in range(1, i + 1)]
+        if pattern.negation is not None:
+            cols.append(f"__cep_l{i}_neg")
+        cols += [f"__cep_l{i}_c_{c}" for c in carry_cols]
+    if pattern.negation is not None:
+        cols.append("__cep_negcum0")
+    return cols
+
+
+def match_pattern_incremental(
+    batch: DataFrame,
+    pattern: Pattern,
+    state: DataFrame | None,
+    *,
+    partition_by: str,
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+    carry_cols: Sequence[str] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """The STREAMING form of :func:`match_pattern`: process one
+    micro-batch given the carry state of everything before it, and
+    return ``(matches, new_state)`` such that concatenating the
+    per-batch matches over ANY time-ordered split of the event history
+    equals ``match_pattern`` over the full history (pinned by
+    tests/test_cep.py across every split point of a fixture).
+
+    Why constant per-key state suffices: greedy last-before binding
+    only ever reads, at any row, the LATEST step-i chain tuple before
+    it — so everything a future batch can observe about the past is,
+    per key and per level i, the (i+1)-tuple bound at the latest
+    step-i event, plus the running negation prefix-sum: O(k^2) longs
+    per key, no per-event retention, no window replay. This is the
+    MATCH_RECOGNIZE analog of the retract-aggregation story (state
+    scales with keys, not events) — why CEP over 100 TB/day of
+    events needs a keyed state table, not an event buffer.
+
+    Mechanics: the batch left-joins its key's state row (the join's
+    shuffle is THE shuffle — the in-batch windows reuse its
+    partitioning); every level-i in-batch carry falls back via
+    coalesce to the state's level-i value when no in-batch step-i
+    event precedes the row; the final-step filter is unchanged; and
+    the new state snapshots each level's carries over an INCLUSIVE
+    frame at each key's last row (keys absent from the batch keep
+    their state rows untouched).
+
+    Batches must be time-ordered per key (every event of a key in
+    batch N+1 is later than that key's batch-N events) — the contract
+    a replayed changelog / watermarked stream provides.
+    """
+    steps = pattern.steps
+    k = len(steps)
+    scols = state_schema_cols(pattern, carry_cols)
+    if state is None:
+        state = (
+            batch.sparkSession.range(0)
+            .select(
+                F.col("id").alias(partition_by),
+                *[F.lit(None).cast("long").alias(c) for c in scols],
+            )
+        )
+    st = state.select(
+        F.col(partition_by).alias("__st_key"),
+        *[F.col(c).alias(f"__st_{c}") for c in scols],
+    )
+    joined = batch.join(
+        st, batch[partition_by] == st["__st_key"], "left"
+    ).drop("__st_key")
+
+    order = Window.partitionBy(partition_by).orderBy(ts_col, *tiebreak)
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    base_cols = list(joined.columns)
+    df = joined
+    if pattern.negation is not None:
+        # total prefix-sum = carried-in count + in-batch prefix
+        df = df.withColumn(
+            "__cep_negcum",
+            F.coalesce(F.col("__st___cep_negcum0"), F.lit(0)).cast("long")
+            + F.sum(
+                F.when(F.expr(pattern.negation), 1).otherwise(0)
+            ).over(cum).cast("long"),
+        )
+        base_cols.append("__cep_negcum")
+
+    def fb_carry(pred: str, src: Column, out: str, fallback: str) -> Column:
+        """In-batch PRECEDING-exclusive carry, falling back to the
+        state value when no in-batch binding precedes the row."""
+        return F.coalesce(
+            F.last(F.when(F.expr(pred), src), ignorenulls=True).over(prev),
+            F.col(f"__st_{fallback}"),
+        ).alias(out)
+
+    def snap_carry(pred: str, src: Column, out: str, fallback: str) -> Column:
+        """INCLUSIVE-frame twin of fb_carry: the value the NEXT
+        batch's rows will see — evaluated at the key's last row."""
+        return F.coalesce(
+            F.last(F.when(F.expr(pred), src), ignorenulls=True).over(cum),
+            F.col(f"__st_{fallback}"),
+        ).alias(out)
+
+    # Level i reads the level-(i-1) eff columns (before level i
+    # rebinds them), so the state SNAPSHOT for level i must be taken
+    # in the same select — snap columns then ride through untouched.
+    for i in range(1, k):
+        pred = steps[i - 1].predicate
+        carries = [
+            fb_carry(pred, F.col(ts_col), f"__cep_ts{i}", f"__cep_l{i}_ts{i}"),
+            snap_carry(
+                pred, F.col(ts_col), f"__cep_snap_l{i}_ts{i}", f"__cep_l{i}_ts{i}"
+            ),
+        ]
+        rebound = set()
+        for j in range(1, i):
+            carries.append(
+                fb_carry(
+                    pred, F.col(f"__cep_ts{j}"), f"__cep_ts{j}",
+                    f"__cep_l{i}_ts{j}",
+                )
+            )
+            carries.append(
+                snap_carry(
+                    pred, F.col(f"__cep_ts{j}"), f"__cep_snap_l{i}_ts{j}",
+                    f"__cep_l{i}_ts{j}",
+                )
+            )
+            rebound.add(f"__cep_ts{j}")
+        if pattern.negation is not None:
+            src = F.col("__cep_negcum") if i == 1 else F.col("__cep_neg")
+            carries.append(fb_carry(pred, src, "__cep_neg", f"__cep_l{i}_neg"))
+            carries.append(
+                snap_carry(pred, src, f"__cep_snap_l{i}_neg", f"__cep_l{i}_neg")
+            )
+            if i > 1:
+                rebound.add("__cep_neg")
+        for col in carry_cols:
+            src = F.col(col) if i == 1 else F.col(f"__cep_c_{col}")
+            carries.append(
+                fb_carry(pred, src, f"__cep_c_{col}", f"__cep_l{i}_c_{col}")
+            )
+            carries.append(
+                snap_carry(
+                    pred, src, f"__cep_snap_l{i}_c_{col}", f"__cep_l{i}_c_{col}"
+                )
+            )
+            if i > 1:
+                rebound.add(f"__cep_c_{col}")
+        carry_names = [f"__cep_ts{j}" for j in range(1, i + 1)]
+        snap_names = [f"__cep_snap_l{i}_ts{j}" for j in range(1, i + 1)]
+        if pattern.negation is not None:
+            carry_names.append("__cep_neg")
+            snap_names.append(f"__cep_snap_l{i}_neg")
+        carry_names += [f"__cep_c_{col}" for col in carry_cols]
+        snap_names += [f"__cep_snap_l{i}_c_{col}" for col in carry_cols]
+        df = df.select(
+            *[c for c in base_cols if c not in rebound], *carries
+        )
+        base_cols = (
+            [c for c in base_cols if c not in rebound]
+            + carry_names
+            + snap_names
+        )
+
+    cond = F.expr(steps[-1].predicate)
+    for j in range(1, k):
+        cond = cond & F.col(f"__cep_ts{j}").isNotNull()
+    if pattern.within is not None:
+        cond = cond & (F.col(ts_col) - F.col("__cep_ts1") <= pattern.within)
+    if pattern.negation is not None:
+        cond = cond & (F.col("__cep_negcum") - F.col("__cep_neg") == 0)
+
+    out = [F.col(partition_by)]
+    out += [
+        F.col(f"__cep_ts{j}").alias(f"{steps[j - 1].name}_ts")
+        for j in range(1, k)
+    ]
+    out.append(F.col(ts_col).alias(f"{steps[-1].name}_ts"))
+    out.append((F.col(ts_col) - F.col("__cep_ts1")).alias("latency"))
+    for col in carry_cols:
+        out.append(F.col(f"__cep_c_{col}").alias(f"{steps[0].name}_{col}"))
+        out.append(F.col(col).alias(f"{steps[-1].name}_{col}"))
+    matches = df.filter(cond).select(*out)
+
+    # --- new state: each key's last row carries every level's
+    # inclusive snapshot; keys not in the batch keep their rows.
+    rn = F.row_number().over(
+        Window.partitionBy(partition_by).orderBy(
+            F.col(ts_col).desc(), *[F.col(t).desc() for t in tiebreak]
+        )
+    )
+    last_rows = df.withColumn("__rn", rn).filter(F.col("__rn") == 1)
+    sel = [F.col(partition_by)]
+    for i in range(1, k):
+        for j in range(1, i + 1):
+            sel.append(
+                F.col(f"__cep_snap_l{i}_ts{j}").alias(f"__cep_l{i}_ts{j}")
+            )
+        if pattern.negation is not None:
+            sel.append(F.col(f"__cep_snap_l{i}_neg").alias(f"__cep_l{i}_neg"))
+        for col in carry_cols:
+            sel.append(
+                F.col(f"__cep_snap_l{i}_c_{col}").alias(f"__cep_l{i}_c_{col}")
+            )
+    if pattern.negation is not None:
+        sel.append(F.col("__cep_negcum").alias("__cep_negcum0"))
+    touched = last_rows.select(*sel)
+    untouched = state.join(
+        batch.select(partition_by).distinct(), partition_by, "left_anti"
+    ).select(partition_by, *scols)
+    new_state = touched.select(partition_by, *scols).unionByName(untouched)
+    return matches, new_state

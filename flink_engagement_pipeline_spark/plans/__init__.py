@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "docs_simhash_ingest",
     "embedding_neardup_ingest",
     "cep_session_conversion",
+    "stream_cep_replay",
     # -- [c] backfill: oldest driver coverage first — the full block of
     # queries whose last green row is ROUND 2 (registry order) --
     "cube_returnflag_status",
@@ -112,7 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_dim_asof",
     "cdc_materialize",
     "docs_token_stats",
-    "docs_quality",
 )
 
 

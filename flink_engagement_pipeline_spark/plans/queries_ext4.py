@@ -849,3 +849,121 @@ def q_cep_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("latency").alias("min_latency_us"),
         )
     )
+
+
+@register(
+    "stream_cep_replay",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       min(latency) AS min_latency_us
+FROM ({_cep_oracle(_CEP_VCP)})
+GROUP BY user_id
+""",
+    doc=(
+        "CEP as INCREMENTAL VIEW MAINTENANCE — the streaming form of "
+        "pattern matching, stream==batch proven under the driver "
+        "oracle: the event history replays as two time-split "
+        "micro-batches (a real Structured Streaming file source, "
+        "maxFilesPerTrigger=1), each processed by "
+        "operators/cep.py:match_pattern_incremental against the "
+        "PERSISTED carry state of everything before it; per-batch "
+        "matches append to an exactly-once IdempotentParquetSink and "
+        "the new state commits alongside, keyed by batch id. The "
+        "union of per-batch matches, aggregated per user, "
+        "hash-matches the SAME full-history oracle as "
+        "cep_conversion_within — per-batch emission loses nothing. "
+        "The state is O(pattern^2) longs PER KEY (each level's "
+        "greedy-bound chain tuple + the negation prefix-sum), not "
+        "per-event: at 100 TB/day this is a keyed state table the "
+        "size of the user dimension, no event buffer and no window "
+        "replay — the MATCH_RECOGNIZE analog of the retract-"
+        "aggregation state story (stream_retract_replay). Split-"
+        "equivalence at EVERY batch boundary is additionally "
+        "unit-pinned in tests/test_cep.py."
+    ),
+    tags=("cep", "streaming", "incremental", "exactly-once", "consistency"),
+)
+def q_stream_cep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+
+    from ..operators.cep import match_pattern_incremental, state_schema_cols
+    from ..streaming.sinks import IdempotentParquetSink
+
+    tmp = tempfile.mkdtemp(prefix="stream_cep_")
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    prep = _cep_events(spark, sf_dir)
+    # two time-split micro-batches: every event in batch b is later
+    # than every batch-a event — the per-key time-ordering contract a
+    # watermarked stream provides (integer-median split, exact)
+    med = prep.agg(F.expr("percentile_approx(ts_us, 0.5)").alias("m")).first()["m"]
+    for fname, part in (("a", prep.filter(F.col("ts_us") < med)),
+                        ("b", prep.filter(F.col("ts_us") >= med))):
+        d = os.path.join(tmp, f"half_{fname}")
+        part.coalesce(1).write.parquet(d)
+        src = glob.glob(os.path.join(d, "*.parquet"))[0]
+        dst = os.path.join(events_dir, f"{fname}.parquet")
+        os.rename(src, dst)
+        # the file source orders by (mtime, path): make it explicit
+        t = 1_000_000_000 + (0 if fname == "a" else 1000)
+        os.utime(dst, (t, t))
+    match_sink = IdempotentParquetSink(os.path.join(tmp, "matches"))
+    state_sink = IdempotentParquetSink(os.path.join(tmp, "state"))
+
+    def _committed(sink, below=None):
+        out = []
+        for m in glob.glob(os.path.join(sink.out_dir, "*", "_COMMITTED")):
+            d = os.path.dirname(m)
+            bid = int(os.path.basename(d).split("=")[1])
+            if below is None or bid < below:
+                out.append((bid, d))
+        return sorted(out)
+
+    def apply(df, bid):
+        prev = _committed(state_sink, below=bid)
+        state = (
+            spark.read.option("pathGlobFilter", "*.parquet")
+            .parquet(prev[-1][1])
+            .select("user_id", *state_schema_cols(_CEP_VCP))
+            if prev
+            else None
+        )
+        matches, new_state = match_pattern_incremental(
+            df,
+            _CEP_VCP,
+            state,
+            partition_by="user_id",
+            ts_col="ts_us",
+            tiebreak=("event_id",),
+        )
+        match_sink.write_batch(matches, bid)
+        state_sink.write_batch(new_state, bid)
+
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "8")
+    try:
+        stream = (
+            spark.readStream.schema(prep.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(part_key, saved)
+    dirs = [d for _, d in _committed(match_sink)]
+    matches = spark.read.option("pathGlobFilter", "*.parquet").parquet(*dirs)
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.min("latency").alias("min_latency_us"),
+    )

@@ -288,3 +288,101 @@ def test_carry_cols_oracle_parity(spark):
     duck_rows = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert spark_rows == duck_rows
     assert len(spark_rows) == 2  # user 3 negated
+
+
+def _inc_matches(spark, batches, pattern, carry_cols=()):
+    """Feed time-ordered batches through match_pattern_incremental,
+    materializing state between batches (as a replay sink would)."""
+    from flink_engagement_pipeline_spark.operators.cep import (
+        match_pattern_incremental,
+    )
+
+    state = None
+    out = []
+    schema = (
+        "user_id long, event_id long, event_type string, ts_us long"
+        + (", sess_id long" if "sess_id" in carry_cols else "")
+    )
+    for rows in batches:
+        df = spark.createDataFrame(rows, schema)
+        matches, state = match_pattern_incremental(
+            df,
+            pattern,
+            state,
+            partition_by="user_id",
+            ts_col="ts_us",
+            tiebreak=("event_id",),
+            carry_cols=carry_cols,
+        )
+        out += [tuple(r) for r in matches.collect()]
+        # materialize state rows (what the replay sink persists) so the
+        # next batch reads data, not a growing lazy plan
+        state = spark.createDataFrame(state.collect(), state.schema)
+    return sorted(out)
+
+
+# a history exercising every constraint: greedy re-binding across the
+# split (user 5 is the level-aliasing trap: view@25 after the click
+# must NOT replace the chain view@10 bound at click@20), negation
+# arriving in a later batch, window kills, multiple matches
+_INC_ROWS = [
+    (1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "purchase", 30),
+    (2, 4, "view", 10), (2, 5, "error", 12), (2, 6, "click", 20),
+    (2, 7, "purchase", 30),
+    (3, 8, "view", 10), (3, 9, "click", 20), (3, 10, "purchase", 200),
+    (4, 11, "view", 5), (4, 12, "view", 9), (4, 13, "click", 20),
+    (4, 14, "purchase", 80), (4, 15, "purchase", 90),
+    (5, 16, "view", 10), (5, 17, "click", 20), (5, 18, "view", 25),
+    (5, 19, "purchase", 30), (5, 20, "click", 40), (5, 21, "purchase", 45),
+    (6, 22, "view", 10), (6, 23, "click", 20), (6, 24, "error", 25),
+    (6, 25, "purchase", 30), (6, 26, "view", 35), (6, 27, "click", 40),
+    (6, 28, "purchase", 50),
+]
+
+
+def test_incremental_equals_full_at_every_split(spark):
+    """match_pattern_incremental must reproduce the full-history match
+    set across EVERY two-batch split of a time-ordered fixture — the
+    stream==batch property with constant per-key state. The fixture
+    includes the per-level-state trap: a view arriving between a
+    bound click and the purchase must not corrupt the click's chain."""
+    rows = sorted(_INC_ROWS, key=lambda r: (r[3], r[1]))
+    full = _matches(spark, rows, VCP)
+    assert len(full) == 6  # sanity: rich fixture (users 1, 4x2, 5x2, 6)
+    for split in range(0, len(rows) + 1, 3):
+        got = _inc_matches(spark, [rows[:split], rows[split:]], VCP)
+        assert got == full, f"split at {split}"
+
+
+def test_incremental_three_batches_and_carry_cols(spark):
+    rows = [
+        (1, 1, "view", 10, 7), (1, 2, "click", 20, 7),
+        (1, 3, "purchase", 30, 7),
+        (2, 4, "view", 10, 1), (2, 5, "click", 20, 1),
+        (2, 6, "purchase", 30, 2),
+        (5, 7, "view", 40, 3), (5, 8, "click", 50, 3),
+        (5, 9, "view", 55, 3), (5, 10, "purchase", 60, 3),
+    ]
+    rows = sorted(rows, key=lambda r: (r[3], r[1]))
+    pat = Pattern(steps=VCP.steps, negation="event_type = 'error'")
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, ts_us long,"
+        " sess_id long",
+    )
+    full = sorted(
+        tuple(r)
+        for r in match_pattern(
+            df, pat, partition_by="user_id", ts_col="ts_us",
+            tiebreak=("event_id",), carry_cols=("sess_id",),
+        ).collect()
+    )
+    got = _inc_matches(
+        spark,
+        [rows[:3], rows[3:7], rows[7:]],
+        pat,
+        carry_cols=("sess_id",),
+    )
+    assert got == full
+    # the chain carries the BOUND view's session id across batches
+    assert any(r[-2] == 1 and r[-1] == 2 for r in got)  # user 2 crosses

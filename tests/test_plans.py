@@ -443,6 +443,7 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_simhash_ingest",
         "embedding_neardup_ingest",
         "cep_session_conversion",
+        "stream_cep_replay",
     ]
     r2_backfill = [
         # last driver row: CORRECTNESS_r02.json (green; unchanged since,
@@ -462,10 +463,10 @@ def test_gate_priority_window_covers_graded_surface():
     ]
     r3_backfill = [
         # oldest round-3-checked queries, registry order (docs_lang_id
-        # displaced by the fourth round-6 addition)
+        # and docs_quality displaced by the 4th/5th round-6 additions)
         "tumbling_stats", "leaderboard_topk", "session_windows",
         "events_asof_orders", "events_dim_asof", "cdc_materialize",
-        "docs_token_stats", "docs_quality",
+        "docs_token_stats",
     ]
     expected = sentinels + new_in_r6 + r2_backfill + r3_backfill
     assert window == expected, (
@@ -1320,3 +1321,33 @@ def test_plan_build_latency_bounded(spark, sf_dir):
         worst[name] = best
     offenders = {n: round(t, 2) for n, t in worst.items() if t > 2.5}
     assert not offenders, f"plan builds regressed (pre-fix levels): {offenders}"
+
+
+def test_ingest_queries_join_shapes(spark, sf_dir):
+    """The incremental-ingest family's scale posture: candidate
+    generation is always a bounded-key equi-join (hash or sort-merge,
+    never nested-loop/cartesian), and the embedding ingest reads raw
+    vectors only through id-keyed joins AFTER candidates exist — the
+    index side never drags the vector column through the bucket
+    join."""
+    for name in ("docs_simhash_ingest", "embedding_neardup_ingest",
+                 "docs_minhash_ingest"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        ), name
+
+
+def test_session_cep_one_shuffle_no_join(spark, sf_dir):
+    """cep_session_conversion: sessionization (lag + prefix sum), the
+    chained pattern carries, and the final aggregate all ride ONE
+    hash partitioning on user_id — no joins anywhere."""
+    plan = _plan(spark, sf_dir, "cep_session_conversion")
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges == ["user_id"], exchanges
+    assert "Join" not in plan, plan[:2000]
