@@ -16,14 +16,15 @@ plans/queries_ext4.py): NO joins and NO state machine —
 
 - one shuffle partitioning events by the match key, ordered by
   (ts, tiebreak);
-- an integer prefix-sum of negation hits (``__cep_negcum``);
+- an integer prefix-sum per COUNT CONSTRAINT (negation is the
+  count == 0 special case);
 - per intermediate step, chained ``last(expr, ignorenulls=True)``
   carry-forwards over the PRECEDING-exclusive frame: step i's rows
   re-publish the latest step-(i-1) chain state, so the final step's
   rows see the whole greedy last-before binding;
 - the final step is a plain filter: all carries bound, the
-  first-to-last gap inside ``within``, and the negation prefix-sum
-  unchanged since the first step.
+  first-to-last gap inside ``within``, and each count constraint's
+  prefix-sum difference inside its [min, max] band.
 
 Per-row carried state is O(pattern length) longs, so the plan is the
 same at 100 TB: per-key sequences ride single partitions, Spark's
@@ -34,9 +35,10 @@ Semantics notes (shared by both engines, pinned by unit tests):
   step-(i-1) chain strictly before it — the "skip to last" variant of
   MATCH_RECOGNIZE's after-match semantics, one match row per
   final-step event.
-- The negation window is (first step, final step]: a negation hit ON
-  the final row itself kills the match, one on the first-step row does
-  not (the prefix-sum at the first step already includes it).
+- Count constraints (and negation, their ==0 case) apply over
+  (first step, final step]: a hit ON the final row itself counts, a
+  hit on the first-step row does not (its prefix-sum at the first
+  step already includes it).
 - ``within`` bounds ts(final) - ts(first), inclusive.
 
 Every compiled pattern has a token-equivalent SQL twin
@@ -47,7 +49,7 @@ approximate family in this repo follows (portable MinHash, PQ, HLL).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -66,15 +68,30 @@ class PatternStep:
 
 
 @dataclass(frozen=True)
+class CountConstraint:
+    """Bound the number of events matching ``predicate`` strictly
+    between the bound first step and the final step (final row
+    inclusive): ``min_count <= n <= max_count`` (``max_count`` None =
+    unbounded). The MATCH_RECOGNIZE quantifier class — e.g. "at least
+    two clicks before the purchase" — compiled to one integer
+    prefix-sum, carried like everything else."""
+
+    predicate: str
+    min_count: int = 0
+    max_count: int | None = None
+
+
+@dataclass(frozen=True)
 class Pattern:
     """An ordered-event pattern: steps in order, an optional time
-    window over the whole sequence (in ``ts_col`` units), and an
-    optional negation predicate that must match NO event between the
-    bound first step (exclusive) and the final step (inclusive)."""
+    window over the whole sequence (in ``ts_col`` units), an optional
+    negation predicate (sugar for ``CountConstraint(pred, 0, 0)``),
+    and optional count constraints."""
 
     steps: tuple[PatternStep, ...]
     within: int | None = None
     negation: str | None = None
+    counts: tuple[CountConstraint, ...] = field(default=())
 
     def __post_init__(self) -> None:
         if len(self.steps) < 2:
@@ -82,6 +99,14 @@ class Pattern:
         names = [s.name for s in self.steps]
         if len(set(names)) != len(names):
             raise ValueError(f"step names must be unique: {names}")
+
+    def count_specs(self) -> tuple[CountConstraint, ...]:
+        """All count constraints, with negation desugared to its
+        count == 0 form. ONE list drives both compile targets."""
+        specs = tuple(self.counts)
+        if self.negation is not None:
+            specs += (CountConstraint(self.negation, 0, 0),)
+        return specs
 
 
 def _ts_cols(pattern: Pattern) -> list[str]:
@@ -118,20 +143,21 @@ def match_pattern(
     """
     steps = pattern.steps
     k = len(steps)
+    qspecs = pattern.count_specs()
     order = Window.partitionBy(partition_by).orderBy(ts_col, *tiebreak)
     cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = order.rowsBetween(Window.unboundedPreceding, -1)
 
     base_cols = list(events.columns)
     df = events
-    if pattern.negation is not None:
+    for q, spec in enumerate(qspecs):
         df = df.withColumn(
-            "__cep_negcum",
+            f"__cep_q{q}",
             F.sum(
-                F.when(F.expr(pattern.negation), 1).otherwise(0)
+                F.when(F.expr(spec.predicate), 1).otherwise(0)
             ).over(cum).cast("long"),
         )
-        base_cols.append("__cep_negcum")
+        base_cols.append(f"__cep_q{q}")
 
     def carry(pred: str, src: Column, out: str) -> Column:
         return (
@@ -142,7 +168,7 @@ def match_pattern(
 
     # level i (1-based, steps[0..k-2]): rows re-publish the latest
     # step-i chain state — its own ts, every earlier step's ts as bound
-    # AT that step-i row, and the first step's negation prefix-sum
+    # AT that step-i row, the first step's count prefix-sums, carries
     for i in range(1, k):
         pred = steps[i - 1].predicate
         carries = [carry(pred, F.col(ts_col), f"__cep_ts{i}")]
@@ -150,13 +176,11 @@ def match_pattern(
         for j in range(1, i):
             carries.append(carry(pred, F.col(f"__cep_ts{j}"), f"__cep_ts{j}"))
             rebound.add(f"__cep_ts{j}")
-        if pattern.negation is not None:
-            src = (
-                F.col("__cep_negcum") if i == 1 else F.col("__cep_neg")
-            )
-            carries.append(carry(pred, src, "__cep_neg"))
+        for q in range(len(qspecs)):
+            src = F.col(f"__cep_q{q}") if i == 1 else F.col(f"__cep_q{q}_s1")
+            carries.append(carry(pred, src, f"__cep_q{q}_s1"))
             if i > 1:
-                rebound.add("__cep_neg")
+                rebound.add(f"__cep_q{q}_s1")
         for col in carry_cols:
             src = F.col(col) if i == 1 else F.col(f"__cep_c_{col}")
             carries.append(carry(pred, src, f"__cep_c_{col}"))
@@ -166,8 +190,7 @@ def match_pattern(
         # expressions (which read the INPUT row's values), so they must
         # not also pass through, or the output would duplicate names
         carry_names = [f"__cep_ts{j}" for j in range(1, i + 1)]
-        if pattern.negation is not None:
-            carry_names.append("__cep_neg")
+        carry_names += [f"__cep_q{q}_s1" for q in range(len(qspecs))]
         carry_names += [f"__cep_c_{col}" for col in carry_cols]
         df = df.select(
             *[c for c in base_cols if c not in rebound], *carries
@@ -179,8 +202,11 @@ def match_pattern(
         cond = cond & F.col(f"__cep_ts{j}").isNotNull()
     if pattern.within is not None:
         cond = cond & (F.col(ts_col) - F.col("__cep_ts1") <= pattern.within)
-    if pattern.negation is not None:
-        cond = cond & (F.col("__cep_negcum") - F.col("__cep_neg") == 0)
+    for q, spec in enumerate(qspecs):
+        diff = F.col(f"__cep_q{q}") - F.col(f"__cep_q{q}_s1")
+        cond = cond & (diff >= spec.min_count)
+        if spec.max_count is not None:
+            cond = cond & (diff <= spec.max_count)
 
     out = [F.col(partition_by)]
     out += [
@@ -205,14 +231,16 @@ def pattern_oracle_sql(
     carry_cols: Sequence[str] = (),
 ) -> str:
     """The DuckDB twin of :func:`match_pattern`, generated from the
-    SAME spec: identical CTE chain (prefix-sum, per-level
+    SAME spec: identical CTE chain (count prefix-sums, per-level
     ``last_value IGNORE NULLS`` carries over the PRECEDING-exclusive
     frame, final filter). ``source_sql`` must yield the same rows and
     columns the Spark side's ``events`` DataFrame has. Returns a full
-    SELECT producing (partition, <step>_ts..., latency), one row per
-    match — wrap it in any aggregation the registered query needs."""
+    SELECT producing (partition, <step>_ts..., latency[, carried
+    cols]), one row per match — wrap it in any aggregation the
+    registered query needs."""
     steps = pattern.steps
     k = len(steps)
+    qspecs = pattern.count_specs()
     over = (
         f"PARTITION BY {partition_by} ORDER BY "
         + ", ".join([ts_col, *tiebreak])
@@ -222,12 +250,13 @@ def pattern_oracle_sql(
 
     ctes = [f"__cep_ev AS ({source_sql})"]
     prev_level = "__cep_ev"
-    if pattern.negation is not None:
-        ctes.append(
-            "__cep_seq AS (SELECT *, "
-            f"CAST(sum(CASE WHEN {pattern.negation} THEN 1 ELSE 0 END) "
-            f"OVER ({cum}) AS BIGINT) AS __cep_negcum FROM __cep_ev)"
+    if qspecs:
+        sums = ", ".join(
+            f"CAST(sum(CASE WHEN {spec.predicate} THEN 1 ELSE 0 END) "
+            f"OVER ({cum}) AS BIGINT) AS __cep_q{q}"
+            for q, spec in enumerate(qspecs)
         )
+        ctes.append(f"__cep_seq AS (SELECT *, {sums} FROM __cep_ev)")
         prev_level = "__cep_seq"
 
     def carry_sql(pred: str, src: str, out: str) -> str:
@@ -241,18 +270,17 @@ def pattern_oracle_sql(
         exprs = [carry_sql(pred, ts_col, f"__cep_ts{i}")]
         for j in range(1, i):
             exprs.append(carry_sql(pred, f"__cep_ts{j}", f"__cep_ts{j}"))
-        if pattern.negation is not None:
-            src = "__cep_negcum" if i == 1 else "__cep_neg"
-            exprs.append(carry_sql(pred, src, "__cep_neg"))
+        for q in range(len(qspecs)):
+            src = f"__cep_q{q}" if i == 1 else f"__cep_q{q}_s1"
+            exprs.append(carry_sql(pred, src, f"__cep_q{q}_s1"))
         for col in carry_cols:
             src = col if i == 1 else f"__cep_c_{col}"
             exprs.append(carry_sql(pred, src, f"__cep_c_{col}"))
         # star-minus the carries being rebound: DuckDB supports
         # EXCLUDE, which keeps the generated text short and exact
         excluded = [f"__cep_ts{j}" for j in range(1, i)]
-        if pattern.negation is not None and i > 1:
-            excluded.append("__cep_neg")
         if i > 1:
+            excluded += [f"__cep_q{q}_s1" for q in range(len(qspecs))]
             excluded += [f"__cep_c_{col}" for col in carry_cols]
         star = f"* EXCLUDE ({', '.join(excluded)})" if excluded else "*"
         ctes.append(
@@ -266,8 +294,10 @@ def pattern_oracle_sql(
     conds += [f"__cep_ts{j} IS NOT NULL" for j in range(1, k)]
     if pattern.within is not None:
         conds.append(f"{ts_col} - __cep_ts1 <= {pattern.within}")
-    if pattern.negation is not None:
-        conds.append("__cep_negcum - __cep_neg = 0")
+    for q, spec in enumerate(qspecs):
+        conds.append(f"__cep_q{q} - __cep_q{q}_s1 >= {spec.min_count}")
+        if spec.max_count is not None:
+            conds.append(f"__cep_q{q} - __cep_q{q}_s1 <= {spec.max_count}")
 
     out = [partition_by]
     out += [
@@ -298,14 +328,13 @@ def state_schema_cols(pattern: Pattern, carry_cols: Sequence[str] = ()) -> list[
     bound at the latest click" (level 2) are DIFFERENT values and both
     are needed. O(k^2) longs per key: constant in the event count."""
     k = len(pattern.steps)
+    nq = len(pattern.count_specs())
     cols: list[str] = []
     for i in range(1, k):
         cols += [f"__cep_l{i}_ts{j}" for j in range(1, i + 1)]
-        if pattern.negation is not None:
-            cols.append(f"__cep_l{i}_neg")
+        cols += [f"__cep_l{i}_q{q}" for q in range(nq)]
         cols += [f"__cep_l{i}_c_{c}" for c in carry_cols]
-    if pattern.negation is not None:
-        cols.append("__cep_negcum0")
+    cols += [f"__cep_q{q}_base" for q in range(nq)]
     return cols
 
 
@@ -330,7 +359,7 @@ def match_pattern_incremental(
     only ever reads, at any row, the LATEST step-i chain tuple before
     it — so everything a future batch can observe about the past is,
     per key and per level i, the (i+1)-tuple bound at the latest
-    step-i event, plus the running negation prefix-sum: O(k^2) longs
+    step-i event, plus the running count prefix-sums: O(k^2) longs
     per key, no per-event retention, no window replay. This is the
     MATCH_RECOGNIZE analog of the retract-aggregation story (state
     scales with keys, not events) — why CEP over 100 TB/day of
@@ -351,6 +380,7 @@ def match_pattern_incremental(
     """
     steps = pattern.steps
     k = len(steps)
+    qspecs = pattern.count_specs()
     scols = state_schema_cols(pattern, carry_cols)
     if state is None:
         state = (
@@ -373,16 +403,16 @@ def match_pattern_incremental(
     prev = order.rowsBetween(Window.unboundedPreceding, -1)
     base_cols = list(joined.columns)
     df = joined
-    if pattern.negation is not None:
+    for q, spec in enumerate(qspecs):
         # total prefix-sum = carried-in count + in-batch prefix
         df = df.withColumn(
-            "__cep_negcum",
-            F.coalesce(F.col("__st___cep_negcum0"), F.lit(0)).cast("long")
+            f"__cep_q{q}",
+            F.coalesce(F.col(f"__st___cep_q{q}_base"), F.lit(0)).cast("long")
             + F.sum(
-                F.when(F.expr(pattern.negation), 1).otherwise(0)
+                F.when(F.expr(spec.predicate), 1).otherwise(0)
             ).over(cum).cast("long"),
         )
-        base_cols.append("__cep_negcum")
+        base_cols.append(f"__cep_q{q}")
 
     def fb_carry(pred: str, src: Column, out: str, fallback: str) -> Column:
         """In-batch PRECEDING-exclusive carry, falling back to the
@@ -426,14 +456,18 @@ def match_pattern_incremental(
                 )
             )
             rebound.add(f"__cep_ts{j}")
-        if pattern.negation is not None:
-            src = F.col("__cep_negcum") if i == 1 else F.col("__cep_neg")
-            carries.append(fb_carry(pred, src, "__cep_neg", f"__cep_l{i}_neg"))
+        for q in range(len(qspecs)):
+            src = F.col(f"__cep_q{q}") if i == 1 else F.col(f"__cep_q{q}_s1")
             carries.append(
-                snap_carry(pred, src, f"__cep_snap_l{i}_neg", f"__cep_l{i}_neg")
+                fb_carry(pred, src, f"__cep_q{q}_s1", f"__cep_l{i}_q{q}")
+            )
+            carries.append(
+                snap_carry(
+                    pred, src, f"__cep_snap_l{i}_q{q}", f"__cep_l{i}_q{q}"
+                )
             )
             if i > 1:
-                rebound.add("__cep_neg")
+                rebound.add(f"__cep_q{q}_s1")
         for col in carry_cols:
             src = F.col(col) if i == 1 else F.col(f"__cep_c_{col}")
             carries.append(
@@ -448,9 +482,8 @@ def match_pattern_incremental(
                 rebound.add(f"__cep_c_{col}")
         carry_names = [f"__cep_ts{j}" for j in range(1, i + 1)]
         snap_names = [f"__cep_snap_l{i}_ts{j}" for j in range(1, i + 1)]
-        if pattern.negation is not None:
-            carry_names.append("__cep_neg")
-            snap_names.append(f"__cep_snap_l{i}_neg")
+        carry_names += [f"__cep_q{q}_s1" for q in range(len(qspecs))]
+        snap_names += [f"__cep_snap_l{i}_q{q}" for q in range(len(qspecs))]
         carry_names += [f"__cep_c_{col}" for col in carry_cols]
         snap_names += [f"__cep_snap_l{i}_c_{col}" for col in carry_cols]
         df = df.select(
@@ -467,8 +500,11 @@ def match_pattern_incremental(
         cond = cond & F.col(f"__cep_ts{j}").isNotNull()
     if pattern.within is not None:
         cond = cond & (F.col(ts_col) - F.col("__cep_ts1") <= pattern.within)
-    if pattern.negation is not None:
-        cond = cond & (F.col("__cep_negcum") - F.col("__cep_neg") == 0)
+    for q, spec in enumerate(qspecs):
+        diff = F.col(f"__cep_q{q}") - F.col(f"__cep_q{q}_s1")
+        cond = cond & (diff >= spec.min_count)
+        if spec.max_count is not None:
+            cond = cond & (diff <= spec.max_count)
 
     out = [F.col(partition_by)]
     out += [
@@ -496,14 +532,16 @@ def match_pattern_incremental(
             sel.append(
                 F.col(f"__cep_snap_l{i}_ts{j}").alias(f"__cep_l{i}_ts{j}")
             )
-        if pattern.negation is not None:
-            sel.append(F.col(f"__cep_snap_l{i}_neg").alias(f"__cep_l{i}_neg"))
+        for q in range(len(qspecs)):
+            sel.append(
+                F.col(f"__cep_snap_l{i}_q{q}").alias(f"__cep_l{i}_q{q}")
+            )
         for col in carry_cols:
             sel.append(
                 F.col(f"__cep_snap_l{i}_c_{col}").alias(f"__cep_l{i}_c_{col}")
             )
-    if pattern.negation is not None:
-        sel.append(F.col("__cep_negcum").alias("__cep_negcum0"))
+    for q in range(len(qspecs)):
+        sel.append(F.col(f"__cep_q{q}").alias(f"__cep_q{q}_base"))
     touched = last_rows.select(*sel)
     untouched = state.join(
         batch.select(partition_by).distinct(), partition_by, "left_anti"

