@@ -548,3 +548,50 @@ def match_pattern_incremental(
     ).select(partition_by, *scols)
     new_state = touched.select(partition_by, *scols).unionByName(untouched)
     return matches, new_state
+
+
+def expire_state(
+    state: DataFrame,
+    pattern: Pattern,
+    watermark_ts: int,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Watermark-driven expiry for `match_pattern_incremental` state:
+    a level-i chain tuple whose FIRST-step timestamp is older than
+    ``watermark_ts - pattern.within`` can never complete a match (any
+    future final step is >= the watermark, so the first-to-last gap
+    already exceeds ``within``) — null the tuple so it stops being a
+    fallback. Rows where every level expired are dropped entirely
+    when the pattern has no count constraints; with count constraints
+    the row must survive (its running prefix-sum bases still seed
+    future first-step bindings). This is the piece that makes the
+    keyed state table BOUNDED IN TIME as well as in width at
+    100 TB/day: state per key is O(pattern^2) longs, and a key whose
+    activity stopped ``within`` ago costs nothing (or one counter
+    row). Safe to apply between any two batches; match output is
+    unchanged (equivalence pytest in tests/test_cep.py)."""
+    if pattern.within is None:
+        raise ValueError("expire_state requires a pattern with `within`")
+    k = len(pattern.steps)
+    nq = len(pattern.count_specs())
+    cutoff = watermark_ts - pattern.within
+    out_cols: list[Column] = [F.col(c) for c in state.columns]
+    name_to_idx = {c: i for i, c in enumerate(state.columns)}
+    expired_all = F.lit(True)
+    for i in range(1, k):
+        ts1 = F.col(f"__cep_l{i}_ts1")
+        expired = ts1.isNull() | (ts1 < F.lit(cutoff))
+        expired_all = expired_all & expired
+        level_cols = [f"__cep_l{i}_ts{j}" for j in range(1, i + 1)]
+        level_cols += [f"__cep_l{i}_q{q}" for q in range(nq)]
+        level_cols += [f"__cep_l{i}_c_{c}" for c in carry_cols]
+        for c in level_cols:
+            out_cols[name_to_idx[c]] = (
+                F.when(expired, F.lit(None).cast("long"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+    pruned = state.select(*out_cols)
+    if nq == 0:
+        pruned = pruned.filter(~expired_all)
+    return pruned

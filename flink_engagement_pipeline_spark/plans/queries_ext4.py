@@ -1,9 +1,15 @@
-"""Round-5 extension batches #2-3: a portable HDR-histogram quantile
-sketch (completing the oracled sketch family: HLL for distincts,
-Bloom for membership, count-min for frequency, HDR for quantiles),
-Flink-parity retract-stream aggregation over a full Debezium
-changelog (before + after images), HLL audience overlap via sketch
-merge + inclusion-exclusion, and native partitioned NTILE.
+"""Round-5 extension batches #2-3 and the round-6 CEP suite: a
+portable HDR-histogram quantile sketch (completing the oracled sketch
+family: HLL for distincts, Bloom for membership, count-min for
+frequency, HDR for quantiles), Flink-parity retract-stream
+aggregation over a full Debezium changelog (before + after images),
+HLL audience overlap via sketch merge + inclusion-exclusion, native
+partitioned NTILE, and the CEP/MATCH_RECOGNIZE query family — four
+registered patterns (windowed negation, tightened-window direct
+purchase, session-scoped, count-quantified) all compiled from
+operators/cep.py Pattern specs, plus stream_cep_replay, the
+incremental/streaming form with watermark state expiry proven
+stream==batch under the driver oracle.
 
 House rules as ever: JVM-side expressions only, each oracle generated
 from the same constants as the Spark plan, every cross-engine float
@@ -890,7 +896,11 @@ def q_stream_cep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..operators.cep import match_pattern_incremental, state_schema_cols
+    from ..operators.cep import (
+        expire_state,
+        match_pattern_incremental,
+        state_schema_cols,
+    )
     from ..streaming.sinks import IdempotentParquetSink
 
     tmp = tempfile.mkdtemp(prefix="stream_cep_")
@@ -940,6 +950,14 @@ def q_stream_cep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_col="ts_us",
             tiebreak=("event_id",),
         )
+        # watermark expiry: chain tuples older than the 48 h pattern
+        # window can never complete a match, so they are nulled out of
+        # the committed state (the negation prefix-sum base remains —
+        # this pattern carries a count constraint); match-equivalence
+        # of expiry is unit-pinned in test_cep.py
+        wm = df.agg(F.max("ts_us")).first()[0]
+        if wm is not None:
+            new_state = expire_state(new_state, _CEP_VCP, wm)
         match_sink.write_batch(matches, bid)
         state_sink.write_batch(new_state, bid)
 

@@ -478,3 +478,62 @@ def test_count_constraint_incremental(spark):
     for split in range(0, len(rows) + 1, 2):
         got = _inc_matches(spark, [rows[:split], rows[split:]], pat)
         assert got == full, f"split at {split}"
+
+
+def test_expire_state_equivalence_and_shrink(spark):
+    """Watermark expiry between batches must not change the match set
+    (an expired chain could never complete a match), and keys with
+    only-expired state must leave the table when the pattern has no
+    count constraints — the time-bounded-state story."""
+    from flink_engagement_pipeline_spark.operators.cep import (
+        expire_state,
+        match_pattern_incremental,
+    )
+
+    pat = Pattern(steps=VCP.steps, within=100)  # no counts -> rows can drop
+    rows0 = [
+        (1, 1, "view", 10), (1, 2, "click", 20),       # completes later
+        (2, 3, "view", 11), (2, 4, "click", 21),       # goes stale
+        (3, 5, "view", 15),                            # view only, stale
+    ]
+    rows1 = [
+        (1, 6, "purchase", 105),                       # within 100 of v@10? 95 ✓
+        (2, 7, "purchase", 300),                       # 289 > 100: no match
+    ]
+    full = _matches(spark, sorted(rows0 + rows1, key=lambda r: (r[3], r[1])), pat)
+    assert full == [(1, 10, 20, 105, 95)]
+
+    def run(expire):
+        state = None
+        got = []
+        for rows, wm in ((rows0, 30), (rows1, 300)):
+            df = _events(spark, rows)
+            m, state = match_pattern_incremental(
+                df, pat, state, partition_by="user_id", ts_col="ts_us",
+                tiebreak=("event_id",),
+            )
+            got += [tuple(r) for r in m.collect()]
+            state = spark.createDataFrame(state.collect(), state.schema)
+            if expire:
+                state = expire_state(state, pat, wm)
+        return sorted(got), state
+
+    plain, _ = run(expire=False)
+    expired, final_state = run(expire=True)
+    assert plain == expired == full
+    # after the second batch's watermark (300), every chain is older
+    # than 300-100: the state table empties entirely
+    final_state = expire_state(
+        spark.createDataFrame(final_state.collect(), final_state.schema),
+        pat,
+        400,
+    )
+    assert final_state.count() == 0
+
+
+def test_expire_state_requires_within():
+    from flink_engagement_pipeline_spark.operators.cep import expire_state
+
+    pat = Pattern(steps=VCP.steps)  # no within
+    with pytest.raises(ValueError, match="within"):
+        expire_state(None, pat, 0)

@@ -210,3 +210,45 @@ def test_cep_semantics_on_crafted_sequences(spark, tmp_path):
         .collect()
     }
     assert out == {1: (1, 2 * H)}
+
+
+def test_hdr_sketch_counters_merge_by_addition(spark, sf_dir):
+    """The 100 TB claim behind events_hdr_quantiles is that the
+    histogram is MERGEABLE partial state: per-(group, bucket) counters
+    from disjoint shards sum to the whole-corpus counters, so the
+    sketch can be built map-side per partition / per day and merged
+    without touching raw values again. Proven literally: bucket
+    counters over two disjoint halves of events, added, equal the
+    full-table counters bucket-for-bucket (and therefore every
+    downstream quantile read-off is identical)."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.plans.queries_ext4 import _cents_null
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def counters(df):
+        v = df.select(
+            "event_type", (_cents_null(F.col("value")) * 8).alias("w")
+        ).filter(F.col("w") >= 8)
+        bb = (
+            v.withColumn("e", F.length(F.bin("w")))
+            .withColumn("m", F.expr("shiftright(w, e - 4)"))
+            .withColumn("bucket", (F.col("e") - 4) * 8 + F.col("m") - 8)
+        )
+        return {
+            (r["event_type"], r["bucket"]): r["cnt"]
+            for r in bb.groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    full = counters(ev)
+    a = counters(ev.filter(F.col("event_id") % 2 == 0))
+    b = counters(ev.filter(F.col("event_id") % 2 == 1))
+    merged: dict = {}
+    for part in (a, b):
+        for key, cnt in part.items():
+            merged[key] = merged.get(key, 0) + cnt
+    assert merged == full and len(full) > 10
