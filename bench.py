@@ -47,6 +47,9 @@ FLAGSHIP_NAMES = [
     "docs_dedup_e2e_portable",
     "stream_replay_enriched",
     "stream_session_replay",
+    # round 6: the greedy MMR selection folded into one Catalyst
+    # expression — serving-path cost (pool scan + metadata-sized fold)
+    "embedding_mmr_rerank",
 ]
 
 

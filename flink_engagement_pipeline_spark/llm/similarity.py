@@ -608,3 +608,175 @@ def ann_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified rerank
+# --------------------------------------------------------------------------
+
+MMR_POOL = 32  # relevance-ranked candidate pool fed to the greedy stage
+MMR_K = 10  # diversified results returned
+MMR_LAMBDA = 0.5  # relevance weight; (1 - lambda) weights the redundancy term
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """The sequential-fold dot product as a SQL fragment — same fold
+    order as :func:`_dot`, bit-identical to DuckDB list_dot_product."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    pool: int = MMR_POOL,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank: exact top-``pool`` by cosine
+    against ``query_vec_id``, then greedy selection of ``k`` results
+    maximizing ``lam * rel(d) - (1-lam) * max_{s in S} sim(d, s)``
+    (Carbonell & Goldstein 1998) — the diversified-retrieval pass a
+    RAG/training-data pipeline runs after ANN.
+
+    Plan shape: the distributed part is one corpus scan -> normalized
+    cosine projection -> TakeOrderedAndProject(pool) (per-partition
+    heaps, no global sort). The greedy stage — inherently sequential,
+    k dependent argmax steps — is folded into ONE Catalyst expression
+    over a single metadata-sized row: ``aggregate(sequence(1, k),
+    state, step)`` where the state struct carries (selected vectors,
+    remaining candidates, emitted rows) and each step scores remaining
+    candidates with nested higher-order functions and binds the argmax
+    via a one-element-array fold (SQL has no `let`; folding the
+    singleton `array(best)` into the state gives the binding without
+    computing `best` once per state field). No driver loop, no
+    collect, no UDF — and at corpus scale the same expression applies
+    per QUERY row, so a million-query rerank batch parallelizes
+    trivially (each row carries its own pool, cf. knn_join).
+
+    Ties break on (score desc, vec_id asc) everywhere; max over the
+    empty selected set is coalesced to 0.0, so the first pick is the
+    pure-relevance argmax scaled by ``lam``. All arithmetic is IEEE
+    double with engine-portable fold order, which is why the DuckDB
+    recursive-CTE oracle (:func:`mmr_rerank_oracle_sql`) hash-matches
+    exactly. Returns (mmr_rank, vec_id, mmr_score).
+    """
+    v = "cast(embedding as array<double>)"
+    base = emb.selectExpr(
+        "vec_id",
+        f"transform({v}, x -> x / sqrt({_dot_sql(v, v)})) as nv",
+    )
+    qrow = base.filter(F.col("vec_id") == query_vec_id).selectExpr("nv as qn")
+    cand = (
+        base.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(qrow))
+        .selectExpr("vec_id", "nv", f"{_dot_sql('nv', 'qn')} as rel")
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(pool)
+    )
+    one = cand.agg(
+        F.expr(
+            "array_sort(collect_list(struct(rel, vec_id, nv)), "
+            "(l, r) -> case when l.rel > r.rel then -1 "
+            "when l.rel < r.rel then 1 "
+            "when l.vec_id < r.vec_id then -1 "
+            "when l.vec_id > r.vec_id then 1 else 0 end)"
+        ).alias("cands")
+    )
+    scored = (
+        "transform(st.rem, c -> named_struct("
+        f"'score', {lam!r}D * c.rel - {1.0 - lam!r}D * coalesce("
+        f"array_max(transform(st.sel, s -> {_dot_sql('c.nv', 's')})), 0.0D), "
+        "'vec_id', c.vec_id, 'nv', c.nv))"
+    )
+    best = (
+        "aggregate(slice(__SC__, 2, size(__SC__) - 1), __SC__[0], "
+        "(b, x) -> case when x.score > b.score "
+        "or (x.score = b.score and x.vec_id < b.vec_id) then x else b end)"
+    ).replace("__SC__", scored)
+    mmr = f"""
+aggregate(
+  sequence(1, {k}),
+  named_struct(
+    'sel', cast(array() as array<array<double>>),
+    'rem', cands,
+    'out', cast(array() as
+        array<struct<mmr_rank:int, vec_id:bigint, mmr_score:double>>)),
+  (st, i) -> aggregate(
+    array({best}),
+    st,
+    (s0, b) -> named_struct(
+      'sel', array_append(s0.sel, b.nv),
+      'rem', filter(s0.rem, c -> c.vec_id != b.vec_id),
+      'out', array_append(s0.out, named_struct(
+        'mmr_rank', cast(size(s0.out) + 1 as int),
+        'vec_id', b.vec_id,
+        'mmr_score', b.score))))
+).out
+"""
+    return one.selectExpr(f"inline({mmr})")
+
+
+def mmr_rerank_oracle_sql(
+    query_vec_id: int = 0,
+    pool: int = MMR_POOL,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> str:
+    """Exact DuckDB twin of :func:`mmr_rerank`: the greedy loop as a
+    single-row recursive CTE whose state row carries the same
+    (selected, remaining, emitted) arrays; list_dot_product matches
+    the Spark sequential fold bit-for-bit."""
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+n AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      FROM e),
+q AS (SELECT nv AS qn FROM n WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT vec_id, nv, list_dot_product(nv, qn) AS rel
+  FROM n, q WHERE vec_id <> {query_vec_id}
+  ORDER BY rel DESC, vec_id LIMIT {pool}
+),
+init AS (
+  SELECT 0 AS step,
+         CAST([] AS DOUBLE[][]) AS sel,
+         list({{'rel': rel, 'vec_id': vec_id, 'nv': nv}}
+              ORDER BY rel DESC, vec_id) AS rem,
+         CAST([] AS STRUCT(mmr_rank INT, vec_id BIGINT,
+                           mmr_score DOUBLE)[]) AS out
+  FROM cand
+),
+state AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT step + 1,
+         list_append(sel, best.nv),
+         list_filter(rem, c -> c.vec_id <> best.vec_id),
+         list_append(out, {{'mmr_rank': step + 1, 'vec_id': best.vec_id,
+                            'mmr_score': best.score}})
+  FROM (
+    SELECT step, sel, rem, out,
+           list_reduce(sc, (b, x) -> CASE WHEN x.score > b.score
+               OR (x.score = b.score AND x.vec_id < b.vec_id)
+               THEN x ELSE b END) AS best
+    FROM (
+      SELECT step, sel, rem, out,
+             list_transform(rem, c -> {{
+               'score': {lam!r} * c.rel - {1.0 - lam!r} * coalesce(
+                 list_max(list_transform(sel,
+                     s -> list_dot_product(c.nv, s))), 0.0),
+               'vec_id': c.vec_id, 'nv': c.nv}}) AS sc
+      FROM state WHERE step < {k}
+    )
+  )
+)
+SELECT u.mmr_rank AS mmr_rank, u.vec_id AS vec_id, u.mmr_score AS mmr_score
+FROM (SELECT unnest(out) AS u FROM state WHERE step = {k})
+ORDER BY mmr_rank
+"""

@@ -44,12 +44,12 @@ from . import queries_ext4  # noqa: F401,E402
 #       never re-proven) + round-5 additions + r2-only backfill
 #       (CORRECTNESS_r05.json: 47 hash + 3 rows-only, 0 err — closed
 #       cumulative driver coverage at 170/170);
-#   round 6 (this list): with cumulative coverage closed and only three
-#       new queries this round, the window is almost all [c]: sentinels
-#       + the 3 round-6 additions (second CEP pattern, SimHash ingest,
-#       embedding near-dup ingest) + ALL 32 queries whose last green
-#       driver row is round 2 + the 9 oldest round-3-checked queries in
-#       registry order — the staleness-driven re-proof pass the policy
+#   round 6 (this list): with cumulative coverage closed, the window is
+#       mostly [c]: sentinels + the round-6 additions (CEP patterns +
+#       streaming CEP, SimHash/near-dup ingest, MMR rerank) + ALL 32
+#       queries whose last green driver row is round 2 + the oldest
+#       round-3-checked queries in registry order — the
+#       staleness-driven re-proof pass the policy
 #       prescribes once first-proof demand is low.
 #
 # Everything not listed keeps module import order after the priority block
@@ -72,6 +72,8 @@ _PRIORITY: tuple[str, ...] = (
     "cep_session_conversion",
     "stream_cep_replay",
     "cep_engaged_conversion",
+    "embedding_mmr_rerank",
+    "stream_sketch_replay",
     # -- [c] backfill: oldest driver coverage first — the full block of
     # queries whose last green row is ROUND 2 (registry order) --
     "cube_returnflag_status",
@@ -111,8 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "leaderboard_topk",
     "session_windows",
     "events_asof_orders",
-    "events_dim_asof",
-    "cdc_materialize",
 )
 
 

@@ -113,6 +113,62 @@ _HLL_EST = (
 )
 
 
+def hll_registers(ev: DataFrame, key: str = "event_type") -> DataFrame:
+    """Per-(key, register) max-rho table — the mergeable partial state
+    of the portable HLL (merge = groupBy(key, reg).max(m_rho), which
+    stream_sketch_replay exercises across micro-batches). Extracted
+    verbatim from q_hll_portable_reach."""
+    ev = ev.filter(F.col("user_id").isNotNull())
+    x = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    h = ev.select(key, x.alias("x"))
+    b = F.bin(F.expr("x div 64"))
+    r = h.select(
+        key,
+        (F.col("x") % _HLL_M).alias("reg"),
+        (
+            F.lit(1)
+            + F.length(b)
+            - F.length(F.expr("trim(TRAILING '0' FROM bin(x div 64))"))
+        ).alias("rho"),
+    )
+    return r.groupBy(key, "reg").agg(F.max("rho").alias("m_rho"))
+
+
+def hll_estimate(regs: DataFrame, key: str = "event_type") -> DataFrame:
+    """(key, registers_used, hll_estimate) from a register table —
+    the same integer-scaled harmonic sum + small-range correction as
+    the SQL fragments (_HLL_RAW/_HLL_LC/_HLL_EST), token for token."""
+    sketch = regs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("registers_used"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - m_rho)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_SCALE).cast("long")
+        ).alias("s_scaled"),
+    )
+    raw = (
+        F.floor(
+            F.lit(_HLL_C) / F.col("s_scaled").cast("double") * 1_000_000
+            + F.lit(0.5)
+        )
+        / 1_000_000
+    )
+    zeros = F.lit(_HLL_M) - F.col("registers_used")
+    lnq = (
+        F.floor(F.log(F.lit(float(_HLL_M)) / zeros) * 1_000_000_000 + F.lit(0.5))
+        / 1_000_000_000
+    )
+    lc = F.floor(F.lit(_HLL_M) * lnq * 1_000_000 + F.lit(0.5)) / 1_000_000
+    est = F.when(
+        (zeros > 0) & (raw <= F.lit(2.5 * _HLL_M)), lc
+    ).otherwise(raw)
+    return sketch.select(
+        key, "registers_used", est.alias("hll_estimate")
+    )
+
+
 @register(
     "hll_portable_reach",
     oracle=f"""
@@ -184,55 +240,12 @@ def q_hll_portable_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
-    x = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
-    ).cast("long")
-    h = ev.select("event_type", x.alias("x"))
-    b = F.bin(F.expr("x div 64"))
-    r = h.select(
-        "event_type",
-        (F.col("x") % _HLL_M).alias("reg"),
-        (
-            F.lit(1)
-            + F.length(b)
-            - F.length(F.expr("trim(TRAILING '0' FROM bin(x div 64))"))
-        ).alias("rho"),
-    )
-    regs = r.groupBy("event_type", "reg").agg(F.max("rho").alias("m_rho"))
-    sketch = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("registers_used"),
-        (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - m_rho)"))
-            + (F.lit(_HLL_M) - F.count(F.lit(1)))
-            * F.lit(1 << _HLL_SCALE).cast("long")
-        ).alias("s_scaled"),
-    )
+    regs = hll_registers(ev)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
-    raw = (
-        F.floor(
-            F.lit(_HLL_C) / F.col("s_scaled").cast("double") * 1_000_000
-            + F.lit(0.5)
-        )
-        / 1_000_000
-    )
-    zeros = F.lit(_HLL_M) - F.col("registers_used")
-    # linear counting: m * ln(m/V), ln quantized at 1e-9 first (the
-    # repo-wide transcendental rule), then the product at 1e-6 —
-    # mirroring _HLL_LC token for token
-    lnq = (
-        F.floor(F.log(F.lit(float(_HLL_M)) / zeros) * 1_000_000_000 + F.lit(0.5))
-        / 1_000_000_000
-    )
-    lc = F.floor(F.lit(_HLL_M) * lnq * 1_000_000 + F.lit(0.5)) / 1_000_000
-    est = F.when(
-        (zeros > 0) & (raw <= F.lit(2.5 * _HLL_M)), lc
-    ).otherwise(raw)
     return (
-        sketch.select(
-            "event_type", "registers_used", est.alias("hll_estimate")
-        )
+        hll_estimate(regs)
         .join(exact, "event_type")
         .select(
             "event_type",

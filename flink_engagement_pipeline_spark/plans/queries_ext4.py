@@ -1038,3 +1038,36 @@ def q_cep_engaged_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_engaged"),
         F.min("latency").alias("min_latency_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified rerank (round 6)
+# --------------------------------------------------------------------------
+
+from ..llm import similarity as _sim  # noqa: E402
+
+
+@register(
+    "embedding_mmr_rerank",
+    oracle=_sim.mmr_rerank_oracle_sql(),
+    doc=(
+        "Maximal-marginal-relevance diversified rerank (Carbonell & "
+        "Goldstein 1998): exact cosine top-32 pool against vec_id=0, "
+        "then greedy top-10 maximizing 0.5*rel - 0.5*max-sim-to-"
+        "selected. The inherently sequential greedy loop is ONE "
+        "Catalyst expression (aggregate over sequence(1,k) carrying a "
+        "selected/remaining/emitted state struct) applied to a single "
+        "metadata-sized row — no driver loop, no collect, no UDF; the "
+        "distributed part is the scan + TakeOrderedAndProject pool "
+        "build, and at scale the same expression riding a per-query "
+        "pool column diversifies a million-query batch in parallel. "
+        "Exact DuckDB oracle: the same greedy fold as a single-row "
+        "recursive CTE (list_dot_product == the Spark sequential "
+        "fold, bit-for-bit). The diversity term is load-bearing on "
+        "the fixture: MMR order != relevance order (pinned in "
+        "tests/test_ext4.py)."
+    ),
+    tags=("llm", "similarity", "rerank", "mmr", "iterative"),
+)
+def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.mmr_rerank(load_table(spark, sf_dir, "embeddings"))

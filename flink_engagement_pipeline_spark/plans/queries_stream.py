@@ -592,3 +592,126 @@ def q_stream_retract_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.filter(F.col("n_live") > 0).select(
         "event_type", "n_live", F.col("total").alias("total_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming sketch maintenance (round 6)
+# ---------------------------------------------------------------------------
+
+from .queries_ext3 import _HLL_EST, _HLL_M, hll_estimate, hll_registers  # noqa: E402
+
+
+@register(
+    "stream_sketch_replay",
+    oracle=f"""
+WITH h AS (
+    SELECT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS x
+    FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+    SELECT event_type, x % {_HLL_M} AS reg,
+           1 + length(bin(x // {_HLL_M}))
+             - length(rtrim(bin(x // {_HLL_M}), '0')) AS rho
+    FROM h
+),
+regs AS (
+    SELECT event_type, reg, max(rho) AS m_rho
+    FROM r GROUP BY event_type, reg
+),
+sketch AS (
+    SELECT event_type,
+           count(*) AS registers_used,
+           CAST(sum(CAST(1 AS BIGINT) << (55 - m_rho)) AS BIGINT)
+             + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 55)
+             AS s_scaled
+    FROM regs GROUP BY event_type
+)
+SELECT event_type, registers_used, {_HLL_EST} AS hll_estimate
+FROM sketch
+""",
+    doc=(
+        "Incremental sketch maintenance under the driver oracle — the "
+        "streaming face of hll_portable_reach. The fixture replays as "
+        "two micro-batches carrying DISJOINT halves (even event_ids "
+        "in batch 0, odd in batch 1 — disjointness is what makes the "
+        "merge a real union of different registers rather than an "
+        "idempotence no-op); each batch builds its portable-HLL "
+        "register partials and MERGES with the previously committed "
+        "registers by groupBy(key, reg).max(m_rho) — the HLL merge "
+        "operator — committing to the exactly-once "
+        "IdempotentParquetSink per batch id. The final committed "
+        "registers yield estimates that hash-match the whole-corpus "
+        "batch oracle: stream == batch for sketch maintenance, the "
+        "property that lets a 100 TB pipeline keep one "
+        "64-register-per-group state table instead of re-scanning "
+        "raw ids every day. Merge algebra is unit-pinned in "
+        "tests/test_ext4.py: max-merge of disjoint halves == whole on "
+        "the fixture, and on two crafted users colliding into one "
+        "register with different rho the merge provably raises the "
+        "committed register (the cross-batch state is load-bearing)."
+    ),
+    tags=("streaming", "sketch", "hll", "exactly-once", "consistency"),
+)
+def q_stream_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..streaming.pipeline import read_events_stream
+
+    tmp = tempfile.mkdtemp(prefix="stream_sketch_")
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    # same fixture file twice + maxFilesPerTrigger=1 -> two micro-batches
+    os.symlink(src, os.path.join(events_dir, "a.parquet"))
+    os.symlink(src, os.path.join(events_dir, "b.parquet"))
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+
+    def _committed(below: int | None = None) -> list[tuple[int, str]]:
+        out = []
+        for m in glob.glob(os.path.join(sink.out_dir, "*", "_COMMITTED")):
+            d = os.path.dirname(m)
+            bid = int(os.path.basename(d).split("=")[1])
+            if below is None or bid < below:
+                out.append((bid, d))
+        return sorted(out)
+
+    def apply(df, bid):
+        # batch i keeps event_id % 2 == i: the replayed copies carve
+        # the corpus into disjoint halves whose register union must
+        # reconstruct the whole-corpus sketch
+        half = df.filter((F.col("event_id") % 2) == F.lit(bid % 2))
+        partial = hll_registers(half)
+        prev_dirs = _committed(below=bid)
+        if prev_dirs:
+            prev = (
+                spark.read.option("pathGlobFilter", "*.parquet")
+                .parquet(prev_dirs[-1][1])
+                .select("event_type", "reg", "m_rho")
+            )
+            merged = (
+                prev.unionByName(partial)
+                .groupBy("event_type", "reg")
+                .agg(F.max("m_rho").alias("m_rho"))
+            )
+        else:
+            merged = partial
+        sink.write_batch(merged, bid)
+
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "8")
+    try:
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(part_key, saved)
+    last_dir = _committed()[-1][1]
+    regs = spark.read.option("pathGlobFilter", "*.parquet").parquet(last_dir)
+    return hll_estimate(regs.select("event_type", "reg", "m_rho"))

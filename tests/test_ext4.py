@@ -252,3 +252,138 @@ def test_hdr_sketch_counters_merge_by_addition(spark, sf_dir):
         for key, cnt in part.items():
             merged[key] = merged.get(key, 0) + cnt
     assert merged == full and len(full) > 10
+
+
+def test_mmr_rerank_matches_numpy_greedy_and_diversifies(spark, sf_dir):
+    """Independent oracle for embedding_mmr_rerank: rerun the greedy
+    MMR selection in pure numpy/Python from the raw parquet and demand
+    the identical (rank, vec_id) sequence, then pin that the diversity
+    term is load-bearing — the MMR order must differ from the pure
+    relevance order on the fixture (if they coincided, the query would
+    prove nothing beyond cosine_topk)."""
+    import numpy as np
+
+    from flink_engagement_pipeline_spark.llm import similarity as sim
+
+    rows = REGISTRY["embedding_mmr_rerank"].spark(spark, sf_dir).collect()
+    assert [r["mmr_rank"] for r in rows] == list(range(1, sim.MMR_K + 1))
+
+    def dot(a, b):
+        # sequential fold, matching the Spark/DuckDB accumulation order
+        # exactly (np.dot's BLAS pairwise reordering can differ in the
+        # last bits, which an exactness oracle must not tolerate)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in pdf.itertuples()
+    }
+    norm = {
+        i: [x / np.sqrt(dot(v, v)) for x in v] for i, v in vecs.items()
+    }
+    q = norm[0]
+    nv = {i: v for i, v in norm.items() if i != 0}
+    rel = {i: dot(v, q) for i, v in nv.items()}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[: sim.MMR_POOL]
+    selected: list[int] = []
+    lam = sim.MMR_LAMBDA
+    for _ in range(sim.MMR_K):
+        remaining = [i for i in pool if i not in selected]
+        scores = {
+            i: lam * rel[i]
+            - (1 - lam)
+            * (max(dot(nv[i], nv[s]) for s in selected)
+               if selected else 0.0)
+            for i in remaining
+        }
+        selected.append(min(remaining, key=lambda i: (-scores[i], i)))
+    assert [r["vec_id"] for r in rows] == selected
+
+    rel_order = pool[: sim.MMR_K]
+    assert selected != rel_order, (
+        "diversity term did not change the ranking on this fixture"
+    )
+
+    # the selection stage must stay metadata-sized: the distributed
+    # part ends at the pool top-k (TakeOrderedAndProject), never a
+    # global sort or a driver collect of the corpus
+    plan = (
+        REGISTRY["embedding_mmr_rerank"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hll_register_merge_algebra(spark, sf_dir):
+    """The property stream_sketch_replay rides: max-merging the
+    register tables of two DISJOINT corpus halves reconstructs the
+    whole-corpus register table exactly. Then, on two crafted users
+    that collide into the SAME register with DIFFERENT rho (found by
+    mirroring the md5 register math in Python — deterministic, not a
+    fixture accident), prove the merge operator itself is
+    load-bearing: merging the higher-rho user's batch genuinely
+    raises the committed register, so cross-batch state matters."""
+    import hashlib
+
+    from flink_engagement_pipeline_spark.plans.queries_ext3 import (
+        hll_registers,
+    )
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    even = hll_registers(ev.filter(F.col("event_id") % 2 == 0))
+    odd = hll_registers(ev.filter(F.col("event_id") % 2 == 1))
+    whole = hll_registers(ev)
+
+    def key(rows):
+        return sorted((r["event_type"], r["reg"], r["m_rho"]) for r in rows)
+
+    merged = (
+        even.unionByName(odd)
+        .groupBy("event_type", "reg")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    assert key(merged.collect()) == key(whole.collect())
+
+    # find a register collision with different rho by mirroring the
+    # portable-HLL hash in Python
+    def reg_rho(uid: int) -> tuple[int, int]:
+        x = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        y = x // 64
+        rho = 1
+        while y % 2 == 0 and y > 0:
+            rho += 1
+            y //= 2
+        return x % 64, rho
+
+    by_reg: dict[int, tuple[int, int]] = {}
+    pair = None
+    for uid in range(10_000):
+        r, rho = reg_rho(uid)
+        if r in by_reg and by_reg[r][1] != rho:
+            pair = (by_reg[r][0], uid) if by_reg[r][1] < rho else (
+                uid, by_reg[r][0]
+            )
+            break
+        by_reg.setdefault(r, (uid, rho))
+    assert pair is not None
+    lo_uid, hi_uid = pair
+
+    def one_user(uid):
+        return spark.range(1).select(
+            F.lit("t").alias("event_type"), F.lit(uid).alias("user_id")
+        )
+
+    lo = key(hll_registers(one_user(lo_uid)).collect())
+    both = key(
+        hll_registers(one_user(lo_uid).union(one_user(hi_uid))).collect()
+    )
+    hi = key(hll_registers(one_user(hi_uid)).collect())
+    assert lo != both and both == hi  # same register, max wins

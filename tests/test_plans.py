@@ -445,6 +445,8 @@ def test_gate_priority_window_covers_graded_surface():
         "cep_session_conversion",
         "stream_cep_replay",
         "cep_engaged_conversion",
+        "embedding_mmr_rerank",
+        "stream_sketch_replay",
     ]
     r2_backfill = [
         # last driver row: CORRECTNESS_r02.json (green; unchanged since,
@@ -464,10 +466,10 @@ def test_gate_priority_window_covers_graded_surface():
     ]
     r3_backfill = [
         # oldest round-3-checked queries, registry order (docs_lang_id,
-        # docs_quality, docs_token_stats displaced by the 4th-6th
-        # round-6 additions)
+        # docs_quality, docs_token_stats, cdc_materialize,
+        # events_dim_asof displaced by the 4th-8th round-6 additions)
         "tumbling_stats", "leaderboard_topk", "session_windows",
-        "events_asof_orders", "events_dim_asof", "cdc_materialize",
+        "events_asof_orders",
     ]
     expected = sentinels + new_in_r6 + r2_backfill + r3_backfill
     assert window == expected, (
@@ -1308,6 +1310,7 @@ def test_plan_build_latency_bounded(spark, sf_dir):
         "embedding_near_dup",    # 128 hyperplane projections
         "docs_jaccard_pairs",    # shingle explode + windowed sizes
         "cep_conversion_within", # chained carry-forward windows
+        "embedding_mmr_rerank",  # k-step greedy fold, nested HOFs
     ]
     # JVM/py4j warm-up so the first measured build isn't charged for
     # session setup
