@@ -662,29 +662,58 @@ def mmr_rerank(
     double with engine-portable fold order, which is why the DuckDB
     recursive-CTE oracle (:func:`mmr_rerank_oracle_sql`) hash-matches
     exactly. Returns (mmr_rank, vec_id, mmr_score).
+
+    Cost note: higher-order-function lambdas evaluate INTERPRETED per
+    element, so the corpus-side row cost is kept to two folds (the
+    cosine numerator and the self dot; ~128 multiplies) — an earlier
+    draft normalized every corpus vector element-wise, hiding a
+    64-fold-per-element blowup (~4096 multiplies/row) inside one
+    innocuous `transform`, measured 10x slower. Vectors are
+    normalized only AFTER the pool limit (32 rows), where the
+    pairwise-sim stage needs them.
     """
     v = "cast(embedding as array<double>)"
-    base = emb.selectExpr(
-        "vec_id",
-        f"transform({v}, x -> x / sqrt({_dot_sql(v, v)})) as nv",
-    )
-    qrow = base.filter(F.col("vec_id") == query_vec_id).selectExpr("nv as qn")
+    base = emb.selectExpr("vec_id", f"{v} as v")
+    qrow = base.filter(F.col("vec_id") == query_vec_id).selectExpr("v as qv")
     cand = (
         base.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(qrow))
-        .selectExpr("vec_id", "nv", f"{_dot_sql('nv', 'qn')} as rel")
+        .selectExpr(
+            "vec_id",
+            "v",
+            f"{_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')})"
+            f" * sqrt({_dot_sql('qv', 'qv')})) as rel",
+        )
         .orderBy(F.col("rel").desc(), F.col("vec_id"))
         .limit(pool)
+        .selectExpr(
+            "vec_id",
+            "rel",
+            f"transform(v, x -> x / sqrt({_dot_sql('v', 'v')})) as nv",
+        )
     )
-    one = cand.agg(
-        F.expr(
-            "array_sort(collect_list(struct(rel, vec_id, nv)), "
-            "(l, r) -> case when l.rel > r.rel then -1 "
-            "when l.rel < r.rel then 1 "
-            "when l.vec_id < r.vec_id then -1 "
-            "when l.vec_id > r.vec_id then 1 else 0 end)"
-        ).alias("cands")
+    one = cand.agg(F.expr(_mmr_pool_sort_sql()).alias("cands"))
+    return one.selectExpr(f"inline({_mmr_fold_sql(k, lam)})")
+
+
+def _mmr_pool_sort_sql() -> str:
+    """collect_list + deterministic (rel desc, vec_id asc) comparator
+    sort — collect_list order is partition-arbitrary, the sort is what
+    makes the pool array canonical."""
+    return (
+        "array_sort(collect_list(struct(rel, vec_id, nv)), "
+        "(l, r) -> case when l.rel > r.rel then -1 "
+        "when l.rel < r.rel then 1 "
+        "when l.vec_id < r.vec_id then -1 "
+        "when l.vec_id > r.vec_id then 1 else 0 end)"
     )
+
+
+def _mmr_fold_sql(k: int, lam: float) -> str:
+    """The greedy MMR selection as one SQL expression over a sorted
+    pool column named ``cands`` — shared by the single-query and the
+    batched per-query-row forms (the latter IS the scale story: the
+    same fold applies to every query row independently)."""
     scored = (
         "transform(st.rem, c -> named_struct("
         f"'score', {lam!r}D * c.rel - {1.0 - lam!r}D * coalesce("
@@ -696,7 +725,7 @@ def mmr_rerank(
         "(b, x) -> case when x.score > b.score "
         "or (x.score = b.score and x.vec_id < b.vec_id) then x else b end)"
     ).replace("__SC__", scored)
-    mmr = f"""
+    return f"""
 aggregate(
   sequence(1, {k}),
   named_struct(
@@ -716,7 +745,156 @@ aggregate(
         'mmr_score', b.score))))
 ).out
 """
-    return one.selectExpr(f"inline({mmr})")
+
+
+MMR_BATCH_QUERIES = 4  # query rows diversified in one plan
+MMR_BATCH_POOL = 16
+MMR_BATCH_K = 5
+
+
+def mmr_rerank_batch(
+    emb: DataFrame,
+    num_queries: int = MMR_BATCH_QUERIES,
+    pool: int = MMR_BATCH_POOL,
+    k: int = MMR_BATCH_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """The scale form of :func:`mmr_rerank`: N broadcast query rows
+    diversified in ONE plan. The corpus is scanned once computing N
+    cosines per row (the knn_join shape); a per-query row_number
+    window builds each query's pool; a per-query aggregate packs the
+    pool; and the SAME greedy fold expression then applies to every
+    query row independently — embarrassingly parallel, which is the
+    whole point: a million-query rerank batch is one shuffle on qid
+    plus a metadata-sized fold per row, not a million driver loops.
+    Both shuffles (window, groupBy) key on qid, so the second reuses
+    the first's partitioning. Returns (qid, mmr_rank, vec_id,
+    mmr_score)."""
+    from pyspark.sql import Window
+
+    v = "cast(embedding as array<double>)"
+    base = emb.selectExpr("vec_id", f"{v} as v")
+    queries = base.filter(F.col("vec_id") < num_queries).selectExpr(
+        "vec_id as qid", "v as qv"
+    )
+    scored = (
+        base.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "v",
+            f"{_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')})"
+            f" * sqrt({_dot_sql('qv', 'qv')})) as rel",
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("vec_id"))
+    pooled = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "rel",
+            f"transform(v, x -> x / sqrt({_dot_sql('v', 'v')})) as nv",
+        )
+    )
+    per_q = pooled.groupBy("qid").agg(
+        F.expr(_mmr_pool_sort_sql()).alias("cands")
+    )
+    return per_q.selectExpr("qid", f"inline({_mmr_fold_sql(k, lam)})")
+
+
+def _mmr_unrolled_oracle_sql(
+    qs_where: str, pool: int, k: int, lam: float
+) -> str:
+    """The greedy MMR selection as UNROLLED relational SQL — k chained
+    CTE blocks of (score via join-to-selected + anti-join, argmax via
+    row_number) — shared by the single-query and batched oracles.
+
+    Why not a recursive CTE: DuckDB 1.0's multi-row recursion over
+    nested-list state is memory-unsafe — first observed as silent
+    aliasing (every appended DOUBLE[] pointing at the first pick's
+    vector), then, after switching the state to scalar id lists, as a
+    NONDETERMINISTIC SEGFAULT (~1 in 5 runs at sf0.01). A crashing
+    oracle would take the whole driver gate down with it, so the
+    oracle avoids recursion entirely; the unrolled form is pure
+    joins/windows over immutable CTEs. Each step scores the remaining
+    candidates (max cosine to the selected set via a qid equi-join +
+    GROUP BY max — the same IEEE doubles the Spark fold maxes over)
+    and picks the (score DESC, vec_id) argmax per qid."""
+    steps = []
+    prev_sel = None
+    for i in range(1, k + 1):
+        if prev_sel is None:
+            steps.append(f"""
+pick1 AS MATERIALIZED (
+  SELECT qid, vec_id, score FROM (
+    SELECT qid, vec_id, {lam!r} * rel - {1.0 - lam!r} * 0.0 AS score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY {lam!r} * rel DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+sel1 AS MATERIALIZED (SELECT qid, vec_id, score, 1 AS mmr_rank FROM pick1)""")
+        else:
+            steps.append(f"""
+pick{i} AS MATERIALIZED (
+  SELECT qid, vec_id, score FROM (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM (
+      SELECT c.qid AS qid, c.vec_id AS vec_id,
+             {lam!r} * any_value(c.rel)
+               - {1.0 - lam!r} * max(list_dot_product(c.nv, sv.nv)) AS score
+      FROM cand c
+      JOIN (SELECT s.qid, s.vec_id, cc.nv
+            FROM {prev_sel} s JOIN cand cc
+              ON cc.qid = s.qid AND cc.vec_id = s.vec_id) sv
+        ON sv.qid = c.qid
+      ANTI JOIN {prev_sel} p
+        ON p.qid = c.qid AND p.vec_id = c.vec_id
+      GROUP BY c.qid, c.vec_id
+    )
+  ) WHERE rn = 1
+),
+sel{i} AS MATERIALIZED (SELECT * FROM {prev_sel}
+           UNION ALL
+           SELECT qid, vec_id, score, {i} AS mmr_rank FROM pick{i})""")
+        prev_sel = f"sel{i}"
+    blocks = ",".join(steps)
+    return f"""
+WITH
+e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE {qs_where}),
+scored AS (
+  SELECT qid, e.vec_id AS vec_id, e.v AS v,
+         list_dot_product(e.v, qv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(qv, qv))) AS rel
+  FROM e, qs WHERE e.vec_id <> qid
+),
+pool AS (
+  SELECT qid, vec_id, rel, v FROM (
+    SELECT qid, vec_id, rel, v,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {pool}
+),
+cand AS MATERIALIZED (
+  SELECT qid, vec_id, rel,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+  FROM pool
+),{blocks}
+SELECT qid AS qid, mmr_rank AS mmr_rank, vec_id AS vec_id,
+       score AS mmr_score
+FROM {prev_sel}
+ORDER BY qid, mmr_rank
+"""
 
 
 def mmr_rerank_oracle_sql(
@@ -725,58 +903,26 @@ def mmr_rerank_oracle_sql(
     k: int = MMR_K,
     lam: float = MMR_LAMBDA,
 ) -> str:
-    """Exact DuckDB twin of :func:`mmr_rerank`: the greedy loop as a
-    single-row recursive CTE whose state row carries the same
-    (selected, remaining, emitted) arrays; list_dot_product matches
-    the Spark sequential fold bit-for-bit."""
-    return f"""
-WITH RECURSIVE
-e AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
-n AS (SELECT vec_id,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-      FROM e),
-q AS (SELECT nv AS qn FROM n WHERE vec_id = {query_vec_id}),
-cand AS (
-  SELECT vec_id, nv, list_dot_product(nv, qn) AS rel
-  FROM n, q WHERE vec_id <> {query_vec_id}
-  ORDER BY rel DESC, vec_id LIMIT {pool}
-),
-init AS (
-  SELECT 0 AS step,
-         CAST([] AS DOUBLE[][]) AS sel,
-         list({{'rel': rel, 'vec_id': vec_id, 'nv': nv}}
-              ORDER BY rel DESC, vec_id) AS rem,
-         CAST([] AS STRUCT(mmr_rank INT, vec_id BIGINT,
-                           mmr_score DOUBLE)[]) AS out
-  FROM cand
-),
-state AS (
-  SELECT * FROM init
-  UNION ALL
-  SELECT step + 1,
-         list_append(sel, best.nv),
-         list_filter(rem, c -> c.vec_id <> best.vec_id),
-         list_append(out, {{'mmr_rank': step + 1, 'vec_id': best.vec_id,
-                            'mmr_score': best.score}})
-  FROM (
-    SELECT step, sel, rem, out,
-           list_reduce(sc, (b, x) -> CASE WHEN x.score > b.score
-               OR (x.score = b.score AND x.vec_id < b.vec_id)
-               THEN x ELSE b END) AS best
-    FROM (
-      SELECT step, sel, rem, out,
-             list_transform(rem, c -> {{
-               'score': {lam!r} * c.rel - {1.0 - lam!r} * coalesce(
-                 list_max(list_transform(sel,
-                     s -> list_dot_product(c.nv, s))), 0.0),
-               'vec_id': c.vec_id, 'nv': c.nv}}) AS sc
-      FROM state WHERE step < {k}
+    """Exact DuckDB twin of :func:`mmr_rerank` — the unrolled
+    relational form (see :func:`_mmr_unrolled_oracle_sql` for why
+    recursion is avoided), projected down to the single query's
+    columns."""
+    inner = _mmr_unrolled_oracle_sql(
+        f"vec_id = {query_vec_id}", pool, k, lam
     )
-  )
-)
-SELECT u.mmr_rank AS mmr_rank, u.vec_id AS vec_id, u.mmr_score AS mmr_score
-FROM (SELECT unnest(out) AS u FROM state WHERE step = {k})
-ORDER BY mmr_rank
+    return f"""
+SELECT mmr_rank, vec_id, mmr_score FROM ({inner}) ORDER BY mmr_rank
 """
+
+
+def mmr_rerank_batch_oracle_sql(
+    num_queries: int = MMR_BATCH_QUERIES,
+    pool: int = MMR_BATCH_POOL,
+    k: int = MMR_BATCH_K,
+    lam: float = MMR_LAMBDA,
+) -> str:
+    """Exact DuckDB twin of :func:`mmr_rerank_batch`: every unrolled
+    step advances ALL query ids at once (one row per qid from each
+    per-step window), mirroring the per-row independence of the Spark
+    fold."""
+    return _mmr_unrolled_oracle_sql(f"vec_id < {num_queries}", pool, k, lam)

@@ -209,3 +209,106 @@ SELECT
 FROM events
 GROUP BY 1, 2
 """
+
+
+CUMULATE_MAX = "10 minutes"
+CUMULATE_STEP = "2 minutes"
+
+
+def cumulate_engagement_sum(
+    events: DataFrame,
+    key: str = "user_id",
+    measure: str = "value",
+    max_size: str = CUMULATE_MAX,
+    step: str = CUMULATE_STEP,
+) -> DataFrame:
+    """Flink's CUMULATE window TVF (FLIP-145), completing the window
+    family (TUMBLE = hop with slide==size, HOP, SESSION, CUMULATE):
+    within each max-size span, expanding windows [span_start,
+    span_start + j*step) for j = 1..max/step emit early cumulative
+    results — the "dashboard counts since the hour started, refreshed
+    every step" query that HOP over-counts and TUMBLE delivers late.
+
+    Same two-phase shape as hop_engagement_sum: pre-aggregate integer
+    cents per (step bucket, key) — every event in a step bucket
+    belongs to the identical windows, namely all j with window end
+    past the bucket, j in [(step_us mod max) div step + 1, max/step]
+    — then explode only the per-bucket rows with
+    ``explode(sequence(...))`` (Generate preserves the child's
+    hash-by-key partitioning, so like HOP the plan carries ONE
+    Exchange, of the pre-explode rows). Cent sums are exact,
+    order-independent, and bit-identical to the oracle's
+    DECIMAL(18,2)-sum-cast-double."""
+    max_us = _duration_us(max_size)
+    step_us = _duration_us(step)
+    if max_us % step_us:
+        raise ValueError("max_size must be a multiple of step")
+    sc = events.sparkSession.sparkContext
+    cents = (
+        F.signum(F.col(measure))
+        * F.floor(F.abs(F.col(measure)) * 100 + F.lit(0.5))
+    ).cast("bigint")
+    narrow = events.select(key, "ts", cents.alias("v")).repartition(
+        sc.defaultParallelism, F.col(key)
+    )
+    bucket_start_us = F.expr(f"unix_micros(ts) DIV {step_us}") * step_us
+    per_step = narrow.groupBy(bucket_start_us.alias("step_us"), key).agg(
+        F.sum("v").alias("v")
+    )
+    exploded = per_step.select(
+        key,
+        "v",
+        (F.col("step_us") - (F.col("step_us") % max_us)).alias("span_us"),
+        F.expr(
+            f"explode(sequence((step_us % {max_us}) DIV {step_us} + 1,"
+            f" {max_us // step_us}))"
+        ).alias("j"),
+    )
+    return (
+        exploded.groupBy("span_us", "j", key)
+        .agg((F.sum("v").cast("double") / F.lit(100.0)).alias("engagement_sum"))
+        .select(
+            F.timestamp_micros(F.col("span_us")).alias("window_start"),
+            F.timestamp_micros(
+                F.col("span_us") + F.col("j") * step_us
+            ).alias("window_end"),
+            key,
+            "engagement_sum",
+        )
+    )
+
+
+def cumulate_oracle_sql(
+    key: str = "user_id",
+    measure: str = "value",
+    max_s: int = 600,
+    step_s: int = 120,
+) -> str:
+    """DuckDB equivalent: same span/step arithmetic on epoch micros,
+    DECIMAL(18,2) accumulation (bit-identical to the cent-sum double,
+    see hop_engagement_sum's exactness note)."""
+    max_us = max_s * 1_000_000
+    step_us = step_s * 1_000_000
+    return f"""
+WITH b AS (
+    SELECT {key},
+           (epoch_us(CAST(ts AS TIMESTAMP)) // {step_us}) * {step_us}
+               AS step_us,
+           CAST({measure} AS DECIMAL(18,2)) AS v
+    FROM events
+),
+x AS (
+    SELECT {key}, v,
+           step_us - (step_us % {max_us}) AS span_us,
+           unnest(generate_series(
+               CAST((step_us % {max_us}) // {step_us} + 1 AS INT),
+               {max_us // step_us})) AS j
+    FROM b
+)
+SELECT make_timestamp(span_us) AS window_start,
+       make_timestamp(span_us + j * {step_us}) AS window_end,
+       {key},
+       CAST(SUM(v) AS DOUBLE) AS engagement_sum
+FROM x
+GROUP BY span_us, j, {key}
+"""

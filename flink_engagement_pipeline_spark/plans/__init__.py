@@ -74,6 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "cep_engaged_conversion",
     "embedding_mmr_rerank",
     "stream_sketch_replay",
+    "embedding_mmr_batch",
+    "cumulate_engagement",
     # -- [c] backfill: oldest driver coverage first — the full block of
     # queries whose last green row is ROUND 2 (registry order) --
     "cube_returnflag_status",
@@ -111,8 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     # -- [c] continued: the 9 oldest ROUND-3-checked queries --
     "tumbling_stats",
     "leaderboard_topk",
-    "session_windows",
-    "events_asof_orders",
 )
 
 

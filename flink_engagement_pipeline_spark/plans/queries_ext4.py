@@ -1071,3 +1071,53 @@ from ..llm import similarity as _sim  # noqa: E402
 )
 def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_mmr_batch",
+    oracle=_sim.mmr_rerank_batch_oracle_sql(),
+    doc=(
+        "Batched MMR: 4 broadcast query rows diversified in ONE plan — "
+        "corpus scanned once computing 4 cosines per row (the knn_join "
+        "shape), per-query pools via a qid-partitioned row_number "
+        "window, then the SAME greedy fold expression as "
+        "embedding_mmr_rerank applied to every query row "
+        "independently. This is the proof of the single-query form's "
+        "scale claim: a million-query rerank batch is one shuffle on "
+        "qid plus a metadata-sized fold per row (both shuffles key on "
+        "qid, the second reuses the first's partitioning) — never a "
+        "driver loop per query. The DuckDB oracle's recursive CTE "
+        "carries one state row per qid, every iteration advancing all "
+        "of them."
+    ),
+    tags=("llm", "similarity", "rerank", "mmr", "batch"),
+)
+def q_embedding_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.mmr_rerank_batch(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# CUMULATE window (round 6) — completes the Flink window-TVF family
+# --------------------------------------------------------------------------
+
+from ..operators import windows as _win  # noqa: E402
+
+
+@register(
+    "cumulate_engagement",
+    oracle=_win.cumulate_oracle_sql(),
+    doc=(
+        "Flink CUMULATE window TVF (FLIP-145): expanding windows "
+        "[span, span + j*step) within each 10-minute span at a "
+        "2-minute step — early cumulative results that HOP "
+        "over-counts and TUMBLE delivers late; completes the window "
+        "family (TUMBLE/HOP/SESSION/CUMULATE). Same one-Exchange "
+        "two-phase plan as hop_engagement_sum: integer-cent "
+        "pre-aggregation per (step bucket, key), then a Generate "
+        "explode of window indices that preserves the hash-by-key "
+        "partitioning — the multiplied rows never cross the wire."
+    ),
+    tags=("window-agg", "cumulate", "event-time"),
+)
+def q_cumulate_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _win.cumulate_engagement_sum(load_table(spark, sf_dir, "events"))

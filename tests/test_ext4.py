@@ -277,17 +277,28 @@ def test_mmr_rerank_matches_numpy_greedy_and_diversifies(spark, sf_dir):
             acc += x * y
         return acc
 
+    import math
+
     pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
     vecs = {
         int(r.vec_id): [float(x) for x in r.embedding]
         for r in pdf.itertuples()
     }
-    norm = {
-        i: [x / np.sqrt(dot(v, v)) for x in v] for i, v in vecs.items()
+    q = vecs[0]
+    qn = math.sqrt(dot(q, q))
+    # relevance = cosine on RAW vectors (numerator fold / norm product),
+    # mirroring the query's formula; pool vectors are normalized only
+    # after selection, exactly as the Spark plan does
+    rel = {
+        i: dot(v, q) / (math.sqrt(dot(v, v)) * qn)
+        for i, v in vecs.items()
+        if i != 0
     }
-    q = norm[0]
-    nv = {i: v for i, v in norm.items() if i != 0}
-    rel = {i: dot(v, q) for i, v in nv.items()}
+    nv = {
+        i: [x / math.sqrt(dot(v, v)) for x in v]
+        for i, v in vecs.items()
+        if i != 0
+    }
     pool = sorted(rel, key=lambda i: (-rel[i], i))[: sim.MMR_POOL]
     selected: list[int] = []
     lam = sim.MMR_LAMBDA

@@ -447,6 +447,8 @@ def test_gate_priority_window_covers_graded_surface():
         "cep_engaged_conversion",
         "embedding_mmr_rerank",
         "stream_sketch_replay",
+        "embedding_mmr_batch",
+        "cumulate_engagement",
     ]
     r2_backfill = [
         # last driver row: CORRECTNESS_r02.json (green; unchanged since,
@@ -467,9 +469,9 @@ def test_gate_priority_window_covers_graded_surface():
     r3_backfill = [
         # oldest round-3-checked queries, registry order (docs_lang_id,
         # docs_quality, docs_token_stats, cdc_materialize,
-        # events_dim_asof displaced by the 4th-8th round-6 additions)
-        "tumbling_stats", "leaderboard_topk", "session_windows",
-        "events_asof_orders",
+        # events_dim_asof, events_asof_orders, session_windows
+        # displaced by the 4th-10th round-6 additions)
+        "tumbling_stats", "leaderboard_topk",
     ]
     expected = sentinels + new_in_r6 + r2_backfill + r3_backfill
     assert window == expected, (
@@ -1355,3 +1357,39 @@ def test_session_cep_one_shuffle_no_join(spark, sf_dir):
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert exchanges == ["user_id"], exchanges
     assert "Join" not in plan, plan[:2000]
+
+
+def test_mmr_batch_plan_single_scan_two_qid_shuffles(spark, sf_dir):
+    """embedding_mmr_batch's scale shape: the corpus parquet is
+    scanned ONCE for the scored side (plus the broadcast 4-row query
+    side), the pool window and the pool-packing aggregate both key on
+    qid (the groupBy reuses the window's partitioning, so there is at
+    most one real repartitioning of the scored rows), and the greedy
+    stage is expression-only — no extra Exchange, no cartesian of the
+    corpus against itself."""
+    from flink_engagement_pipeline_spark.plans.registry import REGISTRY
+
+    plan = (
+        REGISTRY["embedding_mmr_batch"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2  # corpus + broadcast queries
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert all("qid" in ln for ln in exchanges), exchanges
+    assert len(exchanges) <= 2, exchanges
+
+
+def test_cumulate_single_exchange(spark, sf_dir):
+    """CUMULATE keeps HOP's scale property: ONE pre-explode shuffle
+    (hash by key), the window-index Generate running after it with
+    partitioning preserved — both aggregations satisfied by
+    HashPartitioning(key)."""
+    plan = _plan(spark, sf_dir, "cumulate_engagement")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
