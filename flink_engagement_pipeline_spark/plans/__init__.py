@@ -45,10 +45,10 @@ from . import queries_ext4  # noqa: F401,E402
 #       (CORRECTNESS_r05.json: 47 hash + 3 rows-only, 0 err — closed
 #       cumulative driver coverage at 170/170);
 #   round 6 (this list): with cumulative coverage closed, the window is
-#       mostly [c]: sentinels + the round-6 additions (CEP patterns +
-#       streaming CEP, SimHash/near-dup ingest, MMR rerank) + ALL 32
-#       queries whose last green driver row is round 2 + the oldest
-#       round-3-checked queries in registry order — the
+#       sentinels + the 12 round-6 additions (CEP family + streaming
+#       CEP, SimHash/near-dup ingest, MMR single+batch, streaming HLL
+#       sketch, CUMULATE window, window Top-N, window dedup) + ALL 32
+#       queries whose last green driver row is round 2 — the
 #       staleness-driven re-proof pass the policy
 #       prescribes once first-proof demand is low.
 #
@@ -76,6 +76,9 @@ _PRIORITY: tuple[str, ...] = (
     "stream_sketch_replay",
     "embedding_mmr_batch",
     "cumulate_engagement",
+    "window_topn",
+    "window_dedup",
+    "window_join",
     # -- [c] backfill: oldest driver coverage first — the full block of
     # queries whose last green row is ROUND 2 (registry order) --
     "cube_returnflag_status",
@@ -109,10 +112,6 @@ _PRIORITY: tuple[str, ...] = (
     "value_moments_by_type",
     "user_trailing_7d_value",
     "user_event_type_sets",
-    "lateral_top_users",
-    # -- [c] continued: the 9 oldest ROUND-3-checked queries --
-    "tumbling_stats",
-    "leaderboard_topk",
 )
 
 

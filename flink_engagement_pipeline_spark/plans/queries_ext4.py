@@ -1121,3 +1121,193 @@ from ..operators import windows as _win  # noqa: E402
 )
 def q_cumulate_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _win.cumulate_engagement_sum(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Window Top-N and Window Deduplication (round 6) — the remaining two
+# patterns of Flink's window-TVF pattern family (Window Aggregation /
+# Window Top-N / Window Join / Window Deduplication)
+# --------------------------------------------------------------------------
+
+_WTN_SIZE_US = 600_000_000  # 10-minute tumbling windows
+
+
+@register(
+    "window_topn",
+    oracle=f"""
+SELECT make_timestamp(win_us) AS window_start, user_id,
+       CAST(total_dec AS DOUBLE) AS total_value, rn
+FROM (
+    SELECT win_us, user_id, total_dec,
+           row_number() OVER (
+               PARTITION BY win_us
+               ORDER BY total_dec DESC, user_id ASC
+           ) AS rn
+    FROM (
+        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_WTN_SIZE_US})
+                   * {_WTN_SIZE_US} AS win_us,
+               user_id,
+               SUM(CAST(value AS DECIMAL(18,2))) AS total_dec
+        FROM events
+        GROUP BY 1, 2
+    )
+)
+WHERE rn <= 3
+""",
+    doc=(
+        "Flink Window Top-N (the 'hot items per window' pattern): "
+        "top-3 users by exact-decimal engagement sum per 10-minute "
+        "tumbling window. One shuffle on (window, user) for the "
+        "aggregate, then rank state bounded per window — at 100 TB "
+        "the rank never sees more than one window's keys at a time, "
+        "which is what makes window-scoped Top-N cheaper than the "
+        "global leaderboard it complements (leaderboard_topk / "
+        "top_users_per_type)."
+    ),
+    tags=("topk", "window-agg", "tumbling", "window-function"),
+)
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dec
+
+    events = load_table(spark, sf_dir, "events")
+    win = (
+        F.expr(f"unix_micros(ts) DIV {_WTN_SIZE_US}") * _WTN_SIZE_US
+    ).alias("win_us")
+    totals = events.groupBy(win, "user_id").agg(
+        F.sum(dec("value")).alias("__tot")
+    )
+    w = Window.partitionBy("win_us").orderBy(
+        F.col("__tot").desc(), F.col("user_id").asc()
+    )
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.timestamp_micros(F.col("win_us")).alias("window_start"),
+            "user_id",
+            F.col("__tot").cast("double").alias("total_value"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_dedup",
+    oracle=f"""
+SELECT window_start, user_id, event_id, ts, value
+FROM (
+    SELECT make_timestamp(
+               (epoch_us(CAST(ts AS TIMESTAMP)) // {_WTN_SIZE_US})
+                   * {_WTN_SIZE_US}) AS window_start,
+           user_id, event_id, ts, value,
+           row_number() OVER (
+               PARTITION BY (epoch_us(CAST(ts AS TIMESTAMP)) // {_WTN_SIZE_US}),
+                            user_id
+               ORDER BY ts ASC, event_id ASC
+           ) AS rn
+    FROM events
+    WHERE user_id IS NOT NULL
+)
+WHERE rn = 1
+""",
+    doc=(
+        "Flink Window Deduplication: the FIRST event per (user, "
+        "10-minute tumbling window) by event time (event_id "
+        "tiebreak) — the windowed form of latest_per_key, keeping "
+        "one row per key per window instead of one per key. State is "
+        "one row per (window, key) and expires with the window — the "
+        "bounded-state property that makes streaming dedup viable "
+        "forever, vs the unbounded key space of global dedup."
+    ),
+    tags=("dedup", "window-agg", "tumbling", "window-function"),
+)
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    win = (
+        F.expr(f"unix_micros(ts) DIV {_WTN_SIZE_US}") * _WTN_SIZE_US
+    ).alias("win_us")
+    w = Window.partitionBy("win_us", "user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.select(win, "user_id", "event_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.timestamp_micros(F.col("win_us")).alias("window_start"),
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+        )
+    )
+
+
+@register(
+    "window_join",
+    oracle=f"""
+SELECT make_timestamp(win_us) AS window_start, user_id,
+       CAST(n_views AS BIGINT) AS n_views,
+       CAST(n_purchases AS BIGINT) AS n_purchases,
+       CAST(n_pairs AS BIGINT) AS n_pairs
+FROM (
+    SELECT v.win_us AS win_us, v.user_id AS user_id,
+           any_value(v.n) AS n_views, any_value(p.n) AS n_purchases,
+           any_value(v.n) * any_value(p.n) AS n_pairs
+    FROM (
+        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_WTN_SIZE_US})
+                   * {_WTN_SIZE_US} AS win_us,
+               user_id, count(*) AS n
+        FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    ) v
+    JOIN (
+        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_WTN_SIZE_US})
+                   * {_WTN_SIZE_US} AS win_us,
+               user_id, count(*) AS n
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    ) p ON v.win_us = p.win_us AND v.user_id = p.user_id
+    GROUP BY v.win_us, v.user_id
+)
+""",
+    doc=(
+        "Flink Window Join, completing the window pattern family "
+        "(Aggregation / Top-N / Join / Deduplication): views joined "
+        "to purchases of the SAME user in the SAME 10-minute tumbling "
+        "window. Both sides pre-aggregate per (window, user) BEFORE "
+        "the join — the pair count is the product of the per-side "
+        "counts, so the join never materializes the pair blow-up and "
+        "both the join and the aggregates share one (window, user) "
+        "shuffle key. This is the bounded-state form of the "
+        "stream-stream join (stream_join_replay): state expires with "
+        "the window instead of the watermark horizon."
+    ),
+    tags=("window-agg", "tumbling", "join", "stream-stream"),
+)
+def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    win = (
+        F.expr(f"unix_micros(ts) DIV {_WTN_SIZE_US}") * _WTN_SIZE_US
+    ).alias("win_us")
+
+    def side(etype: str, alias: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .groupBy(win, "user_id")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    v = side("view", "n_views")
+    p = side("purchase", "n_purchases")
+    return v.join(p, ["win_us", "user_id"]).select(
+        F.timestamp_micros(F.col("win_us")).alias("window_start"),
+        "user_id",
+        "n_views",
+        "n_purchases",
+        (F.col("n_views") * F.col("n_purchases")).alias("n_pairs"),
+    )

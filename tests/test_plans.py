@@ -449,6 +449,9 @@ def test_gate_priority_window_covers_graded_surface():
         "stream_sketch_replay",
         "embedding_mmr_batch",
         "cumulate_engagement",
+        "window_topn",
+        "window_dedup",
+        "window_join",
     ]
     r2_backfill = [
         # last driver row: CORRECTNESS_r02.json (green; unchanged since,
@@ -464,14 +467,18 @@ def test_gate_priority_window_covers_graded_surface():
         "hll_user_reach", "user_value_ranking", "minute_rollup_gapfill",
         "event_stats_unpivot", "user_first_last_event", "value_histogram",
         "value_moments_by_type", "user_trailing_7d_value",
-        "user_event_type_sets", "lateral_top_users",
+        "user_event_type_sets",
+        # lateral_top_users (r2-checked) displaced by the 13th
+        # round-6 addition, window_join
     ]
-    r3_backfill = [
-        # oldest round-3-checked queries, registry order (docs_lang_id,
-        # docs_quality, docs_token_stats, cdc_materialize,
-        # events_dim_asof, events_asof_orders, session_windows
-        # displaced by the 4th-10th round-6 additions)
-        "tumbling_stats", "leaderboard_topk",
+    r3_backfill: list[str] = [
+        # the round-3-checked backfill block is fully displaced by this
+        # round's 12 [b] additions (docs_lang_id, docs_quality,
+        # docs_token_stats, cdc_materialize, events_dim_asof,
+        # events_asof_orders, session_windows, tumbling_stats,
+        # leaderboard_topk rotated out in displacement order); they
+        # remain covered by the local oracle suite and re-enter as
+        # oldest-coverage backfill next round
     ]
     expected = sentinels + new_in_r6 + r2_backfill + r3_backfill
     assert window == expected, (
