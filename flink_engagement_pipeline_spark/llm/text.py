@@ -269,3 +269,125 @@ def clean_text(text: Column | str) -> Column:
     no_mail = F.regexp_replace(no_url, EMAIL_RE, " ")
     collapsed = F.regexp_replace(no_mail, PUNCT_RUN_RE, ".")
     return F.trim(F.regexp_replace(collapsed, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6
+
+
+def bpe_merges(docs, k: int = BPE_MERGES):
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) over
+    the corpus: the k highest-weighted adjacent symbol pairs, merged
+    greedily in order — the tokenizer-training op every LLM data
+    pipeline runs before docs_tokenize_ids-style id mapping.
+
+    Shape: the DISTRIBUTED work is the word-frequency table (one
+    groupBy over the exploded corpus — at 100 TB this is the only
+    pass that touches raw text) and, per merge step, a pair-count
+    aggregation over the vocabulary table. The vocabulary itself is
+    metadata-sized (type count, not token count), so each step's
+    argmax collects ONE row — the centroid-collect pattern the
+    trainer modules use. Merge application is `replace` on
+    space-joined symbol sequences: non-overlapping left-to-right in
+    both engines, so pair counting (per adjacent position) and
+    application are deterministic and the whole training run carries
+    an exact unrolled-SQL DuckDB oracle (k chained MATERIALIZED
+    stages — see the MMR oracle for why recursion is avoided).
+    Returns (merge_rank, left_sym, right_sym, merged, pair_count).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    spark = docs.sparkSession
+    words = docs.selectExpr("explode(split(text, ' ')) as word").filter(
+        F.col("word") != ""
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    seqs = wc.selectExpr(
+        "word", "cnt", "trim(regexp_replace(word, '(.)', '$1 ')) as seq"
+    ).localCheckpoint()
+    merges = []
+    for step in range(1, k + 1):
+        pairs = (
+            seqs.selectExpr("cnt", "split(seq, ' ') as sp")
+            # a fully-merged word has no pairs; also guards Spark's
+            # sequence(1, 0), which DESCENDS instead of being empty
+            .filter("size(sp) >= 2")
+            .selectExpr(
+                "cnt",
+                "explode(transform(sequence(1, size(sp) - 1), i -> "
+                "named_struct('a', element_at(sp, i), "
+                "'b', element_at(sp, i + 1)))) as p",
+            )
+            .select("cnt", "p.a", "p.b")
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, pc = best["a"], best["b"], int(best["pc"])
+        merges.append((step, a, b, a + b, pc))
+        seqs = seqs.selectExpr(
+            "word",
+            "cnt",
+            "trim(replace(concat(' ', seq, ' '), "
+            f"' {a} {b} ', ' {a}{b} ')) as seq",
+        ).localCheckpoint()
+    # literal JVM-side result frame (a Python createDataFrame would
+    # spin up a Python-RDD job for 6 rows)
+    rows = ", ".join(
+        f"named_struct('merge_rank', {r}, 'left_sym', '{a}', "
+        f"'right_sym', '{b}', 'merged', '{m}', 'pair_count', "
+        f"cast({pc} as bigint))"
+        for r, a, b, m, pc in merges
+    )
+    return spark.range(1).selectExpr(f"inline(array({rows}))")
+
+
+def bpe_merges_oracle_sql(k: int = BPE_MERGES) -> str:
+    """Exact DuckDB replication of :func:`bpe_merges`: the greedy
+    merge loop as k unrolled MATERIALIZED stages (pair count ->
+    argmax -> replace), each reading the previous stage's vocabulary
+    exactly once."""
+    stages = []
+    prev = "seqs0"
+    for i in range(1, k + 1):
+        stages.append(f"""
+pairs{i} AS MATERIALIZED (
+  SELECT sum(s.cnt) AS pc, s.sp[t.i] AS a, s.sp[t.i + 1] AS b
+  FROM (SELECT cnt, string_split(seq, ' ') AS sp FROM {prev}) s
+  CROSS JOIN unnest(generate_series(1, len(s.sp) - 1)) AS t(i)
+  GROUP BY 2, 3
+),
+pick{i} AS MATERIALIZED (
+  SELECT {i} AS merge_rank, a, b, a || b AS merged, pc
+  FROM pairs{i} ORDER BY pc DESC, a, b LIMIT 1
+),
+seqs{i} AS MATERIALIZED (
+  SELECT word, cnt,
+         trim(replace(' ' || seq || ' ',
+                      (SELECT ' ' || a || ' ' || b || ' ' FROM pick{i}),
+                      (SELECT ' ' || a || b || ' ' FROM pick{i}))) AS seq
+  FROM {prev}
+)""")
+        prev = f"seqs{i}"
+    unions = " UNION ALL ".join(
+        f"SELECT merge_rank, a AS left_sym, b AS right_sym, merged, "
+        f"CAST(pc AS BIGINT) AS pair_count FROM pick{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH
+w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+seqs0 AS MATERIALIZED (
+  SELECT word, count(*) AS cnt,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM w WHERE word <> '' GROUP BY word
+),{",".join(stages)}
+SELECT * FROM ({unions}) ORDER BY merge_rank
+"""

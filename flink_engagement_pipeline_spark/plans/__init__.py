@@ -45,10 +45,10 @@ from . import queries_ext4  # noqa: F401,E402
 #       (CORRECTNESS_r05.json: 47 hash + 3 rows-only, 0 err — closed
 #       cumulative driver coverage at 170/170);
 #   round 6 (this list): with cumulative coverage closed, the window is
-#       sentinels + the 12 round-6 additions (CEP family + streaming
+#       sentinels + the 14 round-6 additions (CEP family + streaming
 #       CEP, SimHash/near-dup ingest, MMR single+batch, streaming HLL
-#       sketch, CUMULATE window, window Top-N, window dedup) + ALL 32
-#       queries whose last green driver row is round 2 — the
+#       sketch, CUMULATE window, window Top-N/dedup/join, BPE merge
+#       training) + the oldest round-2-checked queries — the
 #       staleness-driven re-proof pass the policy
 #       prescribes once first-proof demand is low.
 #
@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_topn",
     "window_dedup",
     "window_join",
+    "docs_bpe_merges",
     # -- [c] backfill: oldest driver coverage first — the full block of
     # queries whose last green row is ROUND 2 (registry order) --
     "cube_returnflag_status",
@@ -111,7 +112,6 @@ _PRIORITY: tuple[str, ...] = (
     "value_histogram",
     "value_moments_by_type",
     "user_trailing_7d_value",
-    "user_event_type_sets",
 )
 
 

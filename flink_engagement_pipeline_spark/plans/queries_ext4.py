@@ -1311,3 +1311,33 @@ def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         (F.col("n_views") * F.col("n_purchases")).alias("n_pairs"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (round 6)
+# --------------------------------------------------------------------------
+
+from ..llm import text as _lt  # noqa: E402
+
+
+@register(
+    "docs_bpe_merges",
+    oracle=_lt.bpe_merges_oracle_sql(),
+    doc=(
+        "BPE merge training (Sennrich et al. 2016): the 6 "
+        "highest-weighted adjacent symbol pairs over the corpus "
+        "vocabulary, merged greedily in order — the tokenizer-"
+        "training op upstream of docs_tokenize_ids. The distributed "
+        "work is the word-frequency pass (the only pass touching raw "
+        "text) plus a per-step pair-count aggregation over the "
+        "metadata-sized vocabulary; each argmax collects one row "
+        "(the centroid-collect trainer pattern). Merge application "
+        "is non-overlapping left-to-right replace on space-joined "
+        "symbol sequences in BOTH engines, so the entire greedy run "
+        "hash-matches an exact unrolled-SQL oracle (k MATERIALIZED "
+        "stages; recursion avoided per the MMR oracle lesson)."
+    ),
+    tags=("llm", "tokenizer", "bpe", "iterative", "trainer"),
+)
+def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lt.bpe_merges(load_table(spark, sf_dir, "documents"))

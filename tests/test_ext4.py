@@ -398,3 +398,47 @@ def test_hll_register_merge_algebra(spark, sf_dir):
     )
     hi = key(hll_registers(one_user(hi_uid)).collect())
     assert lo != both and both == hi  # same register, max wins
+
+
+def test_bpe_merges_match_pure_python_reference(spark, sf_dir):
+    """Independent oracle for docs_bpe_merges: classic dict-and-loop
+    BPE over the same corpus (collections.Counter word counts, greedy
+    argmax by (count desc, pair asc), non-overlapping left-to-right
+    merge application) must produce the identical merge list."""
+    from collections import Counter
+
+    import duckdb
+
+    from flink_engagement_pipeline_spark.llm.text import BPE_MERGES
+
+    rows = REGISTRY["docs_bpe_merges"].spark(spark, sf_dir).collect()
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in sorted(rows, key=lambda r: r["merge_rank"])
+    ]
+
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    wc = Counter(w for (t,) in texts for w in t.split(" ") if w)
+    seqs = {w: list(w) for w in wc}
+    want = []
+    for step in range(1, BPE_MERGES + 1):
+        pc: Counter = Counter()
+        for w, s in seqs.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += wc[w]
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, a + b, n))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    assert got == want

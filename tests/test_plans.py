@@ -452,6 +452,7 @@ def test_gate_priority_window_covers_graded_surface():
         "window_topn",
         "window_dedup",
         "window_join",
+        "docs_bpe_merges",
     ]
     r2_backfill = [
         # last driver row: CORRECTNESS_r02.json (green; unchanged since,
@@ -467,13 +468,12 @@ def test_gate_priority_window_covers_graded_surface():
         "hll_user_reach", "user_value_ranking", "minute_rollup_gapfill",
         "event_stats_unpivot", "user_first_last_event", "value_histogram",
         "value_moments_by_type", "user_trailing_7d_value",
-        "user_event_type_sets",
-        # lateral_top_users (r2-checked) displaced by the 13th
-        # round-6 addition, window_join
+        # user_event_type_sets, lateral_top_users (r2-checked)
+        # displaced by the 13th-14th round-6 additions
     ]
     r3_backfill: list[str] = [
         # the round-3-checked backfill block is fully displaced by this
-        # round's 12 [b] additions (docs_lang_id, docs_quality,
+        # round's 14 [b] additions (docs_lang_id, docs_quality,
         # docs_token_stats, cdc_materialize, events_dim_asof,
         # events_asof_orders, session_windows, tumbling_stats,
         # leaderboard_topk rotated out in displacement order); they
@@ -942,6 +942,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "docs_bigram_logprob",      # 1-row vocab-size broadcast x model
         "embedding_matryoshka_rerank",  # single probe row x corpus (coarse)
         "audience_overlap",         # 1-row sketch-estimates x 1-row exacts
+        "embedding_mmr_rerank",     # single probe row x corpus (pool build)
+        "embedding_mmr_batch",      # broadcast 4-row probe batch x corpus
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):
