@@ -290,13 +290,24 @@ def bpe_merges(docs, k: int = BPE_MERGES):
     aggregation over the vocabulary table. The vocabulary itself is
     metadata-sized (type count, not token count), so each step's
     argmax collects ONE row — the centroid-collect pattern the
-    trainer modules use. Merge application is `replace` on
-    space-joined symbol sequences: non-overlapping left-to-right in
-    both engines, so pair counting (per adjacent position) and
-    application are deterministic and the whole training run carries
-    an exact unrolled-SQL DuckDB oracle (k chained MATERIALIZED
-    stages — see the MMR oracle for why recursion is avoided).
-    Returns (merge_rank, left_sym, right_sym, merged, pair_count).
+    trainer modules use. Merge application is boundary-guarded
+    `replace` on space-joined symbol sequences (pattern ' a b ' ->
+    ' ab '): non-overlapping left-to-right with IDENTICAL semantics
+    in both engines, so pair counting (per adjacent position,
+    overlaps counted) and application are deterministic and the
+    whole training run carries an exact unrolled-SQL DuckDB oracle
+    (k chained MATERIALIZED stages — see the MMR oracle for why
+    recursion is avoided).
+
+    Semantics note: because the consumed pattern includes the
+    trailing boundary space, a self-pair merging into a run of >= 4
+    identical symbols skips one extra token vs the textbook
+    left-to-right scan ('a a a a' -> 'aa a a' here, 'aa aa' in the
+    textbook scan). Deterministic, cross-engine identical, and
+    mirrored by the pytest reference; no fixture word exhibits such
+    runs today, but the contract is the replace semantics, not the
+    textbook scan. Returns (merge_rank, left_sym, right_sym, merged,
+    pair_count).
     """
     from pyspark.sql import DataFrame  # noqa: F401
 

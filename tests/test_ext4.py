@@ -401,10 +401,12 @@ def test_hll_register_merge_algebra(spark, sf_dir):
 
 
 def test_bpe_merges_match_pure_python_reference(spark, sf_dir):
-    """Independent oracle for docs_bpe_merges: classic dict-and-loop
-    BPE over the same corpus (collections.Counter word counts, greedy
-    argmax by (count desc, pair asc), non-overlapping left-to-right
-    merge application) must produce the identical merge list."""
+    """Independent oracle for docs_bpe_merges: dict-and-loop BPE over
+    the same corpus (collections.Counter word counts, greedy argmax
+    by (count desc, pair asc), merge application via the SAME
+    boundary-guarded str.replace device both engines use — see the
+    bpe_merges semantics note on self-pair runs) must produce the
+    identical merge list."""
     from collections import Counter
 
     import duckdb
@@ -432,13 +434,8 @@ def test_bpe_merges_match_pure_python_reference(spark, sf_dir):
         (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         want.append((step, a, b, a + b, n))
         for w, s in seqs.items():
-            out, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            seqs[w] = out
+            joined = " " + " ".join(s) + " "
+            seqs[w] = joined.replace(
+                f" {a} {b} ", f" {a}{b} "
+            ).split()
     assert got == want

@@ -391,3 +391,54 @@ def test_ewma_is_shift_invariant_linear(spark):
     }
     for uid, e in base.items():
         assert got[uid] == e * 4.0
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000_000),
+    st.sampled_from([(10, 2), (10, 5), (6, 1), (8, 4)]),
+)
+@settings(max_examples=200, deadline=None)
+def test_cumulate_window_index_formula(ts, sizes):
+    """cumulate_engagement_sum's closed-form window-index range —
+    j in [(ts mod max) div step + 1, max/step] over span
+    floor(ts/max)*max — must equal brute-force membership: event at
+    ts belongs to expanding window [span, span + j*step) iff
+    span + j*step > ts."""
+    max_u, step_u = sizes
+    span = (ts // max_u) * max_u
+    formula = set(
+        range((ts % max_u) // step_u + 1, max_u // step_u + 1)
+    )
+    brute = {
+        j
+        for j in range(1, max_u // step_u + 1)
+        if span <= ts < span + j * step_u
+    }
+    assert formula == brute
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_bpe_replace_merge_preserves_concatenation(words):
+    """BPE merge application (non-overlapping left-to-right replace on
+    space-joined symbols, the docs_bpe_merges device) must preserve
+    each word's character concatenation and never increase symbol
+    count — for ANY pair, including the self-pair over 'aaaa...'
+    runs where overlap semantics bite."""
+    for w in words:
+        seq = " ".join(w)
+        for pair in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+            a, b = pair
+            merged = (
+                (" " + seq + " ")
+                .replace(f" {a} {b} ", f" {a}{b} ")
+                .strip()
+            )
+            assert merged.replace(" ", "") == w
+            assert len(merged.split(" ")) <= len(seq.split(" "))
