@@ -1157,10 +1157,16 @@ GROUP BY 1
         "hash of the measure (never rand(), so retries are "
         "idempotent), and the decimal routing makes both phases exact "
         "and associative — the oracle is the plain one-phase SQL "
-        "aggregation, hash-matched. event_type is exactly the "
-        "power-law keyspace shape (5 values over 100k rows) where a "
-        "single-phase shuffle funnels each key into one task at "
-        "100 TB."
+        "aggregation, hash-matched. Scope honestly measured "
+        "(tools/skew_probe.py, 10M rows, 50%-hot key): for ALGEBRAIC "
+        "aggregates like this SUM/COUNT, map-side partial aggregation "
+        "already collapses the hot key to one row per map task, so "
+        "naive beats salted (0.67 vs 0.91 s) — salting's real domain "
+        "is non-combinable aggregation state (collect_list, exact "
+        "distinct buffers, percentile sketches built per key), "
+        "partial-agg-ineffective high-cardinality maps, and joins "
+        "(salted_join / AQE skew-join). Registered to pin the "
+        "device's exactness, with its applicability documented."
     ),
     tags=("aggregates", "skew", "salting"),
 )

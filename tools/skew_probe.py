@@ -1,0 +1,43 @@
+import time
+from pyspark.sql import functions as F
+from flink_engagement_pipeline_spark.session import get_spark
+from flink_engagement_pipeline_spark.operators.skew import salted_sum
+from flink_engagement_pipeline_spark.functions.exact import dec
+spark = get_spark("skew-probe")
+spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+N = 10_000_000
+# 50% of rows on one hot key, the rest spread over 100k keys
+ev = spark.range(N).selectExpr(
+    "case when id % 2 = 0 then 0 else pmod(xxhash64(id), 100000) + 1 end as user_id",
+    "cast(pmod(xxhash64(id, 7), 10000) as double) / 100.0 as value",
+).cache()
+ev.count()
+
+def run(df):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+naive = (ev.select("user_id", dec("value").alias("v"))
+         .groupBy("user_id")
+         .agg(F.sum("v").cast("double").alias("total_value"),
+              F.count("*").alias("n_events")))
+salted = salted_sum(ev, "user_id", "value")
+t_naive = min(run(naive) for _ in range(3))
+t_salted = min(run(salted) for _ in range(3))
+print(f"naive={t_naive:.2f}s salted={t_salted:.2f}s")
+a = {r["user_id"]: (r["total_value"], r["n_events"]) for r in naive.filter("user_id = 0").collect()}
+b = {r["user_id"]: (r["total_value"], r["n_events"]) for r in salted.filter("user_id = 0").collect()}
+print("hot-key bit-identical:", a == b, a)
+
+# Findings (2026-08-15, local[32], 10M rows, one key holding 50%):
+#   naive grouped SUM/COUNT: 0.67 s     salted_sum: 0.91 s
+#   hot-key results bit-identical.
+# For ALGEBRAIC aggregates, Spark's map-side partial aggregation
+# already collapses the hot key to one row per map task before the
+# shuffle — there is no reducer funnel to fix, and salting just adds
+# a second shuffle. Salting pays where partials can't collapse:
+# non-combinable aggregation state (collect_list, exact distinct,
+# per-key sketch buffers), adaptive partial-agg skipping on
+# high-cardinality maps, and join-side skew (salted_join/AQE).
