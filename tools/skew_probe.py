@@ -41,3 +41,11 @@ print("hot-key bit-identical:", a == b, a)
 # non-combinable aggregation state (collect_list, exact distinct,
 # per-key sketch buffers), adaptive partial-agg skipping on
 # high-cardinality maps, and join-side skew (salted_join/AQE).
+
+# Counter-probe (same data): non-combinable aggregation state, where
+# partials CANNOT collapse — collect_list per key:
+#   naive 2.41 s vs salted-two-level 1.43 s (1.7x), sizes identical.
+# Single-box numbers understate the cluster effect (here the loser is
+# task imbalance; on a real cluster it is one straggler executor
+# holding 50% of the data). Both halves of the scoping claim are now
+# measured: algebraic -> don't salt; non-combinable state -> salt.
