@@ -930,3 +930,41 @@ def test_rocksdb_state_store_cents_accumulator(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_drop_duplicates_within_watermark_bounded_state(
+    spark, doubled_events_dir, tmp_path
+):
+    """Spark's native bounded-state streaming dedup
+    (dropDuplicatesWithinWatermark, the window_dedup idea as a
+    streaming primitive): replayed duplicate event_ids within the
+    watermark horizon collapse to one row, state expires with the
+    watermark instead of growing with the key space forever — the
+    third dedup tier beside per-batch dropDuplicates and the
+    cross-batch stateful upsert. The doubled fixture arrives as two
+    files; with a generous watermark every duplicate pair falls
+    inside the horizon, so the output must equal the batch
+    DISTINCT-by-event_id of the fixture."""
+    from flink_engagement_pipeline_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+
+    stream = read_events_stream(
+        spark, doubled_events_dir, max_files_per_trigger=1
+    )
+    deduped = stream.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = tmp_path / "ddww-out"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ddww-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out))
+    batch = load_table(spark, SF, "events")
+    assert got.count() == batch.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == got.count()
