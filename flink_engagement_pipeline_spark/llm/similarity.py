@@ -660,8 +660,10 @@ def mmr_rerank(
     empty selected set is coalesced to 0.0, so the first pick is the
     pure-relevance argmax scaled by ``lam``. All arithmetic is IEEE
     double with engine-portable fold order, which is why the DuckDB
-    recursive-CTE oracle (:func:`mmr_rerank_oracle_sql`) hash-matches
-    exactly. Returns (mmr_rank, vec_id, mmr_score).
+    unrolled-MATERIALIZED-CTE oracle (:func:`mmr_rerank_oracle_sql`,
+    one chained CTE per pick — not recursion, see the segfault note
+    below) hash-matches exactly. Returns (mmr_rank, vec_id,
+    mmr_score).
 
     Cost note: higher-order-function lambdas evaluate INTERPRETED per
     element, so the corpus-side row cost is kept to two folds (the

@@ -309,9 +309,33 @@ def bpe_merges(docs, k: int = BPE_MERGES):
     textbook scan. Returns (merge_rank, left_sym, right_sym, merged,
     pair_count).
     """
-    from pyspark.sql import DataFrame  # noqa: F401
-
     spark = docs.sparkSession
+    merges, _ = _bpe_train(docs, k)
+    # literal JVM-side result frame (a Python createDataFrame would
+    # spin up a Python-RDD job for 6 rows); F.lit keeps the symbols
+    # out of SQL text here too
+    rows = [
+        F.struct(
+            F.lit(r).alias("merge_rank"),
+            F.lit(a).alias("left_sym"),
+            F.lit(b).alias("right_sym"),
+            F.lit(m).alias("merged"),
+            F.lit(pc).cast("bigint").alias("pair_count"),
+        )
+        for r, a, b, m, pc in merges
+    ]
+    return spark.range(1).select(F.inline(F.array(*rows)))
+
+
+def _bpe_train(docs, k: int):
+    """Shared BPE training loop: returns (merge list, final word
+    vocabulary DataFrame). The merge list is metadata-sized (k rows,
+    collected one argmax row per step — the centroid-collect
+    pattern); the returned ``seqs`` frame maps each distinct word to
+    its space-joined post-merge symbol sequence, which is exactly the
+    encode table :func:`bpe_encode` needs (BPE is word-local, so
+    encoding joins the corpus against this TYPE-count-sized table
+    instead of re-running merges over every token)."""
     words = docs.selectExpr("explode(split(text, ' ')) as word").filter(
         F.col("word") != ""
     )
@@ -343,21 +367,146 @@ def bpe_merges(docs, k: int = BPE_MERGES):
         )
         a, b, pc = best["a"], best["b"], int(best["pc"])
         merges.append((step, a, b, a + b, pc))
-        seqs = seqs.selectExpr(
+        # corpus-derived symbols go through F.lit (py4j literal
+        # parameters, escaped by construction) — NEVER spliced into
+        # SQL text, where a quote/backslash in a fixture word would
+        # be a syntax error
+        seqs = seqs.select(
             "word",
             "cnt",
-            "trim(replace(concat(' ', seq, ' '), "
-            f"' {a} {b} ', ' {a}{b} ')) as seq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {a} {b} "),
+                    F.lit(f" {a}{b} "),
+                )
+            ).alias("seq"),
         ).localCheckpoint()
-    # literal JVM-side result frame (a Python createDataFrame would
-    # spin up a Python-RDD job for 6 rows)
-    rows = ", ".join(
-        f"named_struct('merge_rank', {r}, 'left_sym', '{a}', "
-        f"'right_sym', '{b}', 'merged', '{m}', 'pair_count', "
-        f"cast({pc} as bigint))"
-        for r, a, b, m, pc in merges
+    return merges, seqs
+
+
+def bpe_encode(docs, k: int = BPE_MERGES):
+    """Apply the trained BPE merges to the corpus — the encode half of
+    the tokenizer loop (:func:`bpe_merges` trains; this maps every
+    document to its BPE token-id sequence, the op that feeds
+    docs_pack_sequences-style batching in a real pre-training
+    pipeline).
+
+    Token-id scheme (GPT-2-like, deterministic): the base vocabulary
+    is the corpus's distinct characters ordered lexicographically
+    (ids 0..C-1), then each merged symbol takes id C + merge_rank - 1.
+    Both halves are metadata-sized, collected driver-side like the
+    merge list, and shipped back as ONE literal inline-array frame
+    (every symbol through F.lit — never spliced into SQL text).
+
+    Shape for 100 TB: BPE encoding is word-local, so the corpus is
+    never re-scanned per merge step — the trained word->seq table
+    (TYPE count, not token count) is joined to the posexploded corpus
+    once (AQE broadcasts it at test scale; at web scale it's one
+    shuffle join on `word`, still corpus + types, never corpus x k),
+    then symbols join the broadcast vocab for ids and fold back to
+    one row per document via sort_array(collect_list(struct)) — an
+    order-exact array build with no window over the token stream.
+    The id sequence is emitted space-joined (token_ids STRING) so the
+    driver's hash canonicalization is engine-portable. Returns
+    (doc_id, n_tokens, token_ids).
+    """
+    spark = docs.sparkSession
+    merges, seqs = _bpe_train(docs, k)
+    chars = sorted(
+        r["c"]
+        for r in seqs.selectExpr(
+            "explode(split(trim(regexp_replace(word, '(.)', '$1 ')), ' ')) AS c"
+        )
+        .distinct()
+        .collect()
     )
-    return spark.range(1).selectExpr(f"inline(array({rows}))")
+    vocab_rows = [
+        F.struct(F.lit(c).alias("sym"), F.lit(i).alias("tok_id"))
+        for i, c in enumerate(chars)
+    ] + [
+        F.struct(
+            F.lit(m).alias("sym"), F.lit(len(chars) + r - 1).alias("tok_id")
+        )
+        for r, _a, _b, m, _pc in merges
+    ]
+    vocab = spark.range(1).select(F.inline(F.array(*vocab_rows)))
+    dwords = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("wi", "word")
+        )
+        .filter(F.col("word") != "")
+    )
+    dsyms = (
+        dwords.join(seqs.select("word", "seq"), "word")
+        .select(
+            "doc_id", "wi", F.posexplode(F.split("seq", " ")).alias("si", "sym")
+        )
+        .join(F.broadcast(vocab), "sym")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("wi", "si", "tok_id"))
+    )
+    return (
+        dsyms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["tok_id"].cast("string")),
+                " ",
+            ).alias("token_ids"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(k: int = BPE_MERGES) -> str:
+    """Exact DuckDB replication of :func:`bpe_encode`: the training
+    stages of :func:`bpe_merges_oracle_sql` extended by a vocab stage
+    (chars by lexicographic row_number, merges offset by the char
+    count) and an encode stage (word-position unnest -> word->seq
+    join -> symbol unnest -> id join -> ordered string_agg)."""
+    train = bpe_merges_stages_sql(k)
+    picks = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, merged FROM pick{i}" for i in range(1, k + 1)
+    )
+    return f"""
+{train},
+vocab_chars AS MATERIALIZED (
+  SELECT c AS sym, CAST(row_number() OVER (ORDER BY c) - 1 AS INT) AS tok_id
+  FROM (
+    SELECT DISTINCT unnest(string_split(
+        trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' ')) AS c
+    FROM seqs0
+  )
+),
+vocab AS MATERIALIZED (
+  SELECT sym, tok_id FROM vocab_chars
+  UNION ALL
+  SELECT merged,
+         CAST((SELECT count(*) FROM vocab_chars) + merge_rank - 1 AS INT)
+  FROM ({picks})
+),
+dwords AS (
+  SELECT d.doc_id, t.i AS wi, d.sp[t.i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d
+  CROSS JOIN unnest(generate_series(1, len(d.sp))) AS t(i)
+  WHERE d.sp[t.i] <> ''
+),
+dsyms AS (
+  SELECT e.doc_id, e.wi, u.j, e.sp2[u.j] AS sym
+  FROM (
+    SELECT dw.doc_id, dw.wi, string_split(sq.seq, ' ') AS sp2
+    FROM dwords dw JOIN seqs{k} sq ON sq.word = dw.word
+  ) e
+  CROSS JOIN unnest(generate_series(1, len(e.sp2))) AS u(j)
+)
+SELECT s.doc_id,
+       count(*)                                            AS n_tokens,
+       string_agg(CAST(v.tok_id AS VARCHAR), ' '
+                  ORDER BY s.wi, s.j)                      AS token_ids
+FROM dsyms s JOIN vocab v ON v.sym = s.sym
+GROUP BY s.doc_id
+"""
 
 
 def bpe_merges_oracle_sql(k: int = BPE_MERGES) -> str:
@@ -365,6 +514,21 @@ def bpe_merges_oracle_sql(k: int = BPE_MERGES) -> str:
     merge loop as k unrolled MATERIALIZED stages (pair count ->
     argmax -> replace), each reading the previous stage's vocabulary
     exactly once."""
+    unions = " UNION ALL ".join(
+        f"SELECT merge_rank, a AS left_sym, b AS right_sym, merged, "
+        f"CAST(pc AS BIGINT) AS pair_count FROM pick{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+{bpe_merges_stages_sql(k)}
+SELECT * FROM ({unions}) ORDER BY merge_rank
+"""
+
+
+def bpe_merges_stages_sql(k: int = BPE_MERGES) -> str:
+    """The shared WITH clause of the unrolled BPE training oracle
+    (word counts -> k chained pair-count/argmax/replace stages),
+    reused by both the merge-list oracle and the encode oracle."""
     stages = []
     prev = "seqs0"
     for i in range(1, k + 1):
@@ -387,11 +551,6 @@ seqs{i} AS MATERIALIZED (
   FROM {prev}
 )""")
         prev = f"seqs{i}"
-    unions = " UNION ALL ".join(
-        f"SELECT merge_rank, a AS left_sym, b AS right_sym, merged, "
-        f"CAST(pc AS BIGINT) AS pair_count FROM pick{i}"
-        for i in range(1, k + 1)
-    )
     return f"""
 WITH
 w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
@@ -399,6 +558,4 @@ seqs0 AS MATERIALIZED (
   SELECT word, count(*) AS cnt,
          trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
   FROM w WHERE word <> '' GROUP BY word
-),{",".join(stages)}
-SELECT * FROM ({unions}) ORDER BY merge_rank
-"""
+),{",".join(stages)}"""

@@ -1061,9 +1061,11 @@ from ..llm import similarity as _sim  # noqa: E402
         "distributed part is the scan + TakeOrderedAndProject pool "
         "build, and at scale the same expression riding a per-query "
         "pool column diversifies a million-query batch in parallel. "
-        "Exact DuckDB oracle: the same greedy fold as a single-row "
-        "recursive CTE (list_dot_product == the Spark sequential "
-        "fold, bit-for-bit). The diversity term is load-bearing on "
+        "Exact DuckDB oracle: the same greedy fold unrolled as k "
+        "chained MATERIALIZED CTEs, one per pick (list_dot_product == "
+        "the Spark sequential fold, bit-for-bit; recursion was "
+        "abandoned — DuckDB 1.0 recursive state segfaults, see "
+        "similarity.py). The diversity term is load-bearing on "
         "the fixture: MMR order != relevance order (pinned in "
         "tests/test_ext4.py)."
     ),
@@ -1086,9 +1088,10 @@ def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale claim: a million-query rerank batch is one shuffle on "
         "qid plus a metadata-sized fold per row (both shuffles key on "
         "qid, the second reuses the first's partitioning) — never a "
-        "driver loop per query. The DuckDB oracle's recursive CTE "
-        "carries one state row per qid, every iteration advancing all "
-        "of them."
+        "driver loop per query. The DuckDB oracle unrolls the k picks "
+        "as chained MATERIALIZED CTEs, each stage carrying one state "
+        "row per qid (no recursion — DuckDB 1.0 recursive state "
+        "corrupts/segfaults, see similarity.py)."
     ),
     tags=("llm", "similarity", "rerank", "mmr", "batch"),
 )

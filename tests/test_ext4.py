@@ -439,3 +439,40 @@ def test_bpe_merges_match_pure_python_reference(spark, sf_dir):
                 f" {a} {b} ", f" {a}{b} "
             ).split()
     assert got == want
+
+
+def test_bpe_merges_safe_on_quoted_symbols(spark):
+    """Regression (round-7 advisory): corpus symbols flow through
+    F.lit literals, never spliced into SQL text — a corpus whose
+    winning merge pairs contain apostrophes and backslashes must
+    train cleanly and still match the pure-Python reference."""
+    from collections import Counter
+
+    from flink_engagement_pipeline_spark.llm.text import bpe_merges
+
+    corpus = ["don't don't don't it's can't", "a\\b a\\b 'q' 'q'"]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in sorted(
+            bpe_merges(docs, k=4).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    wc = Counter(w for t in corpus for w in t.split(" ") if w)
+    seqs = {w: list(w) for w in wc}
+    want = []
+    for step in range(1, 5):
+        pc: Counter = Counter()
+        for w, s in seqs.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += wc[w]
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, a + b, n))
+        for w, s in seqs.items():
+            joined = " " + " ".join(s) + " "
+            seqs[w] = joined.replace(f" {a} {b} ", f" {a}{b} ").split()
+    # the winning pairs genuinely exercise the escaping path
+    assert any("'" in a or "\\" in a for _, a, _b, _m, _n in want)
+    assert got == want
