@@ -1194,3 +1194,82 @@ def incremental_simhash_ingest(
         .groupBy("doc_id", "dup_of")
         .agg(F.first("hamming").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate coverage (anchor-merge form)
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_coverage(docs: DataFrame, n: int) -> DataFrame:
+    """Exact-substring duplicate coverage (the bounded anchor-merge
+    equivalent of Lee et al. 2022's suffix-array substring dedup):
+    every maximal shared token span of length >= n is exactly a
+    maximal run of n-gram anchor positions occurring more than once
+    corpus-wide, so anchoring + interval union recovers the paper's
+    duplicated-span coverage without suffixes. Within-doc repeats
+    count, as in the paper.
+
+    `docs` exposes (doc_id, text). Per doc: merged duplicated-interval
+    count, duplicated token coverage, coverage ratio. Plan: ONE corpus
+    scan (positional zip-shift grams hashed to longs), anchor document
+    frequency via count-over-window on the gram exchange (the
+    spill-safe docs_span_dedup pattern — no self-join), then the
+    gaps-and-islands running-max merge (user_active_coverage's
+    interval algebra on token offsets) — two windows + two
+    aggregations all riding ONE doc_id exchange. Registered as
+    docs_substring_dedup with a full DuckDB oracle."""
+    from .text import positional_grams
+
+    base = docs.select("doc_id", words("text").alias("ws"))
+    anch = base.select(
+        "doc_id",
+        F.posexplode(positional_grams(F.col("ws"), n)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("g"))
+    shared = (
+        anch.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("n") >= 2)
+        .select("doc_id", "pos")
+    )
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        shared.select(
+            "doc_id",
+            "pos",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+            .otherwise(0)
+            .alias("ni"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.sum("ni")
+            .over(order.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("island"),
+        )
+    )
+    per_doc = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s0"), (F.max("pos") + n).alias("e0"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_intervals"),
+            F.sum(F.col("e0") - F.col("s0")).cast("long").alias("dup_tokens"),
+        )
+    )
+    toks = base.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+    return toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_intervals", F.lit(0).cast("long")).alias(
+            "n_dup_intervals"
+        ),
+        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        (
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_ratio"),
+    )

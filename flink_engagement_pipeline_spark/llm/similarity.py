@@ -293,6 +293,101 @@ def _centroids(emb: DataFrame, k: int = IVF_LISTS) -> list[list[float]]:
     return cents
 
 
+def ivf_assignments(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """The persistable IVF index of an embedding corpus: (vec_id,
+    cluster) under the given pinned centroids — a narrow two-column
+    table, the ANN counterpart of the dedup family's persisted band
+    indexes. Assignment is a pure projection (zero shuffle)."""
+    from .cluster import assign_clusters
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return assign_clusters(e, cents).select("vec_id", "cluster")
+
+
+def ivf_ingest(emb: DataFrame) -> DataFrame:
+    """Incremental IVF index maintenance — the daily-ingest shape for
+    the ANN serving stack, completing what the dedup family's
+    *_ingest queries prove for MinHash/SimHash/hyperplane indexes:
+    new vectors are assigned to the corpus's ALREADY-TRAINED coarse
+    centroids and appended to the persisted (vec_id, cluster) codes
+    table; the quantizer is NEVER retrained and the corpus vectors
+    are never re-read for the ingest itself.
+
+    Split device (shared with the dedup ingest oracles): corpus =
+    vec_id < (max*4)//5, batch = the rest. Centroids train on the
+    CORPUS ONLY (strided seeds + one integer-quantized Lloyd step,
+    llm/cluster.py — deterministic and memoized), so ingest
+    assignment is a pure projection of the batch: at 100 TB the
+    nightly ingest costs batch-size work plus a vocabulary-sized
+    centroid read, not a corpus rescan. Because the quantizer is
+    pinned, appending the batch assignments to the persisted index
+    EQUALS rebuilding the index over corpus+batch with the same
+    centroids — the rebuild-equivalence property pinned in pytest.
+
+    Returns one row per ingested vector: (vec_id, cluster,
+    list_size_after) where list_size_after is the inverted list's
+    length after the append (index counts + batch counts — the
+    bookkeeping a serving system maintains to split oversized
+    lists). Every step is engine-exact, so the registered query
+    carries a full hash-matching SQL oracle (train + assign + append
+    unrolled as CTEs)."""
+    cut = int(
+        emb.agg(F.expr("max(vec_id) * 4 div 5").alias("c")).first()["c"]
+    )
+    corpus = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    cents = _centroids(corpus)
+    index = ivf_assignments(corpus, cents)          # the persisted index
+    ingested = ivf_assignments(batch, cents)        # the appended rows
+    sizes = (
+        index.unionByName(ingested)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("list_size_after"))
+    )
+    return ingested.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "list_size_after"
+    )
+
+
+def ivf_ingest_oracle_sql() -> str:
+    """Full SQL replication of :func:`ivf_ingest`: corpus/batch split,
+    corpus-only centroid training (the embedding_ann_ivf CTEs
+    parameterized by source relation), batch assignment, appended
+    list sizes."""
+    from .cluster import km_assign_cte, km_update_cte
+
+    k, dim = IVF_LISTS, DIM
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cutt AS (SELECT (max(vec_id) * 4) // 5 AS cut FROM e),
+corpus AS (SELECT vec_id, v FROM e, cutt WHERE vec_id < cut),
+batch AS (SELECT vec_id, v FROM e, cutt WHERE vec_id >= cut),
+cnt AS (SELECT count(*) AS n FROM corpus),
+seeds AS (
+  SELECT CAST(vec_id // greatest(1, n // {k}) AS INT) AS cl, v
+  FROM corpus, cnt
+  WHERE vec_id % greatest(1, n // {k}) = 0
+    AND vec_id < {k} * greatest(1, n // {k})
+),
+{km_assign_cte("a1", "seeds", "corpus")},
+{km_update_cte("c1", "a1", "seeds", k, dim)},
+{km_assign_cte("acorp", "c1", "corpus")},
+{km_assign_cte("abatch", "c1", "batch")},
+sizes AS (
+  SELECT cl, count(*) AS n
+  FROM (SELECT cl FROM acorp UNION ALL SELECT cl FROM abatch)
+  GROUP BY cl
+)
+SELECT b.vec_id                    AS vec_id,
+       CAST(b.cl AS INT)           AS cluster,
+       CAST(s.n AS BIGINT)         AS list_size_after
+FROM abatch b JOIN sizes s ON s.cl = b.cl
+"""
+
+
 def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into IVF_LISTS
     inverted lists, probe the IVF_PROBES lists nearest the query,

@@ -12,6 +12,7 @@ from . import queries_ml  # noqa: F401,E402
 from . import queries_ml2  # noqa: F401,E402
 from . import queries_ext3  # noqa: F401,E402
 from . import queries_ext4  # noqa: F401,E402
+from . import queries_ext5  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order is part of the driver contract: the correctness gate
@@ -44,13 +45,21 @@ from . import queries_ext4  # noqa: F401,E402
 #       never re-proven) + round-5 additions + r2-only backfill
 #       (CORRECTNESS_r05.json: 47 hash + 3 rows-only, 0 err — closed
 #       cumulative driver coverage at 170/170);
-#   round 6 (this list): with cumulative coverage closed, the window is
-#       sentinels + the 14 round-6 additions (CEP family + streaming
-#       CEP, SimHash/near-dup ingest, MMR single+batch, streaming HLL
-#       sketch, CUMULATE window, window Top-N/dedup/join, BPE merge
-#       training) + the oldest round-2-checked queries — the
-#       staleness-driven re-proof pass the policy
-#       prescribes once first-proof demand is low.
+#   round 6: sentinels + the 14 round-6 additions (CEP family +
+#       streaming CEP, SimHash/near-dup ingest, MMR single+batch,
+#       streaming HLL sketch, CUMULATE window, window
+#       Top-N/dedup/join, BPE merge training) + 30 of the 32
+#       round-2-checked backfills (CORRECTNESS_r06.json: 47 hash +
+#       3 rows-only, 0 err);
+#   round 7 (this list): sentinels + the 4 round-7 additions
+#       (stream-stream LEFT OUTER interval join, BPE encode,
+#       incremental IVF ingest, exact-substring dedup coverage) +
+#       the 2 remaining round-2-checked queries + the 38 oldest
+#       round-3-checked queries in registry order (through
+#       dominant_event_types; the 6 TPC-H-block stragglers from
+#       nation_pair_trade on re-enter next round). Window budget
+#       honored: hop_engagement_sum stays the single
+#       multi-million-row output in-window.
 #
 # Everything not listed keeps module import order after the priority block
 # and remains covered by tests/test_registry_oracle.py locally.
@@ -64,54 +73,55 @@ _PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_minhash_pairs",
-    # -- [b] new in round 6 --
+    # -- [b] new in round 7 --
     # (each addition displaces one backfill entry from the tail of [c])
-    "cep_direct_purchase",
-    "docs_simhash_ingest",
-    "embedding_neardup_ingest",
-    "cep_session_conversion",
-    "stream_cep_replay",
-    "cep_engaged_conversion",
-    "embedding_mmr_rerank",
-    "stream_sketch_replay",
-    "embedding_mmr_batch",
-    "cumulate_engagement",
-    "window_topn",
-    "window_dedup",
-    "window_join",
-    "docs_bpe_merges",
-    # -- [c] backfill: oldest driver coverage first — the full block of
-    # queries whose last green row is ROUND 2 (registry order) --
-    "cube_returnflag_status",
-    "promo_revenue",
-    "ingest_kafka_payload",
-    "top_users_per_type",
-    "events_from_buyers",
-    "events_from_non_buyers",
-    "heavy_users",
-    "user_value_median",
-    "docs_tfidf",
-    "orders_events_interval_join",
-    "conversion_funnel",
-    "events_profile",
-    "part_string_functions",
-    "orders_by_month",
-    "embedding_array_ops",
-    "clickers_also_purchasing",
-    "clickers_never_erroring",
-    "user_running_totals",
-    "value_percentiles_exact",
-    "activity_union_all",
-    "grouping_sets_engagement",
-    "minute_rollup",
-    "hll_user_reach",
-    "user_value_ranking",
-    "minute_rollup_gapfill",
-    "event_stats_unpivot",
-    "user_first_last_event",
-    "value_histogram",
-    "value_moments_by_type",
-    "user_trailing_7d_value",
+    "stream_outer_join_replay",
+    "docs_bpe_encode",
+    "embedding_ivf_ingest",
+    "docs_substring_dedup",
+    # -- [c] backfill: oldest driver coverage first — the 2 remaining
+    # round-2-checked queries, then the round-3-checked block in
+    # registry order (38 of 44 fit; the tail re-enters next round) --
+    "user_event_type_sets",
+    "lateral_top_users",
+    "tumbling_stats",
+    "leaderboard_topk",
+    "session_windows",
+    "events_asof_orders",
+    "events_dim_asof",
+    "cdc_materialize",
+    "docs_token_stats",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_fingerprint",
+    "docs_simhash",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+    "media_features",
+    "media_frame_sample",
+    "embedding_norms_pandas",
+    "docs_clean",
+    "docs_dedup_clusters",
+    "docs_word_positions",
+    "docs_corpus_prep",
+    "docs_bigram_freq",
+    "docs_train_split",
+    "docs_chunks",
+    "docs_lang_downsample",
+    "docs_contamination",
+    "docs_pack_sequences",
+    "pricing_summary",
+    "forecast_revenue_change",
+    "shipmode_priority_counts",
+    "top_orders_by_revenue",
+    "late_ship_priority_counts",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "regional_revenue",
+    "returned_item_customers",
+    "brand_bracket_revenue",
+    "brand_supplier_counts",
+    "dominant_event_types",
 )
 
 

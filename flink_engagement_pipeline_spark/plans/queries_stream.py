@@ -342,6 +342,136 @@ def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_committed(spark)
 
 
+@register(
+    "stream_outer_join_replay",
+    oracle="""
+SELECT c.user_id          AS user_id,
+       c.event_id         AS click_id,
+       c.ts               AS click_ts,
+       COALESCE(p.event_id, -1)                 AS purchase_id,
+       p.ts               AS purchase_ts,
+       p.value            AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 1 HOUR
+""",
+    doc=(
+        "Watermarked stream-stream LEFT OUTER interval join under the "
+        "driver's batch oracle — the null-emitting member of the "
+        "streaming-join family (Flink's interval join emits left-outer "
+        "nulls when the watermark proves no match can arrive; the "
+        "inner form is stream_join_replay). The events fixture "
+        "replays as batch 1; batch 2 carries two far-future sentinel "
+        "rows (one click, one purchase, distinct synthetic users so "
+        "they cannot join) advancing BOTH sides' watermarks past "
+        "every real click's match-window end; empty drain batches "
+        "then force the flush (outer emission lags the watermark "
+        "update by a micro-batch, the same lag the late-drop replay "
+        "pins for windows). The durable exactly-once sink therefore "
+        "holds every matched pair AS IT ARRIVED plus one "
+        "null-completed row per matchless click, and hash-matches "
+        "the batch LEFT interval join of the fixture. The unmatched "
+        "sentinel click never emits (its window never closes — "
+        "absent from sink and oracle alike). purchase_id is "
+        "COALESCEd to -1 in both dialects so the hasher never "
+        "compares engine-specific null-integer renderings; ts/value "
+        "nulls render as NaT/NaN identically. State stays bounded by "
+        "the same watermark that drives the null emission — the "
+        "100 TB property."
+    ),
+    tags=("streaming", "stream-stream-join", "outer-join", "watermark"),
+)
+def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from ..sources.tables import events_ts_is_nanos
+
+    tmp = tempfile.mkdtemp(prefix="stream_ssoj_")  # outlives the plan
+    events_dir = os.path.join(tmp, "events")
+    os.makedirs(events_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    os.symlink(src, os.path.join(events_dir, "a.parquet"))
+    # batch 2: one sentinel click + one sentinel purchase, 2h past
+    # max(ts) (past every click_ts + 1h match window), on distinct
+    # synthetic users so they can never join each other. JVM-side
+    # literal rows; integer-microsecond epoch math (see
+    # _sentinel_replay_dir for why).
+    ev = load_table(spark, sf_dir, "events")
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    late_us = max_us + 120 * 60 * 1_000_000
+    ts_col = (
+        F.lit(late_us * 1000).cast("long")
+        if events_ts_is_nanos(src)
+        else F.timestamp_micros(F.lit(late_us))
+    )
+    sentinel = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(eid).cast("long").alias("event_id"),
+                        ts_col.alias("ts"),
+                        F.lit(uid).cast("long").alias("user_id"),
+                        F.lit(etype).alias("event_type"),
+                        F.lit(None).cast("double").alias("value"),
+                        F.lit("{}").alias("props"),
+                    )
+                    for eid, uid, etype in (
+                        (-1, -1, "click"),
+                        (-2, -2, "purchase"),
+                    )
+                ]
+            )
+        )
+    )
+    stage = os.path.join(tmp, "stage")
+    sentinel.coalesce(1).write.parquet(stage)
+    (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+    now = _time.time()
+    sent = os.path.join(events_dir, "z-sentinel.parquet")
+    shutil.copy(part, sent)
+    os.utime(sent, (now + 60, now + 60))
+    # batches 3-4: empty drains — outer-row emission lags the
+    # watermark update, so the flush needs micro-batches AFTER the
+    # sentinel advanced it
+    stage_e = os.path.join(tmp, "stage_empty")
+    spark.read.parquet(src).limit(0).coalesce(1).write.parquet(stage_e)
+    (parte,) = _glob.glob(os.path.join(stage_e, "part-*.parquet"))
+    for i, name in enumerate(("zz-drain.parquet", "zzz-drain2.parquet")):
+        drain = os.path.join(events_dir, name)
+        shutil.copy(parte, drain)
+        os.utime(drain, (now + 120 + 60 * i, now + 120 + 60 * i))
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "8")
+    try:
+        run_stream_stream_join(
+            spark,
+            events_dir,
+            sink,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            how="left_outer",
+            max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(part_key, saved)
+    committed = sink.read_committed(spark)
+    # the sentinel click's own outer row must never have been flushed
+    return committed.select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        F.coalesce("purchase_id", F.lit(-1).cast("long")).alias("purchase_id"),
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 _SSN_GAP_MIN = 5
 
 

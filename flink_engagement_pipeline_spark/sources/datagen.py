@@ -145,3 +145,56 @@ def gen_events_stream(
         .load()
     )
     return rate.select(*_event_columns(F.col("value"), start_ts, rows_per_second))
+
+
+def gen_documents(
+    spark: SparkSession,
+    n: int,
+    vocab: int = 5000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """n deterministic synthetic documents with PLANTED duplicates,
+    for scale probes of the dedup/ANN family (the document-table
+    counterpart of ``gen_events``: every column is hash arithmetic on
+    the row id, so regeneration is idempotent at any partitioning).
+
+    Duplicate classes (per 20 consecutive ids): id%20==19 is an EXACT
+    copy of id-1's base text; id%20==9 is a NEAR duplicate of id-1
+    (one word mutated at a hash-picked position). Everything else is
+    an independent draw: 60-139 words uniform over a {vocab}-word
+    surrogate vocabulary, so unplanted 3-gram collisions are
+    negligible and the candidate stage's output is controlled by the
+    planting rate (10% near + 5% exact), not noise. The text builds
+    as ONE sequence/transform expression per row — no Python in the
+    row path, ~L interpreted lambda evaluations per doc (O(1) body;
+    generation is cached before any probe measures)."""
+    base = (
+        spark.range(0, n, numPartitions=partitions)
+        if partitions
+        else spark.range(n)
+    )
+    return base.selectExpr(
+        "id AS doc_id",
+        # base_id: the id whose word stream this doc copies
+        "CASE WHEN id % 20 IN (9, 19) AND id > 0 THEN id - 1 ELSE id END"
+        " AS _bid",
+    ).selectExpr(
+        "doc_id",
+        "60 + pmod(xxhash64(_bid, 11), 80) AS _len",
+        "_bid",
+    ).selectExpr(
+        "doc_id",
+        # near-dup: mutate one hash-picked position; exact dup: none
+        "CASE WHEN doc_id % 20 = 9 AND doc_id > 0"
+        "     THEN 1 + pmod(xxhash64(doc_id, 13), _len) ELSE -1 END AS _mut",
+        "_len",
+        "_bid",
+    ).selectExpr(
+        "doc_id",
+        f"""array_join(
+              transform(sequence(1, cast(_len AS int)), i ->
+                CASE WHEN i = _mut THEN concat('m', doc_id)
+                     ELSE concat('w', pmod(xxhash64(_bid, i, 7), {vocab}))
+                END),
+              ' ') AS text""",
+    )

@@ -292,13 +292,71 @@ def run_session_windowed(
     sink.close()
 
 
+def click_purchase_left_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream event-time LEFT OUTER join — the null-emitting
+    half of the interval-join family (Flink's interval join supports
+    outer variants; :func:`click_purchase_join` covers inner only):
+    every click row emits, paired with each purchase within one hour
+    after it, or once with NULL purchase fields if none arrives.
+
+    In streaming, an unmatched click is provably unmatched only when
+    the watermark passes the end of its match window (click_ts + 1h),
+    so outer null rows emit with that delay — and the emission is
+    driven by the SAME watermark that expires buffered state, which
+    is why the outer form stays bounded-state at 100 TB exactly like
+    the inner one. Matched rows emit as matches arrive, unchanged.
+
+    On batch frames this is the plain left interval join (withWatermark
+    is a no-op), so one code path serves the stream and the oracle.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_stream_stream_join(
-    spark: SparkSession, events_dir: str, sink: Sink, checkpoint_dir: str
+    spark: SparkSession,
+    events_dir: str,
+    sink: Sink,
+    checkpoint_dir: str,
+    how: str = "inner",
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drive the stream-stream join over the file-source stream: the
-    same source is filtered into two event-time streams and joined."""
-    ev = read_events_stream(spark, events_dir)
-    out = click_purchase_join(
+    same source is filtered into two event-time streams and joined
+    (``how``: "inner" or "left_outer"). The outer form needs
+    ``max_files_per_trigger=1`` so the watermark-advancing sentinel
+    and the drain files arrive as separate micro-batches."""
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger)
+    join_fn = (
+        click_purchase_join if how == "inner" else click_purchase_left_join
+    )
+    out = join_fn(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )

@@ -423,64 +423,57 @@ def test_gate_priority_window_covers_graded_surface():
     """The driver's correctness gate evaluates only the FIRST 50
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
-    plans/__init__.py). This pins the round-6 rotation: cumulative
-    coverage closed at 170/170 in round 5, so beyond the sentinels and
-    the three round-6 additions the window is a staleness re-proof
-    pass — ALL 32 queries whose last green driver row is round 2, then
-    the 9 oldest round-3-checked queries; the window's rows-only
-    residue is exactly the queries with no SQL-expressible oracle."""
+    plans/__init__.py). This pins the round-7 rotation: beyond the
+    sentinels and the four round-7 additions the window is the
+    staleness re-proof pass — the 2 remaining round-2-checked
+    queries, then the 38 oldest round-3-checked queries in registry
+    order; the window's rows-only residue is exactly the queries
+    with no SQL-expressible oracle. Window budget (policy note):
+    hop_engagement_sum stays the single multi-million-row output."""
     names = list(REGISTRY)
     window = names[:50]
     sentinels = [
         "enrich_events", "latest_per_key", "hop_engagement_sum",
         "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
     ]
-    new_in_r6: list[str] = [
-        # every query registered during round 6 MUST be appended here
+    new_in_r7: list[str] = [
+        # every query registered during round 7 MUST be appended here
         # (and to _PRIORITY) the round it is added, displacing one
         # backfill entry from the tail each
-        "cep_direct_purchase",
-        "docs_simhash_ingest",
-        "embedding_neardup_ingest",
-        "cep_session_conversion",
-        "stream_cep_replay",
-        "cep_engaged_conversion",
-        "embedding_mmr_rerank",
-        "stream_sketch_replay",
-        "embedding_mmr_batch",
-        "cumulate_engagement",
-        "window_topn",
-        "window_dedup",
-        "window_join",
-        "docs_bpe_merges",
+        "stream_outer_join_replay",
+        "docs_bpe_encode",
+        "embedding_ivf_ingest",
+        "docs_substring_dedup",
     ]
     r2_backfill = [
-        # last driver row: CORRECTNESS_r02.json (green; unchanged since,
-        # green in every local sweep) — the oldest-coverage block
-        "cube_returnflag_status", "promo_revenue", "ingest_kafka_payload",
-        "top_users_per_type", "events_from_buyers", "events_from_non_buyers",
-        "heavy_users", "user_value_median", "docs_tfidf",
-        "orders_events_interval_join", "conversion_funnel", "events_profile",
-        "part_string_functions", "orders_by_month", "embedding_array_ops",
-        "clickers_also_purchasing", "clickers_never_erroring",
-        "user_running_totals", "value_percentiles_exact",
-        "activity_union_all", "grouping_sets_engagement", "minute_rollup",
-        "hll_user_reach", "user_value_ranking", "minute_rollup_gapfill",
-        "event_stats_unpivot", "user_first_last_event", "value_histogram",
-        "value_moments_by_type", "user_trailing_7d_value",
-        # user_event_type_sets, lateral_top_users (r2-checked)
-        # displaced by the 13th-14th round-6 additions
+        # the last two queries whose most recent driver row is round 2
+        # (displaced from the round-6 window by its 13th-14th additions)
+        "user_event_type_sets", "lateral_top_users",
     ]
-    r3_backfill: list[str] = [
-        # the round-3-checked backfill block is fully displaced by this
-        # round's 14 [b] additions (docs_lang_id, docs_quality,
-        # docs_token_stats, cdc_materialize, events_dim_asof,
-        # events_asof_orders, session_windows, tumbling_stats,
-        # leaderboard_topk rotated out in displacement order); they
-        # remain covered by the local oracle suite and re-enter as
-        # oldest-coverage backfill next round
+    r3_backfill = [
+        # last driver row: CORRECTNESS_r03.json — the oldest-coverage
+        # block, registry order; 38 of 44 fit this round, the tail
+        # (nation_pair_trade, customer_order_distribution,
+        # top_revenue_supplier, lone_late_suppliers,
+        # idle_rich_customers, cheapest_supplier_per_part) re-enters
+        # as oldest-coverage backfill next round
+        "tumbling_stats", "leaderboard_topk", "session_windows",
+        "events_asof_orders", "events_dim_asof", "cdc_materialize",
+        "docs_token_stats", "docs_quality", "docs_lang_id",
+        "docs_fingerprint", "docs_simhash", "embedding_cosine_topk",
+        "embedding_near_dup", "media_features", "media_frame_sample",
+        "embedding_norms_pandas", "docs_clean", "docs_dedup_clusters",
+        "docs_word_positions", "docs_corpus_prep", "docs_bigram_freq",
+        "docs_train_split", "docs_chunks", "docs_lang_downsample",
+        "docs_contamination", "docs_pack_sequences", "pricing_summary",
+        "forecast_revenue_change", "shipmode_priority_counts",
+        "top_orders_by_revenue", "late_ship_priority_counts",
+        "small_quantity_revenue", "large_volume_customers",
+        "regional_revenue", "returned_item_customers",
+        "brand_bracket_revenue", "brand_supplier_counts",
+        "dominant_event_types",
     ]
-    expected = sentinels + new_in_r6 + r2_backfill + r3_backfill
+    expected = sentinels + new_in_r7 + r2_backfill + r3_backfill
     assert window == expected, (
         [n for n in expected if n not in window],
         [n for n in window if n not in expected],
@@ -489,9 +482,6 @@ def test_gate_priority_window_covers_graded_surface():
     assert rows_only == [
         "docs_minhash_pairs",   # xxhash64 MinHash (no SQL oracle);
                                 # recall-tested, portable twin oracled
-        "hll_user_reach",       # xxhash64 HLL; hll_portable_reach is
-                                # the oracled twin
-        "ingest_kafka_payload", # wire-format payload; payload pytest
     ], rows_only
 
 
