@@ -1211,13 +1211,17 @@ def substring_dup_coverage(docs: DataFrame, n: int) -> DataFrame:
     count, as in the paper.
 
     `docs` exposes (doc_id, text). Per doc: merged duplicated-interval
-    count, duplicated token coverage, coverage ratio. Plan: ONE corpus
-    scan (positional zip-shift grams hashed to longs), anchor document
-    frequency via count-over-window on the gram exchange (the
-    spill-safe docs_span_dedup pattern — no self-join), then the
-    gaps-and-islands running-max merge (user_active_coverage's
-    interval algebra on token offsets) — two windows + two
-    aggregations all riding ONE doc_id exchange. Registered as
+    count, duplicated token coverage, coverage ratio. Plan: the anchor
+    pipeline is one corpus scan (positional zip-shift grams hashed to
+    longs), anchor document frequency via count-over-window on the
+    gram exchange (the spill-safe docs_span_dedup pattern — no
+    self-join), then the gaps-and-islands running-max merge
+    (user_active_coverage's interval algebra on token offsets) — two
+    windows + two aggregations all riding ONE doc_id exchange. A
+    second corpus scan builds the all-docs roster with token counts
+    (zero-coverage docs must still report; deriving the roster from
+    the anchor stream would drop sub-anchor-length docs or skew the
+    gram exchange with a posexplode_outer null bucket). Registered as
     docs_substring_dedup with a full DuckDB oracle."""
     from .text import positional_grams
 

@@ -162,13 +162,18 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
         f"the paper. Per doc: merged duplicated-interval count, "
         f"duplicated token coverage, and coverage ratio — the "
         f"quantity the dedup policy thresholds on before cutting. "
-        f"Plan: ONE corpus scan (positional grams via the zip-shift "
-        f"device, hashed to longs), anchor df via count-over-window "
-        f"on the gram exchange (the spill-safe docs_span_dedup "
-        f"pattern — no self-join), then two windows + two "
-        f"aggregations all riding ONE doc_id exchange. At 100 TB "
-        f"this is the same two-shuffle budget as docs_span_dedup; "
-        f"the interval merge adds no exchange."
+        f"Plan (snapshot in PLANS.md): the anchor pipeline is one "
+        f"corpus scan (positional grams via the zip-shift device, "
+        f"hashed to longs), anchor df via count-over-window on the "
+        f"gram exchange (the spill-safe docs_span_dedup pattern — no "
+        f"self-join), then two windows + two aggregations all riding "
+        f"ONE doc_id exchange; a SECOND corpus scan builds the "
+        f"doc roster with token counts (docs below the anchor length "
+        f"must still report zero coverage — deriving the roster from "
+        f"the anchor stream would either drop them or force a "
+        f"posexplode_outer null bucket that skews the gram exchange). "
+        f"Two scans + two shuffles total; the interval merge adds no "
+        f"exchange."
     ),
     tags=("llm", "dedup", "substring", "interval-algebra"),
 )

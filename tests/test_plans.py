@@ -1392,3 +1392,42 @@ def test_cumulate_single_exchange(spark, sf_dir):
     HashPartitioning(key)."""
     plan = _plan(spark, sf_dir, "cumulate_engagement")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_plan_snapshots_no_drift(spark):
+    """Round-7 ask #7: the mechanical claim-vs-plan divergence check
+    (tools/gen_plans.py --diff) runs IN the suite over the full
+    expanded snapshot set — every bench=True headline query plus the
+    flagship operator list. A skeleton change (operator added,
+    removed, or moved; expression-id/path/statistic churn is
+    normalized away) fails here until PLANS.md is regenerated with an
+    intended-change rationale in the commit. This is the guard that
+    would have caught the round-5 bucketed-join divergence
+    everywhere it matters, not just where a hand-written audit
+    existed. Heaviest test in the suite after the oracle sweep: it
+    builds every snapshotted plan at sf0.01 (iterative trainers pay
+    their metadata-sized driver jobs once; the trainer memos make
+    repeats cheap)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_plans", os.path.join(root, "tools", "gen_plans.py")
+    )
+    gp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gp)
+
+    generated = gp.generate_plans(spark)
+    committed = gp.parse_plans_md(os.path.join(root, "PLANS.md"))
+    missing = [n for n in generated if n not in committed]
+    assert missing == [], f"no committed snapshot for {missing}"
+    drifted = [
+        n
+        for n, plan in generated.items()
+        if gp.skeleton(committed[n]) != gp.skeleton(plan)
+    ]
+    assert drifted == [], (
+        f"plan skeleton drift in {drifted} — run tools/gen_plans.py "
+        "--diff, decide intended-vs-regression, regenerate if intended"
+    )
