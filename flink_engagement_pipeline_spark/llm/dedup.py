@@ -32,6 +32,26 @@ from .text import fingerprint_md5, normalize, shingles, words
 # --------------------------------------------------------------------------
 
 
+def _semi_prune(tbl: DataFrame, ids: DataFrame, key: str = "doc_id") -> DataFrame:
+    """LEFT-SEMI prune a (doc_id, payload) table to a broadcast
+    candidate-id set BEFORE a payload-carrying verify join.
+
+    Why: an exact-verify join keyed on doc_id looks candidate-bounded,
+    but the PLANNER sizes the payload side first — without the prune
+    it shuffles every document's shingle array into the join (round-7
+    scaling probe: 3.35 GB shuffled at 1M docs for a 97k-pair verify),
+    and AQE's broadcast conversion arrives only after the map-side
+    write is paid. The broadcast semi-join filters the payload at the
+    scan, so only candidate rows ever serialize. At corpus sizes
+    where the candidate id set itself outgrows broadcast, replace the
+    explicit broadcast with Spark's runtime bloom-filter join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) — identical
+    intent, approximate pre-filter plus the exact join. Shared by the
+    text-dedup verifies here and the embedding near-dup verifies in
+    llm/similarity.py (key="vec_id")."""
+    return tbl.join(F.broadcast(ids), key, "leftsemi")
+
+
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     """Group documents by md5(normalized text): survivor (min doc_id) +
     multiplicity per distinct content."""
@@ -533,9 +553,27 @@ def portable_minhash_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact verify on candidates only (arrays ride a doc_id equi-join)
-    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # The candidate pair set is MATERIALIZED once (localCheckpoint —
+    # the iterative-algorithm discipline connected_components already
+    # uses; candidates are pairs-sized, metadata next to the corpus),
+    # then the shingle tables are SEMI-PRUNED to the exact per-side
+    # candidate id sets before the verify join ships any array
+    # payload. Round-7 scaling probe, 1M docs: the unpruned join
+    # shuffled the ENTIRE corpus's shingle arrays (3.35 GB vs the
+    # candidate stage's 262 MB) because the planner sizes the array
+    # side first and AQE's broadcast conversion lands only after the
+    # map-side write is paid; pruning lazily from the pair subtree
+    # re-ran the band aggregation per id branch (40.6 -> 66.6 s),
+    # and a window-count id branch re-ran the signature pipeline
+    # (77.9 s) — the checkpoint form pays the candidate computation
+    # exactly once and reads the id sets from its tiny output.
+    cand = cand.localCheckpoint()
+    sa = _semi_prune(
+        base, cand.select(F.col("doc_a").alias("doc_id")).distinct()
+    ).select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = _semi_prune(
+        base, cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    ).select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -848,13 +886,27 @@ def dedup_e2e(
     sh = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", shingles("text", n).alias("shs")
     )
+    # candidates materialized once, verify sides semi-pruned to the
+    # exact per-side id sets (see portable_minhash_pairs for the
+    # measured three-way A/B behind this form)
+    cand = cand.localCheckpoint()
+    sh_a = _semi_prune(
+        sh, cand.select(F.col("doc_a").alias("doc_id")).distinct()
+    )
+    sh_b = _semi_prune(
+        sh, cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    )
     verified = (
         cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")),
+            sh_a.select(
+                F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+            ),
             "doc_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")),
+            sh_b.select(
+                F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+            ),
             "doc_b",
         )
         .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
@@ -922,8 +974,18 @@ def incremental_minhash_dedup(
             "doc_id", shingles("text", n).alias("sh")
         )
     )
+    # candidates materialized once (localCheckpoint, pairs-sized),
+    # then the corpus-side verify read is semi-pruned to the exact
+    # dup_of id set — this IS the "id-keyed read of candidates only"
+    # the ingest contract promises (see _semi_prune; unpruned, the
+    # join shuffled every corpus document's arrays at the 1M-doc
+    # probe scale). The batch side stays unpruned: batch-sized IS
+    # the ingest contract.
+    cand = cand.localCheckpoint()
     a = sh_new.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
-    b = sh_all.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b"))
+    b = _semi_prune(
+        sh_all, cand.select(F.col("dup_of").alias("doc_id")).distinct()
+    ).select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -1000,10 +1062,16 @@ def incremental_portable_ingest(
         .distinct()
     )
     sh_all = base_new.unionByName(portable_base(corpus_docs, n))
+    # candidates materialized once, corpus-side verify read
+    # semi-pruned to the exact dup_of id set (see the xxhash64
+    # ingest above and portable_minhash_pairs for the measured
+    # rationale) — the id-keyed candidates-only corpus read the
+    # ingest contract states
+    cand = cand.localCheckpoint()
     a = base_new.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
-    b = sh_all.select(
-        F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b")
-    )
+    b = _semi_prune(
+        sh_all, cand.select(F.col("dup_of").alias("doc_id")).distinct()
+    ).select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

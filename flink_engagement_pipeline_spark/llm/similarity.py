@@ -439,31 +439,39 @@ NEARDUP_TABLES = 16
 NEARDUP_PLANES = 8  # bits per table; p_bit(cos .9)=.856 -> recall ~.93/8bits*16tables
 
 
-def _neardup_planes() -> np.ndarray:
+def _neardup_planes(
+    tables: int = NEARDUP_TABLES, planes: int = NEARDUP_PLANES
+) -> np.ndarray:
     """The fixed hyperplane family (pinned seed): both the Spark
     bucket expression and the DuckDB oracle are generated from this
     ONE array, so the two dialects cannot drift — the portable-MinHash
-    coefficient discipline applied to hyperplane LSH."""
-    return np.random.default_rng(11).standard_normal(
-        (NEARDUP_TABLES * NEARDUP_PLANES, DIM)
-    )
+    coefficient discipline applied to hyperplane LSH. The default
+    (16, 8) geometry is the oracle-pinned registry configuration;
+    non-default geometries (same seed, larger draw) exist for scale
+    probes — bits per table must grow ~log2(n) to keep per-bucket
+    occupancy (and so the candidate join) bounded as the corpus
+    grows, which is the documented scale knob for this operator."""
+    return np.random.default_rng(11).standard_normal((tables * planes, DIM))
 
 
-_NEARDUP_TABLES_SQL: str | None = None
+_NEARDUP_TABLES_SQL: dict = {}
 
 
-def _neardup_tables_sql() -> str:
-    """Spark-side (table, bucket) explode for all 16 hyperplane
-    tables, as ONE parsed SQL string, not 128 x 64 Python-built F.lit
-    nodes: the loop form paid ~8 s of py4j/driver time PER PLAN BUILD
-    (the registry's worst). `!r` float literals with the D suffix
-    round-trip to the identical IEEE doubles F.lit produced, and the
-    fold mirrors _dot, so the buckets (and the recall pytest) are
-    unchanged. Memoized: the string itself costs ~100 ms of repr()."""
-    global _NEARDUP_TABLES_SQL
-    if _NEARDUP_TABLES_SQL is not None:
-        return _NEARDUP_TABLES_SQL
-    planes = _neardup_planes()
+def _neardup_tables_sql(
+    tables: int = NEARDUP_TABLES, planes: int = NEARDUP_PLANES
+) -> str:
+    """Spark-side (table, bucket) explode for the hyperplane tables,
+    as ONE parsed SQL string, not tables x planes x 64 Python-built
+    F.lit nodes: the loop form paid ~8 s of py4j/driver time PER PLAN
+    BUILD (the registry's worst). `!r` float literals with the D
+    suffix round-trip to the identical IEEE doubles F.lit produced,
+    and the fold mirrors _dot, so the buckets (and the recall pytest)
+    are unchanged. Memoized per geometry: the string itself costs
+    ~100 ms of repr()."""
+    key = (tables, planes)
+    if key in _NEARDUP_TABLES_SQL:
+        return _NEARDUP_TABLES_SQL[key]
+    w_all = _neardup_planes(tables, planes)
 
     def dot_sql(w) -> str:
         arr = "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")"
@@ -474,31 +482,88 @@ def _neardup_tables_sql() -> str:
 
     def bucket_sql(t: int) -> str:
         return " + ".join(
-            f"((CASE WHEN {dot_sql(planes[t * NEARDUP_PLANES + j])} > 0"
+            f"((CASE WHEN {dot_sql(w_all[t * planes + j])} > 0"
             f" THEN 1 ELSE 0 END) * {1 << j})"
-            for j in range(NEARDUP_PLANES)
+            for j in range(planes)
         )
 
-    _NEARDUP_TABLES_SQL = (
+    out = (
         "explode(array("
         + ",".join(
-            f"named_struct('t', {t}, 'bucket', ({bucket_sql(t)}))"
-            for t in range(NEARDUP_TABLES)
+            f"named_struct('t', {t}, 'bucket', (cast({bucket_sql(t)} as bigint)))"
+            for t in range(tables)
         )
         + "))"
     )
-    return _NEARDUP_TABLES_SQL
+    _NEARDUP_TABLES_SQL[key] = out
+    return out
 
 
-def neardup_index(emb: DataFrame) -> DataFrame:
+def neardup_index(
+    emb: DataFrame,
+    tables: int = NEARDUP_TABLES,
+    planes: int = NEARDUP_PLANES,
+    impl: str = "catalyst",
+) -> DataFrame:
     """The persistable hyperplane-LSH index of an embedding corpus:
-    (vec_id, t, bucket) — 16 rows per vector, 3 small integer/long
-    columns. This is the ONLY corpus-side input incremental near-dup
-    ingest needs for candidate generation; raw vectors are read
-    id-keyed for exact verification of candidates only."""
-    return emb.select(
-        F.col("vec_id"), F.expr(_neardup_tables_sql()).alias("tb")
-    ).select("vec_id", "tb.t", "tb.bucket")
+    (vec_id, t, bucket) — `tables` rows per vector, 3 small
+    integer/long columns. This is the ONLY corpus-side input
+    incremental near-dup ingest needs for candidate generation; raw
+    vectors are read id-keyed for exact verification of candidates
+    only. Non-default geometries serve the scale probes (bits grow
+    with log2(n)); the registry queries pin the (16, 8) default whose
+    literals the oracles replicate.
+
+    ``impl``: "catalyst" (default) evaluates the plane dots as the
+    literal SQL fold the DuckDB oracles replicate bit-for-bit —
+    exact, but higher-order-function lambdas run INTERPRETED per
+    element, and past ~128 total planes Janino refuses the generated
+    code anyway, so large probe geometries crawl (measured: 168 s
+    for 1M x 320 planes). "pandas" computes the same sign buckets as
+    ONE Arrow-batched numpy matmul per batch ((rows x dim) @ (dim x
+    tables*planes) — the BLAS path), bit-identical for sign purposes
+    away from the measure-zero boundary dot==0.0 (numpy sums in a
+    different order than the sequential fold; the probe corpus
+    verifies the two impls produce identical buckets). The oracled
+    registry queries stay on "catalyst"; "pandas" is the documented
+    100 TB path once geometry outgrows literal expressions."""
+    if impl == "catalyst":
+        return emb.select(
+            F.col("vec_id"),
+            F.expr(_neardup_tables_sql(tables, planes)).alias("tb"),
+        ).select("vec_id", "tb.t", "tb.bucket")
+    if impl != "pandas":
+        raise ValueError(f"unknown neardup_index impl {impl!r}")
+    import pandas as pd
+
+    w = _neardup_planes(tables, planes)  # (tables*planes, DIM)
+    wt = w.T.copy()  # (DIM, tables*planes)
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            signs = (mat @ wt) > 0  # (rows, tables*planes)
+            bits = signs.reshape(len(pdf), tables, planes)
+            buckets = (bits * weights).sum(axis=2)  # (rows, tables)
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), tables
+                    ),
+                    "t": np.tile(
+                        np.arange(tables, dtype=np.int32), len(pdf)
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+            yield out
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, t int, bucket long"
+    )
 
 
 def incremental_neardup_ingest(
@@ -506,6 +571,9 @@ def incremental_neardup_ingest(
     corpus_index: DataFrame,
     corpus_emb: DataFrame,
     threshold: float = 0.9,
+    tables: int = NEARDUP_TABLES,
+    planes: int = NEARDUP_PLANES,
+    impl: str = "catalyst",
 ) -> DataFrame:
     """Incremental embedding near-dup ingest: screen a NEW batch of
     vectors against a persisted corpus bucket index (`neardup_index`,
@@ -523,7 +591,7 @@ def incremental_neardup_ingest(
     ordering. Returns (vec_id, dup_of, cosine) for every >= threshold
     match of a new vector against corpus + batch.
     """
-    new_idx = neardup_index(new_emb)
+    new_idx = neardup_index(new_emb, tables, planes, impl)
     all_idx = corpus_index.unionByName(new_idx)
     cand = (
         new_idx.alias("a")
@@ -539,19 +607,34 @@ def incremental_neardup_ingest(
         )
         .distinct()
     )
-    va = new_emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("e_a")
-    )
+    # candidates materialized once, corpus-side vector read semi-pruned
+    # to the exact dup_of id set (round-7 probe discipline, see
+    # llm/dedup.py:_semi_prune — unpruned, the verify join shuffles
+    # every corpus vector); the batch side stays batch-sized by the
+    # ingest contract
+    from .dedup import _semi_prune
+
+    cand = cand.localCheckpoint()
+    # vectors ride the verify joins as raw array<float> and widen to
+    # double only INSIDE the cosine — float->double widening is exact,
+    # so the result is bit-identical, and the join-intermediate
+    # shuffle (candidate pairs x vector payload, the verify's
+    # dominant cost at scale — see near_dup_pairs) is halved
+    va = new_emb.select("vec_id", F.col("embedding").alias("e_a"))
     all_vecs = new_emb.select("vec_id", "embedding").unionByName(
         corpus_emb.select("vec_id", "embedding")
     )
-    vb = all_vecs.select(
+    vb = _semi_prune(
+        all_vecs,
+        cand.select(F.col("dup_of").alias("vec_id")).distinct(),
+        "vec_id",
+    ).select(
         F.col("vec_id").alias("dup_of"),
-        _as_double(F.col("embedding")).alias("e_b"),
+        F.col("embedding").alias("e_b"),
     )
-    cos = _dot(F.col("e_a"), F.col("e_b")) / (
-        F.sqrt(_dot(F.col("e_a"), F.col("e_a")))
-        * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
+    ea, eb = _as_double(F.col("e_a")), _as_double(F.col("e_b"))
+    cos = _dot(ea, eb) / (
+        F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb))
     )
     return (
         cand.join(va, "vec_id")
@@ -614,7 +697,13 @@ WHERE cosine >= {threshold}
 """
 
 
-def near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    tables: int = NEARDUP_TABLES,
+    planes: int = NEARDUP_PLANES,
+    impl: str = "catalyst",
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: cosine(a, b) >= threshold.
 
     Candidate generation is multi-table random-hyperplane LSH: 16
@@ -624,27 +713,39 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     cos=0.95). Candidates then pass an *exact* cosine filter, so
     precision is 1.0 by construction — only recall is approximate.
 
-    Plan: one narrow projection computes all 128 sign bits, explodes to
-    (table, bucket) carrying the vector; one equi-join on (table,
-    bucket) with doc-id ordering; exact verify; pair-distinct. No
-    all-pairs comparison ever happens — this is the shape that survives
-    a 1B-vector corpus, unlike the brute-force oracle SQL (which is the
-    correctness baseline only).
+    Plan (re-shaped by the round-7 scaling probe, then corrected by
+    its per-stage shuffle breakdown): the bucket equi-join runs over
+    the NARROW index only (vec_id, t, bucket — ~20 bytes/row), never
+    carrying vectors; the distinct candidate pairs are materialized
+    once (localCheckpoint, pairs-sized — the same discipline as the
+    MinHash verify, llm/dedup.py:_semi_prune); exact cosine reads
+    vectors id-keyed for candidates only through a broadcast
+    semi-prune, riding the joins as raw array<float> and widening to
+    double inside the cosine. What the probe's stage breakdown
+    taught: at the occupancy-preserving geometry (bits = log2 n) the
+    EXPECTED candidate count is ~n*tables/2 random collisions
+    (C(n,2)/2^bits per table — linear in n, but ~7.7M pairs at n=1M),
+    so the verify's join intermediate (pairs x vector payload,
+    re-shuffled for the second id join) dominates total shuffle, NOT
+    the bucket join — the earlier vectors-through-the-bucket-join
+    form cost the same total bytes because both were ~pairs x vector
+    width. Payload width is therefore the lever (float halves it);
+    raising bits above log2 n cuts the noise-pair count
+    quadratically when the collision budget, not occupancy, binds.
+    No all-pairs comparison ever happens — this is the shape that
+    survives a 1B-vector corpus, unlike the brute-force oracle SQL
+    (which is the correctness baseline only).
 
     The driver fixtures are i.i.d. random vectors (measured max
     pairwise cosine ~0.51 at sf0.01), so this returns 0 rows on them at
     any honest near-dup threshold — the recall property is proven on
     planted near-dup clusters in tests/test_llm_ops.py instead.
     """
-    bucketed = emb.select(
-        F.col("vec_id"), F.col("embedding"), F.expr(_neardup_tables_sql()).alias("tb")
-    ).select("vec_id", "embedding", "tb.t", "tb.bucket")
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cos = _dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding"))) / (
-        F.sqrt(_dot(_as_double(F.col("a.embedding")), _as_double(F.col("a.embedding"))))
-        * F.sqrt(_dot(_as_double(F.col("b.embedding")), _as_double(F.col("b.embedding"))))
-    )
-    return (
+    from .dedup import _semi_prune
+
+    idx = neardup_index(emb, tables, planes, impl)
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
@@ -654,11 +755,32 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
         )
+        .distinct()
+        .localCheckpoint()
+    )
+    # vectors ride the verify joins as raw array<float> (half the
+    # bytes of the double cast) and widen to double only inside the
+    # cosine — float->double widening is exact, so the result is
+    # bit-identical; the join intermediate (candidate pairs x vector
+    # payload, re-shuffled for the second id join) is the verify's
+    # dominant shuffle at scale, so payload width is THE lever
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+    va = _semi_prune(
+        vecs, cand.select(F.col("vec_a").alias("vec_id")).distinct(), "vec_id"
+    ).select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = _semi_prune(
+        vecs, cand.select(F.col("vec_b").alias("vec_id")).distinct(), "vec_id"
+    ).select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    va_d, vb_d = _as_double(F.col("v_a")), _as_double(F.col("v_b"))
+    cos = _dot(va_d, vb_d) / (
+        F.sqrt(_dot(va_d, va_d)) * F.sqrt(_dot(vb_d, vb_d))
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .groupBy("vec_a", "vec_b")
-        .agg(F.first("cosine").alias("cosine"))
     )
 
 

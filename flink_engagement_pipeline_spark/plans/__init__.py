@@ -51,13 +51,13 @@ from . import queries_ext5  # noqa: F401,E402
 #       Top-N/dedup/join, BPE merge training) + 30 of the 32
 #       round-2-checked backfills (CORRECTNESS_r06.json: 47 hash +
 #       3 rows-only, 0 err);
-#   round 7 (this list): sentinels + the 4 round-7 additions
-#       (stream-stream LEFT OUTER interval join, BPE encode,
-#       incremental IVF ingest, exact-substring dedup coverage) +
-#       the 2 remaining round-2-checked queries + the 38 oldest
-#       round-3-checked queries in registry order (through
-#       dominant_event_types; the 6 TPC-H-block stragglers from
-#       nation_pair_trade on re-enter next round). Window budget
+#   round 7 (this list): sentinels + the 5 round-7 additions
+#       (stream-stream LEFT OUTER + FULL OUTER interval joins, BPE
+#       encode, incremental IVF ingest, exact-substring dedup
+#       coverage) + the 2 remaining round-2-checked queries + the 37
+#       oldest round-3-checked queries in registry order (through
+#       brand_supplier_counts; the 7 TPC-H-block stragglers from
+#       dominant_event_types on re-enter next round). Window budget
 #       honored: hop_engagement_sum stays the single
 #       multi-million-row output in-window.
 #
@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "docs_bpe_encode",
     "embedding_ivf_ingest",
     "docs_substring_dedup",
+    "stream_full_outer_join_replay",
     # -- [c] backfill: oldest driver coverage first — the 2 remaining
     # round-2-checked queries, then the round-3-checked block in
     # registry order (38 of 44 fit; the tail re-enters next round) --
@@ -121,7 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "returned_item_customers",
     "brand_bracket_revenue",
     "brand_supplier_counts",
-    "dominant_event_types",
+    # dominant_event_types displaced by the 5th round-7 addition
+    # (stream_full_outer_join_replay); re-enters next round
 )
 
 

@@ -384,22 +384,42 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
     tags=("streaming", "stream-stream-join", "outer-join", "watermark"),
 )
 def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_ssoj_")  # outlives the plan
+    committed = _run_outer_join_replay(spark, sf_dir, tmp, how="left_outer")
+    # the sentinel click's own outer row must never have been flushed
+    return committed.select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        F.coalesce("purchase_id", F.lit(-1).cast("long")).alias("purchase_id"),
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def _run_outer_join_replay(
+    spark: SparkSession, sf_dir: str, tmp: str, how: str
+) -> DataFrame:
+    """Shared replay device for the outer stream-stream joins: the
+    fixture as batch 1; one sentinel click + one sentinel purchase
+    (2h past max(ts) — past every [0, 1h) match window — on distinct
+    synthetic users so they can never join each other) as batch 2,
+    advancing BOTH sides' watermarks; two empty drain batches forcing
+    the lagged outer-row flush (emission trails the watermark update
+    by a micro-batch; the second drain covers the state-cleanup
+    batch). Sentinel rows are JVM-side literals with
+    integer-microsecond epoch math (see _sentinel_replay_dir for
+    why). Returns the committed exactly-once sink contents."""
     import glob as _glob
     import shutil
     import time as _time
 
     from ..sources.tables import events_ts_is_nanos
 
-    tmp = tempfile.mkdtemp(prefix="stream_ssoj_")  # outlives the plan
     events_dir = os.path.join(tmp, "events")
     os.makedirs(events_dir)
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     os.symlink(src, os.path.join(events_dir, "a.parquet"))
-    # batch 2: one sentinel click + one sentinel purchase, 2h past
-    # max(ts) (past every click_ts + 1h match window), on distinct
-    # synthetic users so they can never join each other. JVM-side
-    # literal rows; integer-microsecond epoch math (see
-    # _sentinel_replay_dir for why).
     ev = load_table(spark, sf_dir, "events")
     max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
     late_us = max_us + 120 * 60 * 1_000_000
@@ -435,9 +455,6 @@ def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sent = os.path.join(events_dir, "z-sentinel.parquet")
     shutil.copy(part, sent)
     os.utime(sent, (now + 60, now + 60))
-    # batches 3-4: empty drains — outer-row emission lags the
-    # watermark update, so the flush needs micro-batches AFTER the
-    # sentinel advanced it
     stage_e = os.path.join(tmp, "stage_empty")
     spark.read.parquet(src).limit(0).coalesce(1).write.parquet(stage_e)
     (parte,) = _glob.glob(os.path.join(stage_e, "part-*.parquet"))
@@ -455,16 +472,53 @@ def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             events_dir,
             sink,
             checkpoint_dir=os.path.join(tmp, "ckpt"),
-            how="left_outer",
+            how=how,
             max_files_per_trigger=1,
         )
     finally:
         spark.conf.set(part_key, saved)
-    committed = sink.read_committed(spark)
-    # the sentinel click's own outer row must never have been flushed
+    return sink.read_committed(spark)
+
+
+@register(
+    "stream_full_outer_join_replay",
+    oracle="""
+SELECT COALESCE(c.user_id, p.user_id)            AS user_id,
+       COALESCE(c.event_id, -1)                  AS click_id,
+       c.ts                                      AS click_ts,
+       COALESCE(p.event_id, -1)                  AS purchase_id,
+       p.ts                                      AS purchase_ts,
+       p.value                                   AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 1 HOUR
+""",
+    doc=(
+        "Watermarked stream-stream FULL OUTER interval join under the "
+        "driver's batch oracle — completing the streaming interval-"
+        "join family (inner: stream_join_replay; left outer: "
+        "stream_outer_join_replay): clicks x purchases within "
+        "[0, 1h), with BOTH sides null-completed when the watermark "
+        "proves no partner can arrive (an unmatched purchase's match "
+        "window is [p_ts - 1h, p_ts], so the same watermark horizon "
+        "bounds both emission and state). Same replay device as the "
+        "left-outer form: fixture, two non-joinable far-future "
+        "sentinels advancing both watermarks, two empty drains to "
+        "flush the lagged outer emissions; the sentinels' own outer "
+        "rows never flush (no later watermark advance exists) and are "
+        "absent from sink and oracle alike. Both id columns COALESCE "
+        "to -1 in both dialects for engine-portable null hashing."
+    ),
+    tags=("streaming", "stream-stream-join", "outer-join", "watermark"),
+)
+def q_stream_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_ssfj_")  # outlives the plan
+    committed = _run_outer_join_replay(spark, sf_dir, tmp, how="full_outer")
     return committed.select(
         "user_id",
-        "click_id",
+        F.coalesce("click_id", F.lit(-1).cast("long")).alias("click_id"),
         "click_ts",
         F.coalesce("purchase_id", F.lit(-1).cast("long")).alias("purchase_id"),
         "purchase_ts",

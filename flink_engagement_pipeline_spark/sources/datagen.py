@@ -198,3 +198,45 @@ def gen_documents(
                 END),
               ' ') AS text""",
     )
+
+
+def gen_embeddings(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    partitions: int | None = None,
+) -> DataFrame:
+    """n deterministic synthetic embeddings with PLANTED near
+    duplicates, for scale probes of the ANN/near-dup family
+    (companion to ``gen_documents``; same idempotent hash-arithmetic
+    contract).
+
+    Per 20 consecutive ids: id%20==19 is an EXACT copy of id-1's
+    vector (cosine 1.0); id%20==9 copies id-1 with one hash-picked
+    dimension nudged by +0.05 (cosine ~0.999 — a near duplicate at
+    any honest threshold). All other vectors are independent uniform
+    [-1, 1) draws, whose pairwise cosines concentrate near 0 at
+    dim=64, so candidate generation is dominated by planting, not
+    noise. Schema matches the fixture: (vec_id, embedding
+    array<float>)."""
+    base = (
+        spark.range(0, n, numPartitions=partitions)
+        if partitions
+        else spark.range(n)
+    )
+    return base.selectExpr(
+        "id AS vec_id",
+        "CASE WHEN id % 20 IN (9, 19) AND id > 0 THEN id - 1 ELSE id END"
+        " AS _bid",
+    ).selectExpr(
+        "vec_id",
+        "CASE WHEN vec_id % 20 = 9 AND vec_id > 0"
+        f"     THEN pmod(xxhash64(vec_id, 29), {dim}) ELSE -1 END AS _mut",
+        "_bid",
+    ).selectExpr(
+        "vec_id",
+        f"""cast(transform(sequence(0, {dim - 1}), d ->
+              (pmod(xxhash64(_bid, d, 23), 2000001) - 1000000) / 1e6
+              + CASE WHEN d = _mut THEN 0.05D ELSE 0.0D END)
+            AS array<float>) AS embedding""",
+    )

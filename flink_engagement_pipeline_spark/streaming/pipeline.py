@@ -293,22 +293,29 @@ def run_session_windowed(
 
 
 def click_purchase_left_join(
-    clicks: DataFrame, purchases: DataFrame, watermark: str = DEFAULT_WATERMARK
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    how: str = "leftOuter",
 ) -> DataFrame:
-    """Stream-stream event-time LEFT OUTER join — the null-emitting
-    half of the interval-join family (Flink's interval join supports
-    outer variants; :func:`click_purchase_join` covers inner only):
-    every click row emits, paired with each purchase within one hour
-    after it, or once with NULL purchase fields if none arrives.
+    """Stream-stream event-time OUTER join — the null-emitting half
+    of the interval-join family (Flink's interval join supports outer
+    variants; :func:`click_purchase_join` covers inner only): every
+    click row emits, paired with each purchase within one hour after
+    it, or once with NULL purchase fields if none arrives. With
+    ``how="fullOuter"`` the right side is null-completed symmetrically
+    (a purchase no click preceded emits with NULL click fields).
 
     In streaming, an unmatched click is provably unmatched only when
     the watermark passes the end of its match window (click_ts + 1h),
     so outer null rows emit with that delay — and the emission is
     driven by the SAME watermark that expires buffered state, which
-    is why the outer form stays bounded-state at 100 TB exactly like
-    the inner one. Matched rows emit as matches arrive, unchanged.
+    is why the outer forms stay bounded-state at 100 TB exactly like
+    the inner one (an unmatched purchase's window is [p_ts - 1h,
+    p_ts], so its null row needs only the same horizon). Matched rows
+    emit as matches arrive, unchanged.
 
-    On batch frames this is the plain left interval join (withWatermark
+    On batch frames this is the plain outer interval join (withWatermark
     is a no-op), so one code path serves the stream and the oracle.
     """
     c = clicks.select(
@@ -327,10 +334,10 @@ def click_purchase_left_join(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
-        "leftOuter",
+        how,
     )
     return joined.select(
-        F.col("c_user").alias("user_id"),
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         "click_id",
         "click_ts",
         "purchase_id",
@@ -349,17 +356,20 @@ def run_stream_stream_join(
 ) -> None:
     """Drive the stream-stream join over the file-source stream: the
     same source is filtered into two event-time streams and joined
-    (``how``: "inner" or "left_outer"). The outer form needs
-    ``max_files_per_trigger=1`` so the watermark-advancing sentinel
-    and the drain files arrive as separate micro-batches."""
+    (``how``: "inner", "left_outer" or "full_outer"). The outer forms
+    need ``max_files_per_trigger=1`` so the watermark-advancing
+    sentinel and the drain files arrive as separate micro-batches."""
     ev = read_events_stream(spark, events_dir, max_files_per_trigger)
-    join_fn = (
-        click_purchase_join if how == "inner" else click_purchase_left_join
-    )
-    out = join_fn(
-        ev.filter(F.col("event_type") == "click"),
-        ev.filter(F.col("event_type") == "purchase"),
-    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    if how == "inner":
+        out = click_purchase_join(clicks, purchases)
+    else:
+        out = click_purchase_left_join(
+            clicks,
+            purchases,
+            how="fullOuter" if how == "full_outer" else "leftOuter",
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         sink.write_batch(batch_df, batch_id)

@@ -1,6 +1,6 @@
 """Round-7 additions: BPE encode (trainer->apply loop), incremental
 IVF index maintenance, exact-substring duplicate coverage, and the
-stream-stream LEFT OUTER interval join.
+stream-stream LEFT OUTER and FULL OUTER interval joins.
 
 Each registered query is also swept against its DuckDB oracle by
 tests/test_registry_oracle.py; the tests here pin the semantics the
@@ -241,3 +241,75 @@ def test_stream_outer_join_emits_null_rows(spark, sf_dir):
         str(r["purchase_value"]),
     )
     assert sorted(map(key, got)) == sorted(map(key, batch.collect()))
+
+
+def test_stream_full_outer_join_emits_both_null_sides(spark, sf_dir):
+    """The full-outer replay must null-complete BOTH sides (purchases
+    with no preceding click emit with click_id == -1 — the emission
+    the left-outer form cannot produce) and agree with the batch full
+    outer interval join row-for-row."""
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+    from flink_engagement_pipeline_spark.streaming.pipeline import (
+        click_purchase_left_join,
+    )
+
+    got = (
+        REGISTRY["stream_full_outer_join_replay"].spark(spark, sf_dir).collect()
+    )
+    left_nulls = [r for r in got if r["purchase_id"] == -1]
+    right_nulls = [r for r in got if r["click_id"] == -1]
+    assert left_nulls, "no matchless clicks emitted"
+    assert right_nulls, "no matchless purchases emitted"
+    for r in right_nulls:
+        assert r["click_ts"] is None and r["user_id"] is not None
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = click_purchase_left_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="fullOuter",
+    ).select(
+        "user_id",
+        F.coalesce("click_id", F.lit(-1).cast("long")).alias("click_id"),
+        "click_ts",
+        F.coalesce("purchase_id", F.lit(-1).cast("long")).alias(
+            "purchase_id"
+        ),
+        "purchase_ts",
+        "purchase_value",
+    )
+    key = lambda r: (  # noqa: E731
+        r["user_id"],
+        r["click_id"],
+        str(r["click_ts"]),
+        r["purchase_id"],
+        str(r["purchase_ts"]),
+        str(r["purchase_value"]),
+    )
+    assert sorted(map(key, got)) == sorted(map(key, batch.collect()))
+
+
+def test_neardup_index_pandas_impl_matches_catalyst(spark):
+    """The Arrow-batched numpy-matmul bucket projection (the
+    documented scale path once the hyperplane geometry outgrows
+    literal Catalyst expressions) must produce IDENTICAL (vec_id, t,
+    bucket) rows to the oracle-pinned Catalyst fold — at the registry
+    default (16x8) and at a probe geometry (4x14)."""
+    from flink_engagement_pipeline_spark.llm import similarity as ls
+    from flink_engagement_pipeline_spark.sources.datagen import (
+        gen_embeddings,
+    )
+
+    emb = gen_embeddings(spark, 500)
+    for tables, planes in ((16, 8), (4, 14)):
+        cat = sorted(
+            (r["vec_id"], r["t"], r["bucket"])
+            for r in ls.neardup_index(emb, tables, planes).collect()
+        )
+        pan = sorted(
+            (r["vec_id"], r["t"], r["bucket"])
+            for r in ls.neardup_index(
+                emb, tables, planes, impl="pandas"
+            ).collect()
+        )
+        assert cat == pan, (tables, planes)

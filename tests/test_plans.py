@@ -424,9 +424,9 @@ def test_gate_priority_window_covers_graded_surface():
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
     plans/__init__.py). This pins the round-7 rotation: beyond the
-    sentinels and the four round-7 additions the window is the
+    sentinels and the five round-7 additions the window is the
     staleness re-proof pass — the 2 remaining round-2-checked
-    queries, then the 38 oldest round-3-checked queries in registry
+    queries, then the 37 oldest round-3-checked queries in registry
     order; the window's rows-only residue is exactly the queries
     with no SQL-expressible oracle. Window budget (policy note):
     hop_engagement_sum stays the single multi-million-row output."""
@@ -444,6 +444,7 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_bpe_encode",
         "embedding_ivf_ingest",
         "docs_substring_dedup",
+        "stream_full_outer_join_replay",
     ]
     r2_backfill = [
         # the last two queries whose most recent driver row is round 2
@@ -452,11 +453,12 @@ def test_gate_priority_window_covers_graded_surface():
     ]
     r3_backfill = [
         # last driver row: CORRECTNESS_r03.json — the oldest-coverage
-        # block, registry order; 38 of 44 fit this round, the tail
-        # (nation_pair_trade, customer_order_distribution,
-        # top_revenue_supplier, lone_late_suppliers,
-        # idle_rich_customers, cheapest_supplier_per_part) re-enters
-        # as oldest-coverage backfill next round
+        # block, registry order; 37 of 44 fit this round, the tail
+        # (dominant_event_types, nation_pair_trade,
+        # customer_order_distribution, top_revenue_supplier,
+        # lone_late_suppliers, idle_rich_customers,
+        # cheapest_supplier_per_part) re-enters as oldest-coverage
+        # backfill next round
         "tumbling_stats", "leaderboard_topk", "session_windows",
         "events_asof_orders", "events_dim_asof", "cdc_materialize",
         "docs_token_stats", "docs_quality", "docs_lang_id",
@@ -471,7 +473,6 @@ def test_gate_priority_window_covers_graded_surface():
         "small_quantity_revenue", "large_volume_customers",
         "regional_revenue", "returned_item_customers",
         "brand_bracket_revenue", "brand_supplier_counts",
-        "dominant_event_types",
     ]
     expected = sentinels + new_in_r7 + r2_backfill + r3_backfill
     assert window == expected, (
@@ -525,13 +526,25 @@ def test_global_row_number_leaves_no_cached_relation(spark, sf_dir):
     from flink_engagement_pipeline_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-    # delta-based: other suites may legitimately hold persisted RDDs
-    # (localCheckpoint lineage cuts) in the shared session
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # id-set delta: other suites legitimately hold persisted RDDs
+    # (localCheckpoint lineage cuts) in the shared session, and the
+    # ContextCleaner may unpersist THOSE asynchronously while this
+    # test runs — so assert no NEW ids appear rather than comparing
+    # counts (a concurrent removal made the count form flaky once the
+    # round-7 checkpointed-candidate builders entered the suite)
+    def _ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
+
+    before = _ids()
     for _ in range(2):  # repeated invocation must not accumulate
         out = global_row_number(ev, ["ts", "event_id"])
         assert out.count() == ev.count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    assert _ids() - before == set()
 
 
 def test_lsh_candidate_pairs_single_corpus_pass(spark, sf_dir):
@@ -555,11 +568,16 @@ def test_lsh_candidate_pairs_single_corpus_pass(spark, sf_dir):
 
 
 def test_portable_minhash_pairs_single_signature_pass(spark, sf_dir):
-    """portable_minhash_pairs' candidate stage uses the same in-bucket
-    device: of the plan's documents scans, only ONE carries the
-    16-seed affine signature projection (the other two are the exact
-    verify's shingle-array sides, which never pay the signature). The
-    self-join form paid it twice."""
+    """portable_minhash_pairs splits into a candidate job and a verify
+    plan (round-7 probe restructure): the candidate set materializes
+    ONCE at build (localCheckpoint — so the 16-seed affine signature
+    is paid exactly once, never duplicated into a self-join), and the
+    RETURNED plan is the verify only — it reads the checkpointed
+    pairs (Scan ExistingRDD), semi-prunes both shingle-array sides to
+    the candidate ids (two parquet scans, broadcast LeftSemi), and
+    must contain NO signature projection and NO SortMergeJoin (the
+    shape that shuffled the whole corpus's arrays — 3.35 GB at 1M
+    docs — before the fix)."""
     from flink_engagement_pipeline_spark.llm.dedup import (
         portable_minhash_pairs,
     )
@@ -570,13 +588,15 @@ def test_portable_minhash_pairs_single_signature_pass(spark, sf_dir):
         portable_minhash_pairs(docs)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Scan parquet") == 3, plan[:2000]
-    # the signature projection is recognizable by the affine modulus:
-    # 16 signature columns x exactly ONE mention each — the self-join
-    # form showed 32 (the whole block duplicated into both sides)
-    assert plan.count("2305843009213693951") == 16, (
-        "signature expressions appear in more than one projection"
+    assert plan.count("Scan parquet") == 2, plan[:2000]
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "LeftSemi" in plan, plan[:2000]
+    # the affine-signature modulus must NOT appear: the signature ran
+    # once inside the checkpointed candidate job, not in the verify
+    assert plan.count("2305843009213693951") == 0, (
+        "signature expressions leaked into the verify plan"
     )
+    assert "SortMergeJoin" not in plan, plan[:2000]
 
 
 def test_events_partitioned_prune_plan(spark, sf_dir, tmp_path):
@@ -1305,13 +1325,16 @@ def test_plan_build_latency_bounded(spark, sf_dir):
 
     heavy = [
         "docs_minhash_pairs",    # 64-seed xxhash signature + 16 bands
-        "docs_minhash_portable", # 16 affine hashes + band index
-        "docs_minhash_ingest",   # portable bands twice + verify join
         "docs_simhash_pairs",    # 60-bit per-bit vote + 5 rotations
         "embedding_near_dup",    # 128 hyperplane projections
         "docs_jaccard_pairs",    # shingle explode + windowed sizes
         "cep_conversion_within", # chained carry-forward windows
         "embedding_mmr_rerank",  # k-step greedy fold, nested HOFs
+        # docs_minhash_portable / docs_minhash_ingest moved to the
+        # trainer-style exclusion in round 7: their builds now
+        # intentionally run the candidate job (localCheckpoint before
+        # the semi-pruned verify — llm/dedup.py:_semi_prune), which is
+        # execution, not plan-build overhead
     ]
     # JVM/py4j warm-up so the first measured build isn't charged for
     # session setup

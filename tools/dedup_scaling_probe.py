@@ -21,8 +21,12 @@ summarized in BASELINE.md.
 """
 
 import json
+import os
+import sys
 import time
 import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -57,9 +61,14 @@ def _stage_totals():
     )
 
 
-def run(df, label, n):
+def run(df_or_fn, label, n):
+    """Time a pipeline end-to-end: CONSTRUCTION + noop write. Pass a
+    thunk for pipelines whose builders run eager jobs (the
+    checkpoint-materialized candidate set, connected components) so
+    that cost lands inside the timer, not silently before it."""
     r0, w0 = _stage_totals()
     t0 = time.perf_counter()
+    df = df_or_fn() if callable(df_or_fn) else df_or_fn
     df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     r1, w1 = _stage_totals()
@@ -105,14 +114,34 @@ for n in (10_000, 100_000, 1_000_000):
     cand = candidates_only(docs)
     print(f"-- corpus n={n:,} generated+cached --", flush=True)
     run(cand, "candidates", n)
+    # thunk: the builder checkpoints the candidate set eagerly, so
+    # construction belongs inside the timer — this row is the TRUE
+    # end-to-end candidates+verify cost
+    run(lambda: ld.portable_minhash_pairs(docs), "pairs", n)
     pairs = ld.portable_minhash_pairs(docs)
-    run(pairs, "pairs", n)  # candidates + exact verify
-    e2e = ld.dedup_e2e_portable(docs)
-    run(e2e, "e2e", n)  # pairs + closure + survivors
+    # closure stage measured from CACHED pairs so the iterative CC
+    # cost (which runs EAGERLY during plan construction — count +
+    # localCheckpoint per iteration) attributes to this stage alone;
+    # the e2e composition = pairs + closure by construction
+    # (llm/dedup.py:dedup_e2e_portable)
+    pairs_c = pairs.select("doc_a", "doc_b").cache()
+    n_pairs = pairs_c.count()
+    r0, w0 = _stage_totals()
+    t0 = time.perf_counter()
+    cc = ld.connected_components(pairs_c, docs.select("doc_id"))
+    cc.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    r1, w1 = _stage_totals()
+    print(
+        f"n={n:>9,} {'closure':>12}: {dt:7.2f}s  "
+        f"shuffleR {(r1 - r0) / 1e6:9.1f} MB  "
+        f"shuffleW {(w1 - w0) / 1e6:9.1f} MB",
+        flush=True,
+    )
     # sanity: planted classes recovered (pair count scales with n/20;
     # exact copies verify at jaccard 1.0)
-    n_pairs = pairs.count()
     print(f"n={n:>9,}   pairs found: {n_pairs}", flush=True)
+    pairs_c.unpersist()
     # -- ingest family: persisted index vs daily batch ----------------
     cut = n * 4 // 5
     corpus = docs.filter(F.col("doc_id") < cut)
@@ -124,7 +153,7 @@ for n in (10_000, 100_000, 1_000_000):
         f"n={n:>9,} {'index build':>12}: {time.perf_counter() - t0:7.2f}s",
         flush=True,
     )
-    run(ld.incremental_minhash_dedup(new, bands, corpus), "ingest", n)
+    run(lambda: ld.incremental_minhash_dedup(new, bands, corpus), "ingest", n)
     bands.unpersist()
     docs.unpersist()
 
