@@ -1269,6 +1269,39 @@ def incremental_simhash_ingest(
 # ---------------------------------------------------------------------------
 
 
+def merged_dup_intervals(shared: DataFrame, n: int) -> DataFrame:
+    """Gaps-and-islands union of anchor intervals [pos, pos+n) per
+    document: (doc_id, pos) anchor rows in, (doc_id, island, s0, e0)
+    merged maximal intervals out — user_active_coverage's interval
+    algebra on token offsets, shared by corpus-wide substring
+    coverage (substring_dup_coverage) and within-doc repetition
+    coverage (llm/text.py:repetition_stats). Both windows and the
+    aggregation ride ONE doc_id exchange."""
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        shared.select(
+            "doc_id",
+            "pos",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+            .otherwise(0)
+            .alias("ni"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.sum("ni")
+            .over(order.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("island"),
+        )
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s0"), (F.max("pos") + n).alias("e0")
+    )
+
+
 def substring_dup_coverage(docs: DataFrame, n: int) -> DataFrame:
     """Exact-substring duplicate coverage (the bounded anchor-merge
     equivalent of Lee et al. 2022's suffix-array substring dedup):
@@ -1303,29 +1336,8 @@ def substring_dup_coverage(docs: DataFrame, n: int) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("doc_id", "pos")
     )
-    order = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + n).over(
-        order.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    isl = (
-        shared.select(
-            "doc_id",
-            "pos",
-            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
-            .otherwise(0)
-            .alias("ni"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.sum("ni")
-            .over(order.rowsBetween(Window.unboundedPreceding, 0))
-            .alias("island"),
-        )
-    )
     per_doc = (
-        isl.groupBy("doc_id", "island")
-        .agg(F.min("pos").alias("s0"), (F.max("pos") + n).alias("e0"))
+        merged_dup_intervals(shared, n)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_dup_intervals"),
@@ -1344,4 +1356,63 @@ def substring_dup_coverage(docs: DataFrame, n: int) -> DataFrame:
             F.coalesce("dup_tokens", F.lit(0).cast("long")).cast("double")
             / F.col("n_tokens")
         ).alias("dup_ratio"),
+    )
+
+
+def substring_scrub(docs: DataFrame, n: int) -> DataFrame:
+    """Exact-substring SCRUB — the removal half of substring dedup
+    (substring_dup_coverage measures; this produces the cleaned
+    corpus): every token covered by a corpus-shared span of length
+    >= n is excised and the survivors re-joined in order. Policy:
+    ALL copies of a duplicated span are removed (boilerplate-removal
+    semantics — headers, license blocks, navigation chrome vanish
+    wherever they appear). Lee et al. 2022's alternative keep-one
+    policy needs a global occurrence order; this form needs none and
+    is what decontamination-style scrubbing uses.
+
+    Plan: the anchor pipeline is substring_dup_coverage's (one
+    corpus scan, gram exchange, doc_id-ridden interval merge), but
+    the merged intervals then collapse to ONE metadata-sized array
+    row per affected doc (collect_list of (s0, e0) structs — bounded
+    by the doc's interval count, never its token count), which joins
+    the doc roster doc-level; the scrub itself is expression-only
+    (filter(ws, (w, i) -> no interval covers i) + array_join), so no
+    token-level explode or per-token join ever materializes. Output:
+    (doc_id, n_tokens, kept_tokens, scrubbed_text)."""
+    from .text import positional_grams
+
+    base = docs.select("doc_id", words("text").alias("ws"))
+    anch = base.select(
+        "doc_id",
+        F.posexplode(positional_grams(F.col("ws"), n)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("g"))
+    shared = (
+        anch.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("n") >= 2)
+        .select("doc_id", "pos")
+    )
+    iv = (
+        merged_dup_intervals(shared, n)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s0", "e0")).alias("iv"))
+    )
+    kept = F.filter(
+        F.col("ws"),
+        lambda w, i: ~F.exists(
+            F.coalesce(
+                F.col("iv"),
+                F.array().cast("array<struct<s0:int,e0:int>>"),
+            ),
+            lambda v: (i >= v["s0"]) & (i < v["e0"]),
+        ),
+    )
+    return (
+        base.join(iv, "doc_id", "left")
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.size("kept").cast("long").alias("kept_tokens"),
+            F.array_join("kept", " ").alias("scrubbed_text"),
+        )
     )

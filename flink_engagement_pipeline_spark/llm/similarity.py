@@ -99,6 +99,73 @@ def knn_join(emb: DataFrame, num_queries: int = 8, k: int = 5) -> DataFrame:
     )
 
 
+def knn_graph(emb: DataFrame, k: int = 5, blocks: int = 8) -> DataFrame:
+    """Exact corpus-wide k-NN graph: EVERY vector's top-k cosine
+    neighbors among all others — the primitive graph-based dedup,
+    clustering, and diversity analysis build on (knn_join answers Q
+    broadcast queries; this answers all n).
+
+    Exact all-pairs is O(n^2) compute by definition, so the plan's
+    job is to bound memory and stay inside equi-join machinery: the
+    left side keeps its own block id (vec_id mod `blocks`), the
+    right side replicates to every block (explode of a `blocks`-long
+    sequence), and the block equi-join meets each (a, b) pair exactly
+    once — the standard blocked-matmul device, which AQE can split
+    further on skew, and which never plans the banned
+    CartesianProduct. Vector payloads are dropped BEFORE the top-k
+    exchange: only (a_id, b_id, cosine) 24-byte rows shuffle into the
+    per-vector row_number window (ties broken by neighbor id, so the
+    graph is deterministic). At corpus scale the exact graph is the
+    calibration baseline; the production route is the ANN candidate
+    family (near_dup_pairs / ivf_topk) feeding the same window."""
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int").alias("blk"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
+    ).withColumn(
+        "blk", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1)))
+    )
+    ea, eb = _as_double(F.col("ea")), _as_double(F.col("eb"))
+    cos = _dot(ea, eb) / (F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb)))
+    scored = (
+        a.join(b, "blk")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cosine").desc(), F.col("b_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a_id", "b_id", "cosine", "rn")
+    )
+
+
+def knn_graph_oracle_sql(k: int = 5) -> str:
+    return f"""
+SELECT a_id, b_id, cosine, rn FROM (
+    SELECT a_id, b_id, cosine,
+           row_number() OVER (
+               PARTITION BY a_id ORDER BY cosine DESC, b_id ASC
+           ) AS rn
+    FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+)
+WHERE rn <= {k}
+"""
+
+
 def range_search(
     emb: DataFrame, num_queries: int = 8, min_cosine: float = 0.25
 ) -> DataFrame:

@@ -300,6 +300,92 @@ def clean_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(collapsed, r"\s+", " "))
 
 
+def repetition_stats(docs) -> "DataFrame":
+    """Within-document repetition signals — the token-level form of
+    the Gopher repetition filters (Rae et al. 2021 §A1.1: documents
+    dominated by a repeated n-gram or by repeated longer spans are
+    low-quality and over-weight their content in training). Two
+    signals per document:
+
+    - ``top_bigram_n`` / ``top_bigram_frac``: occurrence count of the
+      document's most frequent word bigram and the token fraction its
+      occurrences span (count*2/n_tokens — occurrences may overlap,
+      so the raw ratio is reported uncapped, as in the paper's
+      char-fraction form).
+    - ``rep5_tokens`` / ``rep5_frac``: tokens covered by the UNION of
+      all word 5-grams occurring >= 2 times within the document
+      (llm/dedup.py:merged_dup_intervals — no double counting), and
+      the covered fraction. This is substring_dup_coverage's anchor
+      device scoped to PARTITION BY (doc, gram) instead of corpus-
+      wide gram counts.
+
+    Plan: three column-pruned scans of (doc_id, text) — one per
+    branch (token count / bigrams / 5-gram anchors); re-reading two
+    pruned columns beats the alternative single-scan shape (explode
+    the token stream once, derive n-grams via lead() windows), which
+    would shuffle EVERY token through one doc_id sort. The bigram
+    top-count is two hash aggregations ((doc,gram) then doc —
+    map-side partial on both), the 5-gram coverage is the
+    count-over-window + gaps-and-islands chain riding (doc_id, g)
+    then doc_id exchanges. Every ratio is a single final double
+    division of exact longs, so the DuckDB oracle hashes
+    bit-identically."""
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", words("text").alias("ws"))
+    toks = base.select(
+        "doc_id", F.size("ws").cast("long").alias("n_tokens")
+    )
+    big = base.select(
+        "doc_id", F.explode(positional_grams(F.col("ws"), 2)).alias("g")
+    )
+    top2 = (
+        big.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_bigram_n"))
+    )
+    anch = base.select(
+        "doc_id",
+        F.posexplode(positional_grams(F.col("ws"), 5)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("g"))
+    shared = (
+        anch.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "g"))
+        )
+        .filter(F.col("n") >= 2)
+        .select("doc_id", "pos")
+    )
+    from .dedup import merged_dup_intervals
+
+    rep5 = (
+        merged_dup_intervals(shared, 5)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e0") - F.col("s0")).cast("long").alias("rep5_tokens")
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        toks.join(top2, "doc_id", "left")
+        .join(rep5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("top_bigram_n", zero).alias("top_bigram_n"),
+            (
+                (F.coalesce("top_bigram_n", zero) * F.lit(2)).cast("double")
+                / F.col("n_tokens")
+            ).alias("top_bigram_frac"),
+            F.coalesce("rep5_tokens", zero).alias("rep5_tokens"),
+            (
+                F.coalesce("rep5_tokens", zero).cast("double")
+                / F.col("n_tokens")
+            ).alias("rep5_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training
 # ---------------------------------------------------------------------------

@@ -185,3 +185,290 @@ def q_docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     return substring_dup_coverage(docs, _SUB_N)
+
+
+# ---------------------------------------------------------------------------
+# within-doc repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_repeated_spans",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM base),
+big AS (
+    SELECT doc_id, ws[t.i] || ' ' || ws[t.i+1] AS g
+    FROM base CROSS JOIN unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+top2 AS (
+    SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+    FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g)
+    GROUP BY doc_id
+),
+anch AS (
+    SELECT doc_id, t.i AS pos,
+           {" || ' ' || ".join(f"ws[t.i+{d}]" for d in range(5))} AS g
+    FROM base CROSS JOIN unnest(generate_series(1, len(ws) - 4)) AS t(i)
+),
+shared AS (
+    SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id, g) AS n
+        FROM anch) WHERE n >= 2
+),
+w AS (
+    SELECT doc_id, pos,
+           max(pos + 5) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM shared
+),
+i AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+    FROM w
+),
+g AS (
+    SELECT doc_id, island, min(pos) AS s0, max(pos) + 5 AS e0
+    FROM i GROUP BY doc_id, island
+),
+rep5 AS (
+    SELECT doc_id, CAST(sum(e0 - s0) AS BIGINT) AS rep5_tokens
+    FROM g GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(b.top_bigram_n, 0)                          AS top_bigram_n,
+       CAST(COALESCE(b.top_bigram_n, 0) * 2 AS DOUBLE)
+           / t.n_tokens                                     AS top_bigram_frac,
+       COALESCE(r.rep5_tokens, 0)                           AS rep5_tokens,
+       CAST(COALESCE(r.rep5_tokens, 0) AS DOUBLE)
+           / t.n_tokens                                     AS rep5_frac
+FROM toks t
+LEFT JOIN top2 b USING (doc_id)
+LEFT JOIN rep5 r USING (doc_id)
+""",
+    doc=(
+        "Within-document repeated-SPAN signals, complementing the ratio "
+        "family docs_repetition already reports (distinct-word / "
+        "top-word / dup-bigram fractions) with the other two Gopher "
+        "repetition filter classes (Rae et al. 2021 SA1.1): per doc, the most frequent word bigram's count and "
+        "spanned-token fraction (count*2/n_tokens, uncapped as in the "
+        "paper's char-fraction form), and the token coverage of the "
+        "UNION of all word 5-grams repeating within the doc (the "
+        "gaps-and-islands interval merge shared with "
+        "docs_substring_dedup — llm/dedup.py:merged_dup_intervals — "
+        "so overlapping repeats never double-count). Three "
+        "column-pruned (doc_id, text) scans — one per branch, cheaper "
+        "at scale than single-scanning into a full-token-stream "
+        "shuffle; bigram top-count is two map-side-partial "
+        "hash aggregations, 5-gram coverage rides (doc_id, gram) then "
+        "doc_id exchanges; every ratio is a single final double "
+        "division of exact longs (implementation "
+        "llm/text.py:repetition_stats)."
+    ),
+    tags=("llm", "text", "quality", "repetition", "gopher"),
+)
+def q_docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.util import fan_out
+
+    return lt.repetition_stats(
+        fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring scrub (the removal half of substring dedup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_substring_scrub",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+anch AS (
+    SELECT doc_id, t.i AS pos,
+           {" || ' ' || ".join(f"ws[t.i+{d}]" for d in range(_SUB_N))} AS g
+    FROM base CROSS JOIN unnest(generate_series(1, len(ws) - {_SUB_N - 1})) AS t(i)
+),
+cnt AS (SELECT g, count(*) AS n FROM anch GROUP BY g),
+shared AS (
+    SELECT a.doc_id, a.pos FROM anch a JOIN cnt USING (g) WHERE cnt.n >= 2
+),
+w AS (
+    SELECT doc_id, pos,
+           max(pos + {_SUB_N}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM shared
+),
+i AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+    FROM w
+),
+g AS (
+    SELECT doc_id, island, min(pos) AS s0, max(pos) + {_SUB_N} AS e0
+    FROM i GROUP BY doc_id, island
+),
+pos AS (
+    SELECT doc_id, t.i AS p, ws[t.i] AS tok
+    FROM base CROSS JOIN unnest(generate_series(1, len(ws))) AS t(i)
+),
+kept AS (
+    SELECT p.doc_id, p.p, p.tok FROM pos p
+    WHERE NOT EXISTS (SELECT 1 FROM g
+                      WHERE g.doc_id = p.doc_id
+                        AND p.p >= g.s0 AND p.p < g.e0)
+),
+kd AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+           string_agg(tok, ' ' ORDER BY p) AS scrubbed_text
+    FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.ws) AS BIGINT)        AS n_tokens,
+       COALESCE(kd.kept_tokens, 0)      AS kept_tokens,
+       COALESCE(kd.scrubbed_text, '')   AS scrubbed_text
+FROM base b LEFT JOIN kd USING (doc_id)
+""",
+    doc=(
+        f"Exact-substring SCRUB — the removal half of substring dedup "
+        f"(docs_substring_dedup measures coverage; this emits the "
+        f"cleaned corpus): every token covered by a corpus-shared "
+        f">= {_SUB_N}-token span is excised and survivors re-joined "
+        f"in order. Policy: ALL copies of a duplicated span are "
+        f"removed (boilerplate-removal semantics; Lee et al.'s "
+        f"keep-one alternative needs a global occurrence order). The "
+        f"merged intervals collapse to ONE metadata-sized array row "
+        f"per affected doc (collect_list of (s0, e0) structs, bounded "
+        f"by interval count), joined doc-level; the scrub itself is "
+        f"expression-only (filter(ws, (w, i) -> uncovered) + "
+        f"array_join) so no token-level explode or per-token join "
+        f"ever materializes — at 100 TB the heavy objects stay in "
+        f"the anchor pipeline docs_substring_dedup already pays "
+        f"(implementation llm/dedup.py:substring_scrub). The oracle "
+        f"mirrors with 1-based positions (interval arithmetic uses "
+        f"differences only) and a NOT EXISTS anti-containment per "
+        f"position."
+    ),
+    tags=("llm", "dedup", "substring", "scrub", "interval-algebra"),
+)
+def q_docs_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import substring_scrub
+    from ..operators.util import fan_out
+
+    return substring_scrub(
+        fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text")),
+        _SUB_N,
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentile aggregates
+# ---------------------------------------------------------------------------
+
+# sign-aware integer-cent quantization, NULL-preserving (the
+# queries_ext4 device): percentile inputs must be exact integers so
+# the only floats both engines touch are the interpolation weights,
+# which are computed from identical literals
+_Q_CENTS_SQL = """
+CASE WHEN value IS NULL THEN NULL
+     WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+     ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT) END
+"""
+
+
+@register(
+    "events_latency_quantiles",
+    oracle=f"""
+WITH c AS (SELECT event_type, {_Q_CENTS_SQL} AS cents FROM events),
+q AS (
+    SELECT event_type,
+           CAST(count(cents) AS BIGINT)            AS n,
+           quantile_cont(cents, [0.5, 0.9, 0.99])  AS qs
+    FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(CAST(floor(qs[1] * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e8 AS p50_value,
+       CAST(CAST(floor(qs[2] * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e8 AS p90_value,
+       CAST(CAST(floor(qs[3] * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e8 AS p99_value
+FROM q
+""",
+    doc=(
+        "Exact interpolated percentiles (p50/p90/p99 of `value` per "
+        "event_type) — the continuous-quantile member of the extended "
+        "aggregate surface (the sketch family covers the approximate "
+        "path: HDR histogram quantiles in hdr_latency_quantiles). "
+        "Cross-engine float discipline: inputs are sign-aware integer "
+        "cents (exact), so Spark's `percentile` and DuckDB's "
+        "`quantile_cont` interpolate lo + frac*(hi - lo) from "
+        "IDENTICAL integers with IDENTICAL p*(n-1) weights computed "
+        "from the same literals; the result is then quantized to 1e-6 "
+        "cents (floor(q*1e6 + 0.5) — an exact integer in double "
+        "range) and returned to value units by ONE division. Exact "
+        "percentile is a full-sort-per-group aggregate — fine for "
+        "low-cardinality group keys (5 event types), while the HDR "
+        "sketch remains the mergeable scale path for high-cardinality "
+        "or streaming rollups."
+    ),
+    tags=("aggregates", "percentile", "quantile"),
+)
+def q_events_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr(_Q_CENTS_SQL)
+    q = ev.select("event_type", cents.alias("cents")).groupBy("event_type").agg(
+        F.count("cents").alias("n"),
+        F.percentile("cents", F.lit([0.5, 0.9, 0.99])).alias("qs"),
+    )
+
+    def out(i: int) -> F.Column:
+        return (
+            F.floor(F.col("qs")[i] * 1e6 + 0.5).cast("double") / F.lit(1e8)
+        )
+
+    return q.select(
+        "event_type",
+        "n",
+        out(0).alias("p50_value"),
+        out(1).alias("p90_value"),
+        out(2).alias("p99_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact k-NN graph (blocked all-pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_knn_graph",
+    oracle=ls.knn_graph_oracle_sql(),
+    doc=(
+        "Exact corpus-wide k-NN graph (top-5 cosine neighbors for "
+        "EVERY vector) — the primitive graph-based dedup/clustering "
+        "builds on, generalizing embedding_knn_join from Q broadcast "
+        "queries to all n. Blocked all-pairs: the left side keeps its "
+        "own block id (vec_id mod 8), the right replicates to every "
+        "block, so the block equi-join meets each pair exactly once "
+        "inside ordinary join machinery (AQE-splittable, no "
+        "CartesianProduct node); vector payloads drop before the "
+        "top-k exchange so only 24-byte (a, b, cosine) rows shuffle "
+        "into the per-vector row_number window (ties -> neighbor id). "
+        "Exact all-pairs is the O(n^2) calibration baseline by "
+        "definition; the production route at corpus scale is the ANN "
+        "candidate family feeding the same window "
+        "(llm/similarity.py:knn_graph). Sequential-fold dot product "
+        "== DuckDB list_dot_product, so the brute-force oracle "
+        "hash-matches bit-for-bit."
+    ),
+    tags=("llm", "similarity", "ann", "knn-graph"),
+)
+def q_embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ls.knn_graph(load_table(spark, sf_dir, "embeddings"))

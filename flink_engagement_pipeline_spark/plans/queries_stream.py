@@ -23,6 +23,7 @@ from .queries_ext4 import RETRACT_FINAL_ORACLE
 from ..sources.datagen import gen_events
 from ..sources.tables import load_table
 from ..streaming.pipeline import (
+    run_abandoned_clicks,
     run_enriched_fanout,
     run_session_windowed,
     run_stream_stream_join,
@@ -397,19 +398,23 @@ def q_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_outer_join_replay(
-    spark: SparkSession, sf_dir: str, tmp: str, how: str
-) -> DataFrame:
-    """Shared replay device for the outer stream-stream joins: the
-    fixture as batch 1; one sentinel click + one sentinel purchase
-    (2h past max(ts) — past every [0, 1h) match window — on distinct
-    synthetic users so they can never join each other) as batch 2,
-    advancing BOTH sides' watermarks; two empty drain batches forcing
-    the lagged outer-row flush (emission trails the watermark update
-    by a micro-batch; the second drain covers the state-cleanup
-    batch). Sentinel rows are JVM-side literals with
-    integer-microsecond epoch math (see _sentinel_replay_dir for
-    why). Returns the committed exactly-once sink contents."""
+def _staged_sentinel_drain_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    tmp: str,
+    sentinel_rows: tuple[tuple[int, int, str], ...],
+    late_minutes: int = 120,
+) -> str:
+    """Stage a four-micro-batch stream dir: the fixture; one sentinel
+    file of `sentinel_rows` ((event_id, user_id, event_type) triples)
+    stamped `late_minutes` past max(ts) to advance the watermark past
+    every bounded horizon in the fixture; two EMPTY drain files
+    forcing the lagged watermark-driven emissions to flush (append
+    output and timer firings trail the watermark update by a
+    micro-batch; the second drain covers the state-cleanup batch).
+    Sentinel rows are JVM-side literals with integer-microsecond
+    epoch math (see _sentinel_replay_dir for why); file mtimes order
+    the batches under maxFilesPerTrigger=1."""
     import glob as _glob
     import shutil
     import time as _time
@@ -422,7 +427,7 @@ def _run_outer_join_replay(
     os.symlink(src, os.path.join(events_dir, "a.parquet"))
     ev = load_table(spark, sf_dir, "events")
     max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
-    late_us = max_us + 120 * 60 * 1_000_000
+    late_us = max_us + late_minutes * 60 * 1_000_000
     ts_col = (
         F.lit(late_us * 1000).cast("long")
         if events_ts_is_nanos(src)
@@ -440,10 +445,7 @@ def _run_outer_join_replay(
                         F.lit(None).cast("double").alias("value"),
                         F.lit("{}").alias("props"),
                     )
-                    for eid, uid, etype in (
-                        (-1, -1, "click"),
-                        (-2, -2, "purchase"),
-                    )
+                    for eid, uid, etype in sentinel_rows
                 ]
             )
         )
@@ -462,6 +464,22 @@ def _run_outer_join_replay(
         drain = os.path.join(events_dir, name)
         shutil.copy(parte, drain)
         os.utime(drain, (now + 120 + 60 * i, now + 120 + 60 * i))
+    return events_dir
+
+
+def _run_outer_join_replay(
+    spark: SparkSession, sf_dir: str, tmp: str, how: str
+) -> DataFrame:
+    """Shared replay device for the outer stream-stream joins: the
+    fixture as batch 1; one sentinel click + one sentinel purchase
+    (2h past max(ts) — past every [0, 1h) match window — on distinct
+    synthetic users so they can never join each other) as batch 2,
+    advancing BOTH sides' watermarks; two empty drain batches forcing
+    the lagged outer-row flush. Returns the committed exactly-once
+    sink contents."""
+    events_dir = _staged_sentinel_drain_dir(
+        spark, sf_dir, tmp, ((-1, -1, "click"), (-2, -2, "purchase"))
+    )
     sink = IdempotentParquetSink(os.path.join(tmp, "out"))
     part_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(part_key)
@@ -524,6 +542,75 @@ def q_stream_full_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFra
         "purchase_ts",
         "purchase_value",
     )
+
+
+@register(
+    "stream_abandoned_clicks_replay",
+    oracle="""
+SELECT c.user_id                                AS user_id,
+       c.event_id                               AS click_id,
+       epoch_us(CAST(c.ts AS TIMESTAMP))        AS click_ts_us
+FROM events c
+WHERE c.event_type = 'click'
+  AND c.user_id IS NOT NULL
+  AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase'
+        AND p.user_id = c.user_id
+        AND p.ts >= c.ts
+        AND p.ts <  c.ts + INTERVAL 1 HOUR
+  )
+""",
+    doc=(
+        "Streaming ABSENCE detection under the driver's batch oracle "
+        "— Flink CEP's notFollowedBy+within, the pattern no join can "
+        "drive when the second row never arrives: clicks with NO "
+        "purchase by the same user within [click, click + 1h), each "
+        "emitted exactly when the event-time watermark passes the "
+        "click's deadline, via an applyInPandasWithState EVENT-TIME "
+        "TIMER (streaming/stateful.py:abandoned_clicks — "
+        "setTimeoutTimestamp on the earliest pending deadline; a "
+        "purchase cancels every pending click whose window contains "
+        "it; state per user is the pending-click list, bounded by "
+        "click rate x the 1 h horizon, with NO purchase retention). "
+        "The replay stages the fixture, a non-click sentinel 2h past "
+        "max(ts) advancing the watermark beyond every deadline (the "
+        "sentinel's event_type filters out BEFORE the stateful op, so "
+        "it advances time without creating state), and two empty "
+        "drain batches flushing the timer firings (which lag the "
+        "watermark update by a micro-batch). The durable exactly-once "
+        "sink then holds exactly the batch NOT-EXISTS anti-join of "
+        "the fixture, hash-matched; the interval-join family proves "
+        "the same predicate join-side (stream_outer_join_replay's "
+        "null rows) — this proves the TIMER machinery that absence, "
+        "session expiry, and SLA-breach detection need. click_ts "
+        "rides as integer epoch micros so no engine-specific "
+        "timestamp rendering touches the hash."
+    ),
+    tags=("streaming", "cep", "absence", "timer", "watermark"),
+)
+def q_stream_abandoned_clicks_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_abandon_")  # outlives the plan
+    events_dir = _staged_sentinel_drain_dir(
+        spark, sf_dir, tmp, ((-1, -1, "sentinel"),)
+    )
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "8")
+    try:
+        run_abandoned_clicks(
+            spark,
+            events_dir,
+            sink,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(part_key, saved)
+    return sink.read_committed(spark)
 
 
 _SSN_GAP_MIN = 5

@@ -385,6 +385,38 @@ def run_stream_stream_join(
     sink.close()
 
 
+def run_abandoned_clicks(
+    spark: SparkSession,
+    events_dir: str,
+    sink: Sink,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drive the event-time-timer absence detector
+    (streaming/stateful.py:abandoned_clicks) over the file-source
+    stream into an exactly-once sink. ``max_files_per_trigger=1`` lets
+    the replay stage the watermark-advancing sentinel and the drain
+    files as separate micro-batches (timer firings lag the watermark
+    update by one batch, like append-mode window eviction)."""
+    from .stateful import abandoned_clicks
+
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger)
+    out = abandoned_clicks(ev)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sink.write_batch(batch_df, batch_id)
+
+    (
+        out.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sink.close()
+
+
 def dedup_stream_bounded(
     stream: DataFrame, key: str = "event_id", watermark: str = "1 hour"
 ) -> DataFrame:

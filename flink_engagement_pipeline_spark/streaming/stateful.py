@@ -26,7 +26,9 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -211,5 +213,137 @@ def running_user_totals_cents(events: DataFrame) -> DataFrame:
             stateStructType=CENTS_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time TIMER absence detection (Flink CEP notFollowedBy / timeout)
+# ---------------------------------------------------------------------------
+
+ABANDON_WINDOW_US = 3_600_000_000  # 1 hour, the funnel bound
+
+ABANDON_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("click_id", LongType()),
+        StructField("click_ts_us", LongType()),
+    ]
+)
+
+ABANDON_STATE_SCHEMA = StructType(
+    [
+        StructField("click_ids", ArrayType(LongType())),
+        StructField("click_ts", ArrayType(LongType())),
+    ]
+)
+
+
+def _abandon(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user absence state machine: pending clicks wait for a
+    purchase in [click_ts, click_ts + 1h); a purchase cancels every
+    pending click whose window contains it; the EVENT-TIME TIMER
+    (setTimeoutTimestamp on the earliest pending deadline) fires when
+    the watermark proves no purchase can arrive, emitting the
+    abandoned click. State per key is the pending-click list — at any
+    instant bounded by the user's click rate times the 1 h horizon,
+    the Flink-CEP-absence state story, with no purchase retention at
+    all: time-split micro-batches (every event in batch b+1 is later
+    than every batch-b event — the per-key ordering contract a
+    watermarked stream provides) mean a purchase can only ever cancel
+    clicks already seen, so the cancel predicate closes over this
+    batch + pending state."""
+    if key[0] is None:  # null keys can't be abandoned; keep no state
+        for _ in batches:
+            pass
+        return
+    if state.exists:
+        s = state.get
+        ids, tss = list(s[0]), list(s[1])
+    else:
+        ids, tss = [], []
+    new_p: list[int] = []
+    for pdf in batches:  # drain fully before touching state
+        if not len(pdf):
+            continue
+        c = pdf[pdf["event_type"] == "click"]
+        ids.extend(int(x) for x in c["event_id"])
+        tss.extend(int(x) for x in c["ts_us"])
+        new_p.extend(
+            int(x) for x in pdf.loc[pdf["event_type"] == "purchase", "ts_us"]
+        )
+    if new_p:
+        keep = [
+            (i, t)
+            for i, t in zip(ids, tss)
+            if not any(t <= p < t + ABANDON_WINDOW_US for p in new_p)
+        ]
+        ids = [i for i, _ in keep]
+        tss = [t for _, t in keep]
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    expired = [(i, t) for i, t in zip(ids, tss) if t + ABANDON_WINDOW_US <= wm_us]
+    pend = [(i, t) for i, t in zip(ids, tss) if t + ABANDON_WINDOW_US > wm_us]
+    if pend:
+        state.update(([i for i, _ in pend], [t for _, t in pend]))
+        # ceil to ms so the timer never lands AT the watermark (the
+        # API requires strictly-future timestamps); a sub-ms-late
+        # firing is re-covered by the next watermark advance
+        state.setTimeoutTimestamp(
+            min(t + ABANDON_WINDOW_US for _, t in pend) // 1000 + 1
+        )
+    else:
+        state.remove()
+    if expired:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(expired),
+                "click_id": [i for i, _ in expired],
+                "click_ts_us": [t for _, t in expired],
+            }
+        )
+
+
+def abandoned_clicks(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Streaming funnel-abandonment detector — the ABSENCE member of
+    the CEP family (Flink's notFollowedBy + within): clicks with NO
+    purchase by the same user within one hour, emitted exactly when
+    the event-time watermark passes the click's deadline. The
+    interval-join family proves the same predicate join-side
+    (stream_outer_join_replay's null rows); this proves the TIMER
+    machinery — applyInPandasWithState with EventTimeTimeout — that
+    patterns like absence, session expiry, and SLA breach detection
+    need when no second stream row ever arrives to drive the join.
+
+    Event-type/null-key filtering happens INSIDE the operator, never
+    as a pre-groupBy `.filter`: Catalyst pushes such a filter through
+    the EventTimeWatermark node INTO the parquet scan, so rows of
+    other event types stop reaching the watermark accumulator and the
+    watermark (hence every timer) stalls whenever clicks/purchases go
+    quiet while other traffic flows — measured, not hypothetical: the
+    replay's watermark-advancing sentinel row was scan-pruned and the
+    final pending click never fired. The operator's state contract
+    doesn't change (non-click/purchase rows contribute nothing and
+    null-key groups keep no state); a deployment that wants scan-side
+    pruning must do it at the SOURCE (a pre-filtered topic), where the
+    watermark is computed from what the operator will actually see."""
+    ev = events.withWatermark("ts", watermark).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "ts",
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _abandon,
+            outputStructType=ABANDON_OUTPUT_SCHEMA,
+            stateStructType=ABANDON_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -10,6 +10,8 @@ rebuild-equivalence, planted duplicates, streaming null emission).
 
 from __future__ import annotations
 
+import os
+
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -313,3 +315,305 @@ def test_neardup_index_pandas_impl_matches_catalyst(spark):
             ).collect()
         )
         assert cat == pan, (tables, planes)
+
+
+# ---------------------------------------------------------------------------
+# within-doc repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_spans_planted_signals(spark):
+    """Planted documents with known top-bigram counts and repeated
+    5-gram coverage: the dominant bigram's count and the merged
+    5-gram interval coverage must be exact, and a repeat-free doc
+    reports zeros."""
+    from flink_engagement_pipeline_spark.llm.text import repetition_stats
+
+    five = " ".join(f"x{i}" for i in range(5))
+    docs = [
+        # "a b" appears 3 times (tokens: a b a b a b -> bigrams
+        # ab, ba, ab, ba, ab), 6 tokens total
+        (0, "a b a b a b"),
+        # the same 5-gram twice, separated -> two unmerged intervals,
+        # 10 covered tokens of 11
+        (1, f"{five} sep {five}"),
+        (2, "all distinct words here nothing ever repeats twice"),
+    ]
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(frame).collect()}
+    assert out[0]["top_bigram_n"] == 3
+    assert out[0]["top_bigram_frac"] == 6 / 6
+    assert out[0]["rep5_tokens"] == 0  # 6 tokens: no repeated 5-gram
+    assert out[1]["rep5_tokens"] == 10
+    assert out[1]["rep5_frac"] == 10 / 11
+    assert out[1]["top_bigram_n"] == 2  # any x_i x_{i+1} pair twice
+    assert out[2]["top_bigram_n"] == 1
+    assert out[2]["rep5_tokens"] == 0
+    assert out[2]["rep5_frac"] == 0.0
+
+
+def test_repeated_spans_overlapping_runs_merge(spark):
+    """An L-token repeated run (L > 5) must be covered by ONE merged
+    interval of exactly L tokens per copy — overlapping 5-gram
+    anchors never double-count."""
+    from flink_engagement_pipeline_spark.llm.text import repetition_stats
+
+    run = " ".join(f"r{i}" for i in range(8))  # L = 8
+    frame = spark.createDataFrame(
+        [(0, f"{run} mid1 mid2 {run}")], "doc_id long, text string"
+    )
+    (row,) = repetition_stats(frame).collect()
+    assert row["rep5_tokens"] == 16  # two maximal intervals of 8
+    assert row["n_tokens"] == 18
+
+
+# ---------------------------------------------------------------------------
+# exact-substring scrub
+# ---------------------------------------------------------------------------
+
+
+def test_substring_scrub_removes_all_copies(spark):
+    """Every copy of a corpus-shared >=N-token span is excised from
+    every document (boilerplate-removal policy), survivors re-join in
+    order, and an unaffected document passes through verbatim."""
+    from flink_engagement_pipeline_spark.llm.dedup import substring_scrub
+    from flink_engagement_pipeline_spark.plans.queries_ext5 import _SUB_N
+
+    span = " ".join(f"s{i}" for i in range(_SUB_N))
+    clean = "totally original words with no shared spans anywhere"
+    docs = [
+        (0, f"head1 head2 {span} tail1 tail2"),
+        (1, f"{span} only trailing words"),
+        (2, clean),
+    ]
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_scrub(frame, _SUB_N).collect()}
+    assert out[0]["scrubbed_text"] == "head1 head2 tail1 tail2"
+    assert out[0]["kept_tokens"] == 4
+    assert out[1]["scrubbed_text"] == "only trailing words"
+    assert out[2]["scrubbed_text"] == clean
+    assert out[2]["kept_tokens"] == out[2]["n_tokens"]
+
+
+def test_substring_scrub_can_empty_a_document(spark):
+    """A document that is entirely one shared span scrubs to the
+    empty string (kept_tokens = 0) rather than disappearing from the
+    output roster."""
+    from flink_engagement_pipeline_spark.llm.dedup import substring_scrub
+    from flink_engagement_pipeline_spark.plans.queries_ext5 import _SUB_N
+
+    span = " ".join(f"e{i}" for i in range(_SUB_N))
+    docs = [(0, span), (1, f"pre {span} post")]
+    frame = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_scrub(frame, _SUB_N).collect()}
+    assert out[0]["kept_tokens"] == 0
+    assert out[0]["scrubbed_text"] == ""
+    assert out[1]["scrubbed_text"] == "pre post"
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_latency_quantiles_match_numpy(spark, sf_dir):
+    """p50/p90/p99 must equal numpy's linear-interpolation percentile
+    of the integer-cent values, quantized identically — an
+    independent third implementation agreeing with both engines."""
+    import numpy as np
+
+    from flink_engagement_pipeline_spark.plans.registry import REGISTRY
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_latency_quantiles"].spark(spark, sf_dir).collect()
+    }
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT event_type, value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    by_type: dict[str, list[int]] = {}
+    for et, v in rows:
+        if v is None:
+            continue
+        cents = int(np.floor(v * 100 + 0.5)) if v >= 0 else -int(
+            np.floor(-v * 100 + 0.5)
+        )
+        by_type.setdefault(et, []).append(cents)
+    for et, cents in by_type.items():
+        for p, col in ((50, "p50_value"), (90, "p90_value"), (99, "p99_value")):
+            q = np.percentile(np.array(cents, dtype="float64"), p)
+            expect = float(np.floor(q * 1e6 + 0.5)) / 1e8
+            assert got[et][col] == expect, (et, col, got[et][col], expect)
+
+
+# ---------------------------------------------------------------------------
+# exact k-NN graph
+# ---------------------------------------------------------------------------
+
+
+def test_knn_graph_matches_numpy_bruteforce(spark):
+    """The blocked all-pairs graph must equal a dense numpy cosine
+    top-k (ties -> smaller neighbor id) for every vector."""
+    import numpy as np
+
+    from flink_engagement_pipeline_spark.llm.similarity import knn_graph
+    from flink_engagement_pipeline_spark.sources.datagen import (
+        gen_embeddings,
+    )
+
+    emb = gen_embeddings(spark, 300)
+    mat_rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in mat_rows])
+    mat = np.array([r["embedding"] for r in mat_rows], dtype="float64")
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    got = sorted(
+        (r["a_id"], r["rn"], r["b_id"])
+        for r in knn_graph(emb, k=3).collect()
+    )
+    expect = []
+    order = np.argsort(ids)
+    for ai in range(len(ids)):
+        sims = [
+            (-cos[ai, bi], ids[bi])
+            for bi in range(len(ids))
+            if ids[bi] != ids[ai]
+        ]
+        sims.sort()
+        for rn, (_negc, bid) in enumerate(sims[:3], start=1):
+            expect.append((ids[ai], rn, bid))
+    assert got == sorted(expect)
+    del order
+
+
+# ---------------------------------------------------------------------------
+# streaming absence detection (event-time timers)
+# ---------------------------------------------------------------------------
+
+
+def _write_event_file(spark, rows, path):
+    """One parquet file of (event_id, ts_us, user_id, event_type)
+    rows, built JVM-side (a Python createDataFrame write costs ~5 s
+    flat — the sentinel-staging rule in queries_stream.py)."""
+    import glob
+    import shutil
+    import tempfile
+
+    df = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e).cast("long").alias("event_id"),
+                        F.timestamp_micros(F.lit(us)).alias("ts"),
+                        F.lit(u).cast("long").alias("user_id"),
+                        F.lit(t).alias("event_type"),
+                        F.lit(None).cast("double").alias("value"),
+                        F.lit("{}").alias("props"),
+                    )
+                    for e, us, u, t in rows
+                ]
+            )
+        )
+    )
+    stage = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+    shutil.copy(part, path)
+
+
+def test_abandoned_clicks_state_machine(spark, tmp_path):
+    """The absence detector across micro-batches: an in-window
+    purchase cancels (same batch or later batch), an out-of-window
+    purchase does not, emission happens only once the watermark
+    passes the click's deadline, and the timer chain re-arms for
+    later deadlines (the re-registered-timeout path)."""
+    import time as _time
+
+    from flink_engagement_pipeline_spark.streaming.stateful import (
+        abandoned_clicks,
+    )
+
+    H = 3_600_000_000  # 1h in us
+    S = 1_000_000  # 1s
+    batches = [
+        # batch 0: u1 click cancelled in-batch; u2 click + too-late
+        # purchase (abandoned); u3 click awaiting batch-1 purchase;
+        # u4 two clicks with distinct deadlines (timer re-arm chain)
+        [
+            (10, 1000 * S, 1, "click"),
+            (11, 1000 * S + H - 1, 1, "purchase"),
+            (20, 1000 * S, 2, "click"),
+            (21, 1000 * S + H, 2, "purchase"),  # exactly +1h: outside
+            (30, 5000 * S, 3, "click"),
+            (40, 2000 * S, 4, "click"),
+            (41, 9000 * S, 4, "click"),
+        ],
+        # batch 1: u3's purchase lands in-window (cross-batch cancel)
+        [(31, 5000 * S + 100, 3, "purchase")],
+        # batch 2: sentinel advances wm past u4's first deadline only
+        [(90, 7000 * S, -9, "sentinel")],
+        # batch 3: sentinel advances wm past everything
+        [(91, 20000 * S, -8, "sentinel")],
+        # batches 4-5: drains flushing lagged timer firings
+        [(92, 20001 * S, -7, "sentinel")],
+        [(93, 20002 * S, -6, "sentinel")],
+    ]
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        f = str(ev_dir / f"{chr(97 + i)}.parquet")
+        _write_event_file(spark, rows, f)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(ev_dir))
+    )
+    got: list[tuple] = []
+
+    def _collect(df, _bid):
+        got.extend(
+            (r["user_id"], r["click_id"], r["click_ts_us"])
+            for r in df.collect()
+        )
+
+    (
+        abandoned_clicks(stream)
+        .writeStream.foreachBatch(_collect)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert sorted(got) == [
+        (2, 20, 1000 * S),  # purchase at exactly +1h does not cancel
+        (4, 40, 2000 * S),  # first deadline of the re-arm chain
+        (4, 41, 9000 * S),  # second deadline, fired after re-arm
+    ]
+
+
+def test_abandoned_clicks_watermark_not_starved_by_scan_pruning(spark):
+    """Regression pin for the filter-pushdown watermark stall: the
+    operator's plan must NOT push an event_type/user_id filter into
+    the streaming scan (filtering happens inside the stateful
+    function), otherwise rows of other event types stop feeding the
+    watermark and timers never fire (measured failure mode)."""
+    from flink_engagement_pipeline_spark.streaming.stateful import (
+        abandoned_clicks,
+    )
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet("/root/testdata")  # never started; plan-only
+    plan = abandoned_clicks(stream)._jdf.queryExecution().analyzed().toString()
+    assert "Filter" not in plan, plan
