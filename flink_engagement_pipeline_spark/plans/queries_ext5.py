@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..llm import dedup as ld
 from ..llm import similarity as ls
 from ..llm import text as lt
 from ..sources.tables import load_table
@@ -472,3 +473,57 @@ def q_events_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ls.knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# connected components by star contraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_cc_star",
+    oracle=ld.dedup_clusters_oracle_sql(),  # shared with docs_dedup_clusters
+    doc=(
+        "Near-dup clustering via LARGE-STAR/SMALL-STAR contraction "
+        "(Kiveris et al. 2014) — the O(log n)-round connected-"
+        "components alternative to docs_dedup_clusters' min-label "
+        "propagation, whose round count is the component DIAMETER. "
+        "Same Jaccard>=0.5 pair graph, same (doc_id, cluster_id, "
+        "is_survivor) output, same recursive-closure DuckDB oracle — "
+        "the two CC algorithms must agree bit-for-bit, and do. Each "
+        "star phase is one groupBy-min on the node key + one edge "
+        "equi-join (min(N(u)) only — no neighborhood list ever "
+        "materializes); convergence is checksum-detected then "
+        "confirmed EXACTLY by a fixpoint check before returning "
+        "(operators/graph.py:connected_components_star). Chain-shaped "
+        "graphs are where this wins: a 300-node chain converges in 5 "
+        "alternating rounds where 25-round label propagation raises "
+        "(pinned in tests/test_graph.py). Not plan-snapshotted: the "
+        "round count is data-dependent, so the composed plan skeleton "
+        "is not stable across fixtures by design."
+    ),
+    tags=("llm", "dedup", "clustering", "graph", "iterative"),
+)
+def q_docs_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ld.ngram_jaccard_pairs(docs, 3, 0.5).select("doc_a", "doc_b")
+    labels = connected_components_star(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+        )
+    )

@@ -81,3 +81,99 @@ def test_pagerank_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# connected components: large-star / small-star contraction
+# ---------------------------------------------------------------------------
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Star contraction and min-label propagation must produce
+    IDENTICAL (node, component-min) labelings on a seeded random
+    graph with mixed component shapes (cliques, paths, singleton
+    pairs)."""
+    from flink_engagement_pipeline_spark.llm.dedup import (
+        connected_components,
+    )
+    from flink_engagement_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # deterministic pseudo-random edges over 400 nodes: hash
+    # arithmetic, no RNG state (same device as sources/datagen.py)
+    edges = (
+        spark.range(600)
+        .select(
+            (F.xxhash64(F.col("id")) % 400).alias("src"),
+            (F.xxhash64(F.col("id") + 7919) % 400).alias("dst"),
+        )
+        .select(F.abs("src").alias("src"), F.abs("dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+    )
+    lp = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(
+            edges.select(
+                F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+            ),
+            nodes,
+        ).collect()
+    }
+    star = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert star == lp
+
+
+def test_star_cc_chain_converges_where_label_prop_cannot(spark):
+    """The O(log n) claim, demonstrated: a 300-node chain (diameter
+    299) converges under star contraction, while min-label
+    propagation's default 25-round budget — ample for shallow
+    near-dup clusters — must raise its documented non-convergence
+    error rather than silently split the chain."""
+    import pytest
+
+    from flink_engagement_pipeline_spark.llm.dedup import (
+        connected_components,
+    )
+    from flink_engagement_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    chain = spark.range(299).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    labels = connected_components_star(chain).collect()
+    assert len(labels) == 300
+    assert all(r["cluster_id"] == 0 for r in labels)
+    nodes = spark.range(300).select(F.col("id").alias("doc_id"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            chain.select(
+                F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+            ),
+            nodes,
+        ).collect()
+
+
+def test_star_cc_tolerates_duplicates_and_self_loops(spark):
+    """Raw candidate-pair output contains duplicates, reversed copies
+    and self-pairs; the operator must normalize all three."""
+    from flink_engagement_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rows = [(1, 2), (2, 1), (1, 2), (3, 3), (3, 2)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    res = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(e).collect()
+    }
+    assert res == {1: 1, 2: 1, 3: 1}
