@@ -303,10 +303,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
     closing = e.select(F.col("a").alias("y1"), F.col("b").alias("y2"))
     tri = wedges.join(closing, ["y1", "y2"])  # y1 < y2 == (a, b) form
+    # one Generate over the triangle rows — a 3-way union of tri
+    # projections would re-execute the wedge join three times
     corners = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y1")))
-        .union(tri.select(F.col("y2")))
+        tri.select(F.explode(F.array("x", "y1", "y2")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

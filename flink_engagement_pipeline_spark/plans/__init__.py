@@ -51,16 +51,16 @@ from . import queries_ext5  # noqa: F401,E402
 #       Top-N/dedup/join, BPE merge training) + 30 of the 32
 #       round-2-checked backfills (CORRECTNESS_r06.json: 47 hash +
 #       3 rows-only, 0 err);
-#   round 7 (this list): sentinels + the 11 round-7 additions
+#   round 7 (this list): sentinels + the 12 round-7 additions
 #       (stream-stream LEFT OUTER + FULL OUTER interval joins, BPE
 #       encode, incremental IVF ingest, exact-substring dedup
 #       coverage + scrub, Gopher repeated-span signals, exact
 #       percentiles, exact k-NN graph, streaming absence detection,
-#       star-contraction connected components) + the 2 remaining
-#       round-2-checked queries + the 31 oldest round-3-checked
-#       queries in registry order (through late_ship_priority_counts;
-#       the 13 r3-checked stragglers from small_quantity_revenue on
-#       re-enter next round). Window budget honored:
+#       star-contraction connected components, degree-ordered
+#       triangle counting) + the 2 remaining round-2-checked queries
+#       + the 30 oldest round-3-checked queries in registry order
+#       (through top_orders_by_revenue; the 14 r3-checked stragglers
+#       from late_ship_priority_counts on re-enter next round). Window budget honored:
 #       hop_engagement_sum stays the single multi-million-row output
 #       in-window.
 #
@@ -89,9 +89,10 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_knn_graph",
     "stream_abandoned_clicks_replay",
     "docs_cc_star",
+    "parts_triangles",
     # -- [c] backfill: oldest driver coverage first — the 2 remaining
     # round-2-checked queries, then the round-3-checked block in
-    # registry order (31 of 44 fit; the tail re-enters next round) --
+    # registry order (30 of 44 fit; the tail re-enters next round) --
     "user_event_type_sets",
     "lateral_top_users",
     "tumbling_stats",
@@ -124,8 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "forecast_revenue_change",
     "shipmode_priority_counts",
     "top_orders_by_revenue",
-    "late_ship_priority_counts",
-    # small_quantity_revenue through brand_supplier_counts (and
+    # late_ship_priority_counts through brand_supplier_counts (and
     # dominant_event_types onward) displaced by the 6th-10th round-7
     # additions; they re-enter as oldest-coverage backfill next round
 )

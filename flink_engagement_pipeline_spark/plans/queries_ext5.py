@@ -527,3 +527,92 @@ def q_docs_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered wedges)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_triangles",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+tri AS (
+  -- canonical x < y < z: each triangle exactly once
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node,
+       d.degree,
+       COALESCE(c.n_triangles, 0)                    AS n_triangles,
+       CASE WHEN d.degree < 2 THEN 0.0
+            ELSE CAST(COALESCE(c.n_triangles, 0) AS DOUBLE) * 2.0
+                 / (d.degree * (d.degree - 1)) END   AS clustering_coeff
+FROM deg d LEFT JOIN corners c ON c.node = d.node
+""",
+    doc=(
+        "Per-part triangle counts + local clustering coefficient over "
+        "the co-purchase graph (the community-density signal: a "
+        "part whose co-purchase neighbors also co-purchase each other "
+        "sits inside a basket community; a hub with coefficient ~0 "
+        "bridges unrelated baskets). Implementation is DEGREE-ORDERED "
+        "wedge counting (operators/graph.py:triangle_counts): every "
+        "edge oriented from its (degree, id)-smaller endpoint, so "
+        "each triangle has exactly ONE apex generating its wedge and "
+        "join volume is sum(out_deg^2) with out_deg = O(sqrt(m)) — "
+        "power-law hubs receive edges instead of emitting wedges, the "
+        "property that keeps this runnable on a 100 TB graph where "
+        "the naive neighborhood self-join explodes on the first hub. "
+        "The oracle brute-forces the canonical x<y<z 3-join instead — "
+        "per-node counts are algorithm-independent, so the cheap "
+        "oracle checks the clever plan. Coefficient = 2t/deg(deg-1) "
+        "as ONE final double division of exact longs in both engines."
+    ),
+    tags=("graph", "triangles", "clustering-coefficient"),
+)
+def q_parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import triangle_counts
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_counts(edges)
