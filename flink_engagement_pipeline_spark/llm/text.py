@@ -600,12 +600,15 @@ def bpe_encode(docs, k: int = BPE_MERGES):
     )
 
 
-def bpe_encode_oracle_sql(k: int = BPE_MERGES) -> str:
-    """Exact DuckDB replication of :func:`bpe_encode`: the training
-    stages of :func:`bpe_merges_oracle_sql` extended by a vocab stage
-    (chars by lexicographic row_number, merges offset by the char
-    count) and an encode stage (word-position unnest -> word->seq
-    join -> symbol unnest -> id join -> ordered string_agg)."""
+def _bpe_encode_stages_sql(k: int = BPE_MERGES) -> str:
+    """Shared CTE chain for the encode-side oracles: the training
+    stages of :func:`bpe_merges_oracle_sql` extended by the vocab
+    stage (chars by lexicographic row_number, merges offset by char
+    count) and the per-document symbol stream (word-position unnest
+    -> word->seq join -> symbol unnest), ending at ``dsyms`` —
+    everything except the final aggregation, reused by
+    :func:`bpe_encode_oracle_sql` and
+    :func:`bpe_bigram_logprob_oracle_sql`."""
     train = bpe_merges_stages_sql(k)
     picks = " UNION ALL ".join(
         f"SELECT {i} AS merge_rank, merged FROM pick{i}" for i in range(1, k + 1)
@@ -640,13 +643,124 @@ dsyms AS (
     FROM dwords dw JOIN seqs{k} sq ON sq.word = dw.word
   ) e
   CROSS JOIN unnest(generate_series(1, len(e.sp2))) AS u(j)
-)
+)"""
+
+
+def bpe_encode_oracle_sql(k: int = BPE_MERGES) -> str:
+    """Exact DuckDB replication of :func:`bpe_encode`: the shared
+    encode stages (:func:`_bpe_encode_stages_sql`) closed by the
+    ordered per-document string_agg of token ids."""
+    return f"""
+{_bpe_encode_stages_sql(k)}
 SELECT s.doc_id,
        count(*)                                            AS n_tokens,
        string_agg(CAST(v.tok_id AS VARCHAR), ' '
                   ORDER BY s.wi, s.j)                      AS token_ids
 FROM dsyms s JOIN vocab v ON v.sym = s.sym
 GROUP BY s.doc_id
+"""
+
+
+BPE_LM_ADD_K = 0.5  # add-k smoothing, mirroring the word-level bigram LM
+
+
+def bpe_bigram_logprob(docs, k: int = BPE_MERGES) -> "DataFrame":
+    """Self-trained bigram LM over BPE TOKEN IDS — the tokenizer
+    trainer (bpe_merges), the encoder (bpe_encode) and the LM quality
+    ladder (docs_bigram_logprob) composed into the loop a real
+    pipeline runs: train tokenizer -> encode corpus -> score text by
+    token-level perplexity. Subword scoring is what production
+    quality filters use (word-level LMs blow their vocabulary on rare
+    words and typos; BPE ids make every bigram in-vocabulary by
+    construction).
+
+    Same determinism device as the word-level LM: p(t2|t1) =
+    (c12 + k)/(c1 + k*V) with each bigram's ln quantized to integer
+    nano-nats, so the per-doc sum is order-independent and the whole
+    trained-tokenizer-to-perplexity pipeline hash-matches the SQL
+    oracle end-to-end. Plan: the encode output's id array feeds ONE
+    zip-shift bigram explode (bigrams_list — no window over the token
+    stream); model counts ((t1,t2) then t1 hash aggregations, V as a
+    broadcast scalar) and the scoring join ride the same exploded
+    frame; one final doc aggregation. Docs with < 2 tokens have no
+    bigrams and are absent, as in the word-level form. Returns
+    (doc_id, n_bigrams, logprob, xent)."""
+    enc = bpe_encode(docs, k)
+    ids = F.split("token_ids", " ")
+    pairs = enc.select(
+        "doc_id", F.explode(bigrams_list(ids)).alias("bg")
+    ).select(
+        "doc_id",
+        F.substring_index("bg", " ", 1).alias("t1"),
+        F.substring_index("bg", " ", -1).alias("t2"),
+    )
+    c12 = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("t1").agg(F.sum("c12").alias("c1"))
+    vocab = pairs.agg(F.countDistinct("t2").alias("v"))
+    qlp = (
+        c12.join(c1, "t1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "t1",
+            "t2",
+            F.floor(
+                F.log(
+                    (F.col("c12") + F.lit(BPE_LM_ADD_K))
+                    / (F.col("c1") + F.lit(BPE_LM_ADD_K) * F.col("v"))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    scored = pairs.join(qlp, ["t1", "t2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("q").alias("sq"),
+    )
+    logprob = F.col("sq").cast("double") / F.lit(1e9)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        logprob.alias("logprob"),
+        (-logprob / F.col("n_bigrams")).alias("xent"),
+    )
+
+
+def bpe_bigram_logprob_oracle_sql(k: int = BPE_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_bigram_logprob`: the shared encode
+    stages, ids ordered per document by (wi, j), adjacent-id bigrams,
+    then the word-level LM oracle's count/smoothing/quantize stages
+    over token ids."""
+    return f"""
+{_bpe_encode_stages_sql(k)},
+ids AS MATERIALIZED (
+  SELECT s.doc_id,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY s.wi, s.j) AS p,
+         v.tok_id AS id
+  FROM dsyms s JOIN vocab v ON v.sym = s.sym
+),
+bg AS MATERIALIZED (
+  SELECT a.doc_id, a.id AS t1, b.id AS t2
+  FROM ids a JOIN ids b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+),
+c12 AS (SELECT t1, t2, count(*) AS c FROM bg GROUP BY t1, t2),
+c1 AS (SELECT t1, CAST(sum(c) AS BIGINT) AS c FROM c12 GROUP BY t1),
+vsize AS (SELECT count(DISTINCT t2) AS v FROM bg),
+qlp AS (
+  SELECT c12.t1 AS t1, c12.t2 AS t2,
+         CAST(floor(ln((c12.c + CAST({BPE_LM_ADD_K} AS DOUBLE))
+                       / (c1.c + CAST({BPE_LM_ADD_K} AS DOUBLE) * v)) * 1e9
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+  FROM c12 JOIN c1 USING (t1), vsize
+)
+SELECT b.doc_id                                 AS doc_id,
+       count(*)                                 AS n_bigrams,
+       CAST(sum(q.q) AS DOUBLE) / 1e9           AS logprob,
+       -(CAST(sum(q.q) AS DOUBLE) / 1e9) / count(*) AS xent
+FROM bg b JOIN qlp q ON q.t1 = b.t1 AND q.t2 = b.t2
+GROUP BY b.doc_id
 """
 
 

@@ -616,3 +616,40 @@ def q_parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# BPE-token bigram LM scoring (tokenizer -> encoder -> quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_bpe_perplexity",
+    oracle=lt.bpe_bigram_logprob_oracle_sql(),
+    doc=(
+        "Subword-level LM quality scoring — the tokenizer trainer "
+        "(docs_bpe_merges), the encoder (docs_bpe_encode) and the "
+        "bigram LM ladder (docs_bigram_logprob) COMPOSED into the "
+        "loop a production pipeline actually runs: train tokenizer "
+        "-> encode corpus -> score every document by token-level "
+        "log-probability / cross-entropy. Subword scoring is what "
+        "real quality filters use (a word-level LM blows its "
+        "vocabulary on rare words and typos; BPE ids make every "
+        "bigram in-vocabulary by construction, so the perplexity "
+        "signal degrades gracefully instead of zeroing out on OOV). "
+        "Determinism: per-bigram ln quantized to integer nano-nats "
+        "(order-independent doc sums), and the ENTIRE composed "
+        "pipeline — greedy merge training, encode, counts, smoothing "
+        "— hash-matches one end-to-end SQL oracle (the shared encode "
+        "CTE stages + the word-LM oracle's scoring stages over ids). "
+        "Plan: encode's id arrays feed one zip-shift bigram explode "
+        "(no window over the token stream); model counts and the "
+        "scoring join ride the same exploded frame; training is "
+        "memoized per process so merges/encode/perplexity in one "
+        "session pay one training run "
+        "(implementation llm/text.py:bpe_bigram_logprob)."
+    ),
+    tags=("llm", "text", "tokenizer", "bpe", "quality", "language-model"),
+)
+def q_docs_bpe_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lt.bpe_bigram_logprob(load_table(spark, sf_dir, "documents"))

@@ -617,3 +617,62 @@ def test_abandoned_clicks_watermark_not_starved_by_scan_pruning(spark):
     ).parquet("/root/testdata")  # never started; plan-only
     plan = abandoned_clicks(stream)._jdf.queryExecution().analyzed().toString()
     assert "Filter" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# BPE-token bigram LM (tokenizer -> encoder -> quality filter)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_perplexity_matches_pure_python(spark, sf_dir):
+    """docs_bpe_perplexity must equal a fully-independent Python
+    pipeline: train merges, encode every doc, count id bigrams,
+    add-k smooth, quantize each ln to nano-nats, sum per doc."""
+    import math
+
+    import duckdb
+
+    from flink_engagement_pipeline_spark.llm.text import (
+        BPE_LM_ADD_K,
+        BPE_MERGES,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    _m, seqs, ids = _py_bpe([t for _, t in rows], BPE_MERGES)
+    doc_ids = {}
+    for doc_id, t in rows:
+        doc_ids[doc_id] = [
+            ids[sym] for w in t.split(" ") if w for sym in seqs[w]
+        ]
+    bgs = {
+        d: list(zip(s, s[1:])) for d, s in doc_ids.items() if len(s) > 1
+    }
+    c12: dict[tuple[int, int], int] = {}
+    c1: dict[int, int] = {}
+    for pairs in bgs.values():
+        for p in pairs:
+            c12[p] = c12.get(p, 0) + 1
+            c1[p[0]] = c1.get(p[0], 0) + 1
+    v = len({b for _, b in c12})
+    q = {
+        p: math.floor(
+            math.log((c + BPE_LM_ADD_K) / (c1[p[0]] + BPE_LM_ADD_K * v))
+            * 1e9
+            + 0.5
+        )
+        for p, c in c12.items()
+    }
+    want = {}
+    for d, pairs in bgs.items():
+        if not pairs:
+            continue
+        sq = sum(q[p] for p in pairs)
+        lp = sq / 1e9
+        want[d] = (len(pairs), lp, -lp / len(pairs))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob"], r["xent"])
+        for r in REGISTRY["docs_bpe_perplexity"].spark(spark, sf_dir).collect()
+    }
+    assert got == want

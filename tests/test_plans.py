@@ -424,7 +424,7 @@ def test_gate_priority_window_covers_graded_surface():
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
     plans/__init__.py). This pins the round-7 rotation: beyond the
-    sentinels and the twelve round-7 additions the window is the
+    sentinels and the thirteen round-7 additions the window is the
     staleness re-proof pass — the 2 remaining round-2-checked
     queries, then the 37 oldest round-3-checked queries in registry
     order; the window's rows-only residue is exactly the queries
@@ -452,6 +452,7 @@ def test_gate_priority_window_covers_graded_surface():
         "stream_abandoned_clicks_replay",
         "docs_cc_star",
         "parts_triangles",
+        "docs_bpe_perplexity",
     ]
     r2_backfill = [
         # the last two queries whose most recent driver row is round 2
@@ -460,8 +461,9 @@ def test_gate_priority_window_covers_graded_surface():
     ]
     r3_backfill = [
         # last driver row: CORRECTNESS_r03.json — the oldest-coverage
-        # block, registry order; 30 of 44 fit this round, the tail
-        # (late_ship_priority_counts, small_quantity_revenue,
+        # block, registry order; 29 of 44 fit this round, the tail
+        # (top_orders_by_revenue, late_ship_priority_counts,
+        # small_quantity_revenue,
         # large_volume_customers, regional_revenue,
         # returned_item_customers, brand_bracket_revenue,
         # brand_supplier_counts, dominant_event_types,
@@ -480,7 +482,6 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_train_split", "docs_chunks", "docs_lang_downsample",
         "docs_contamination", "docs_pack_sequences", "pricing_summary",
         "forecast_revenue_change", "shipmode_priority_counts",
-        "top_orders_by_revenue",
     ]
     expected = sentinels + new_in_r7 + r2_backfill + r3_backfill
     assert window == expected, (
@@ -958,6 +959,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "docs_quality_gate",        # 1-row percentile-threshold broadcast
         "embedding_ann_recall",     # composes the allowlisted 1-probe topks
         "docs_bigram_logprob",      # 1-row vocab-size broadcast x model
+        "docs_bpe_perplexity",      # 1-row vocab-size broadcast x model (id LM)
         "embedding_matryoshka_rerank",  # single probe row x corpus (coarse)
         "audience_overlap",         # 1-row sketch-estimates x 1-row exacts
         "embedding_mmr_rerank",     # single probe row x corpus (pool build)
