@@ -51,17 +51,18 @@ from . import queries_ext5  # noqa: F401,E402
 #       Top-N/dedup/join, BPE merge training) + 30 of the 32
 #       round-2-checked backfills (CORRECTNESS_r06.json: 47 hash +
 #       3 rows-only, 0 err);
-#   round 7 (this list): sentinels + the 13 round-7 additions
+#   round 7 (this list): sentinels + the 14 round-7 additions
 #       (stream-stream LEFT OUTER + FULL OUTER interval joins, BPE
 #       encode, incremental IVF ingest, exact-substring dedup
 #       coverage + scrub, Gopher repeated-span signals, exact
 #       percentiles, exact k-NN graph, streaming absence detection,
 #       star-contraction connected components, degree-ordered
-#       triangle counting, BPE-token bigram perplexity) + the 2
-#       remaining round-2-checked queries + the 29 oldest
-#       round-3-checked queries in registry order (through
-#       shipmode_priority_counts; the 15 r3-checked stragglers from
-#       top_orders_by_revenue on re-enter next round). Window budget honored:
+#       triangle counting, BPE-token bigram perplexity, dynamic-gap
+#       session windows) + the 2 remaining round-2-checked queries +
+#       the 28 oldest round-3-checked queries in registry order
+#       (through forecast_revenue_change; the 16 r3-checked
+#       stragglers from shipmode_priority_counts on re-enter next
+#       round). Window budget honored:
 #       hop_engagement_sum stays the single multi-million-row output
 #       in-window.
 #
@@ -92,9 +93,10 @@ _PRIORITY: tuple[str, ...] = (
     "docs_cc_star",
     "parts_triangles",
     "docs_bpe_perplexity",
+    "session_windows_dynamic",
     # -- [c] backfill: oldest driver coverage first — the 2 remaining
     # round-2-checked queries, then the round-3-checked block in
-    # registry order (29 of 44 fit; the tail re-enters next round) --
+    # registry order (28 of 44 fit; the tail re-enters next round) --
     "user_event_type_sets",
     "lateral_top_users",
     "tumbling_stats",
@@ -125,8 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "docs_pack_sequences",
     "pricing_summary",
     "forecast_revenue_change",
-    "shipmode_priority_counts",
-    # top_orders_by_revenue through brand_supplier_counts (and
+    # shipmode_priority_counts through brand_supplier_counts (and
     # dominant_event_types onward) displaced by the 6th-10th round-7
     # additions; they re-enter as oldest-coverage backfill next round
 )

@@ -653,3 +653,90 @@ def q_parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_docs_bpe_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lt.bpe_bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dynamic-gap session windows (Flink session gap extractor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_windows_dynamic",
+    oracle="""
+WITH o AS (
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CAST(value AS DECIMAL(18,2)) AS v,
+           CAST(ts AS TIMESTAMP)
+               + CASE WHEN event_type = 'purchase'
+                      THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 10 MINUTE END AS e
+    FROM events
+),
+w AS (
+    SELECT user_id, ts, v, e,
+           max(e) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM o
+),
+i AS (
+    SELECT user_id, ts, v, e,
+           SUM(CASE WHEN prev_max IS NULL OR ts >= prev_max
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+    FROM w
+)
+SELECT user_id,
+       min(ts)                 AS session_start,
+       max(e)                  AS session_end,
+       count(*)                AS n_events,
+       CAST(SUM(v) AS DOUBLE)  AS sum_value
+FROM i
+GROUP BY user_id, sid
+""",
+    doc=(
+        "DYNAMIC-GAP session windows — Flink's session gap extractor "
+        "(a per-event gap function) as Spark's session_window with a "
+        "gap EXPRESSION: a purchase holds its session open 30 min, "
+        "any other event 10 min, so high-intent moments stretch the "
+        "session the way engagement analytics actually define it. "
+        "Semantics (and the oracle's device) generalize fixed-gap "
+        "sessions from lag-comparison to true INTERVAL MERGE: each "
+        "event spans [ts, ts + gap(event)); overlapping spans merge; "
+        "session end = max per-event end (a long-gap event can bridge "
+        "OVER a short-gap successor, which a lag-based oracle would "
+        "split — pinned in pytest). The running-max gaps-and-islands "
+        "form is the same interval algebra as user_active_coverage / "
+        "merged_dup_intervals, riding ONE user_id exchange. Streaming "
+        "form proven in pytest (stream==batch through the sentinel "
+        "replay device): the same gap expression drives "
+        "session_windowed_stream, keeping session state "
+        "watermark-evictable with per-event horizons."
+    ),
+    tags=("session-window", "dynamic-gap", "event-time"),
+)
+def q_session_windows_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

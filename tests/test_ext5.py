@@ -676,3 +676,112 @@ def test_bpe_perplexity_matches_pure_python(spark, sf_dir):
         for r in REGISTRY["docs_bpe_perplexity"].spark(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dynamic-gap session windows
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_session_long_gap_bridges_short_successor(spark):
+    """A long-gap event must hold the session open ACROSS a
+    short-gap successor's horizon: purchase (30 min) at t=0, click
+    (10 min) at t=20min, click at t=28min — the naive lag-based rule
+    (split when delta >= successor gap) would split before the third
+    event (delta 8 min < 10 min keeps it, but delta 20 min >= 10 min
+    would split the second); true interval-merge keeps all three in
+    ONE session ending at t=38min."""
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.plans.registry import REGISTRY
+
+    M = 60 * 1_000_000
+    rows = [
+        (1, 0 * M, 7, "purchase", 1.0),
+        (2, 20 * M, 7, "click", 1.0),
+        (3, 28 * M, 7, "click", 1.0),
+        # control: same shape but first event is a click (10 min gap)
+        # -> splits at t=20min into two sessions
+        (4, 0 * M, 8, "click", 1.0),
+        (5, 20 * M, 8, "click", 1.0),
+        (6, 28 * M, 8, "click", 1.0),
+    ]
+    ev = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e).cast("long").alias("event_id"),
+                        F.timestamp_micros(F.lit(us)).alias("ts"),
+                        F.lit(u).cast("long").alias("user_id"),
+                        F.lit(t).alias("event_type"),
+                        F.lit(v).cast("double").alias("value"),
+                        F.lit("{}").alias("props"),
+                    )
+                    for e, us, u, t, v in rows
+                ]
+            )
+        )
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    out = (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "session_window.end", "n")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["n"])
+    assert sorted(by_user[7]) == [3]  # one bridged session
+    assert sorted(by_user[8]) == [1, 2]  # control splits
+
+
+def test_dynamic_session_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming dynamic-gap sessions (the same gap EXPRESSION driving
+    session_windowed_stream) must equal the batch dynamic
+    sessionization once the watermark passes every session's end —
+    the sentinel+drain replay device with a 2 h horizon covering the
+    30 min purchase gap."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.plans.queries_stream import (
+        _staged_sentinel_drain_dir,
+    )
+    from flink_engagement_pipeline_spark.plans.registry import REGISTRY
+    from flink_engagement_pipeline_spark.streaming.pipeline import (
+        run_session_windowed,
+    )
+    from flink_engagement_pipeline_spark.streaming.sinks import (
+        IdempotentParquetSink,
+    )
+
+    events_dir = _staged_sentinel_drain_dir(
+        spark, sf_dir, str(tmp_path), ((-1, -1, "sentinel"),)
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    run_session_windowed(
+        spark,
+        events_dir,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        gap=gap,
+        max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r["user_id"], r["window_start"], r["window_end"], r["engagement_sum"])
+        for r in sink.read_committed(spark).collect()
+    )
+    batch = REGISTRY["session_windows_dynamic"].spark(spark, sf_dir)
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["sum_value"])
+        for r in batch.collect()
+    )
+    assert got == want

@@ -424,7 +424,7 @@ def test_gate_priority_window_covers_graded_surface():
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
     plans/__init__.py). This pins the round-7 rotation: beyond the
-    sentinels and the thirteen round-7 additions the window is the
+    sentinels and the fourteen round-7 additions the window is the
     staleness re-proof pass — the 2 remaining round-2-checked
     queries, then the 37 oldest round-3-checked queries in registry
     order; the window's rows-only residue is exactly the queries
@@ -453,6 +453,7 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_cc_star",
         "parts_triangles",
         "docs_bpe_perplexity",
+        "session_windows_dynamic",
     ]
     r2_backfill = [
         # the last two queries whose most recent driver row is round 2
@@ -461,8 +462,9 @@ def test_gate_priority_window_covers_graded_surface():
     ]
     r3_backfill = [
         # last driver row: CORRECTNESS_r03.json — the oldest-coverage
-        # block, registry order; 29 of 44 fit this round, the tail
-        # (top_orders_by_revenue, late_ship_priority_counts,
+        # block, registry order; 28 of 44 fit this round, the tail
+        # (shipmode_priority_counts, top_orders_by_revenue,
+        # late_ship_priority_counts,
         # small_quantity_revenue,
         # large_volume_customers, regional_revenue,
         # returned_item_customers, brand_bracket_revenue,
@@ -481,7 +483,7 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_word_positions", "docs_corpus_prep", "docs_bigram_freq",
         "docs_train_split", "docs_chunks", "docs_lang_downsample",
         "docs_contamination", "docs_pack_sequences", "pricing_summary",
-        "forecast_revenue_change", "shipmode_priority_counts",
+        "forecast_revenue_change",
     ]
     expected = sentinels + new_in_r7 + r2_backfill + r3_backfill
     assert window == expected, (
