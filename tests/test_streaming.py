@@ -968,3 +968,112 @@ def test_drop_duplicates_within_watermark_bounded_state(
     batch = load_table(spark, SF, "events")
     assert got.count() == batch.select("event_id").distinct().count()
     assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_union_of_streams_uses_min_watermark(spark, tmp_path):
+    """Flink's watermark-alignment semantics under stream UNION,
+    proven for Spark's default multipleWatermarkPolicy=min: when two
+    watermarked sources are unioned into one windowed aggregation,
+    the GLOBAL watermark is the minimum across sources — a source
+    that races ahead (10 h sentinel) must NOT close windows the
+    lagging source could still fill. The discriminating row is
+    stream A's 2 h event: under min-policy its window stays open
+    (B's watermark is 60 min); under a max/per-branch policy A's
+    sentinel would flush it."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    SCHEMA = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    M = 60 * 1_000_000  # one minute in us
+
+    def mk(rows, path):
+        df = spark.range(1).select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(e).cast("long").alias("event_id"),
+                            F.timestamp_micros(F.lit(us)).alias("ts"),
+                            F.lit(u).cast("long").alias("user_id"),
+                            F.lit(t).alias("event_type"),
+                            F.lit(None).cast("double").alias("value"),
+                            F.lit("{}").alias("props"),
+                        )
+                        for e, us, u, t in rows
+                    ]
+                )
+            )
+        )
+        stage = _tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        _shutil.copy(part, path)
+
+    a_dir = tmp_path / "a"
+    b_dir = tmp_path / "b"
+    a_dir.mkdir()
+    b_dir.mkdir()
+    now = _time.time()
+    # A: events in the first hour + ONE at 2 h, then a 10 h sentinel,
+    # then a drain (emission lags the watermark update by a batch)
+    mk(
+        [
+            (1, 5 * M, 1, "click"),
+            (2, 25 * M, 1, "click"),
+            (3, 120 * M, 1, "click"),  # the discriminating 2 h event
+        ],
+        str(a_dir / "a1.parquet"),
+    )
+    mk([(8, 600 * M, -1, "sentinel")], str(a_dir / "a2.parquet"))
+    mk([(9, 601 * M, -2, "sentinel")], str(a_dir / "a3.parquet"))
+    for i, f in enumerate(("a1.parquet", "a2.parquet", "a3.parquet")):
+        _os.utime(str(a_dir / f), (now + 60 * i,) * 2)
+    # B: events in the first hour only — its watermark stops at 55 min
+    mk(
+        [(21, 15 * M, 2, "purchase"), (22, 55 * M, 2, "purchase")],
+        str(b_dir / "b1.parquet"),
+    )
+    a = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(a_dir))
+        .withWatermark("ts", "0 seconds")
+    )
+    b = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(b_dir))
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = (
+        a.unionByName(b)
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    got: list[tuple] = []
+    (
+        agg.writeStream.foreachBatch(
+            lambda df, bid: got.extend((r["ws"], r["n"]) for r in df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    import datetime as _dt
+
+    def ts(mins):
+        return _dt.datetime(1970, 1, 1, 0, 0) + _dt.timedelta(minutes=mins)
+
+    # global wm = min(A's 10 h, B's 55 min) = 55 min: only windows
+    # ending <= 55 min flush — the 50-min window (holding B's 55-min
+    # row) and the 2 h window (A's discriminating event) stay OPEN
+    assert sorted(got) == [(ts(0), 1), (ts(10), 1), (ts(20), 1)], got
