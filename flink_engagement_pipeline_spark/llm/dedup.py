@@ -32,24 +32,52 @@ from .text import fingerprint_md5, normalize, shingles, words
 # --------------------------------------------------------------------------
 
 
-def _semi_prune(tbl: DataFrame, ids: DataFrame, key: str = "doc_id") -> DataFrame:
-    """LEFT-SEMI prune a (doc_id, payload) table to a broadcast
-    candidate-id set BEFORE a payload-carrying verify join.
+# Above this many candidate ids the explicit-broadcast semi-prune is
+# dropped in favor of a plain (planner-chosen) semi-join: 8-byte ids at
+# 4M ≈ 32 MB of key payload, comfortably inside the driver but close
+# enough to the default 8 GB broadcast-table hard cap's practical
+# comfort zone that forcing the hint beyond it risks failing the job
+# outright instead of just running slower.
+_BROADCAST_ID_LIMIT = 4_000_000
 
-    Why: an exact-verify join keyed on doc_id looks candidate-bounded,
-    but the PLANNER sizes the payload side first — without the prune
-    it shuffles every document's shingle array into the join (round-7
-    scaling probe: 3.35 GB shuffled at 1M docs for a 97k-pair verify),
-    and AQE's broadcast conversion arrives only after the map-side
-    write is paid. The broadcast semi-join filters the payload at the
-    scan, so only candidate rows ever serialize. At corpus sizes
-    where the candidate id set itself outgrows broadcast, replace the
-    explicit broadcast with Spark's runtime bloom-filter join
-    (spark.sql.optimizer.runtime.bloomFilter.enabled) — identical
-    intent, approximate pre-filter plus the exact join. Shared by the
-    text-dedup verifies here and the embedding near-dup verifies in
-    llm/similarity.py (key="vec_id")."""
-    return tbl.join(F.broadcast(ids), key, "leftsemi")
+
+def _semi_prune(
+    tbl: DataFrame,
+    ids: DataFrame,
+    key: str = "doc_id",
+    n_ids: int | None = None,
+) -> DataFrame:
+    """LEFT-SEMI prune a (doc_id, payload) table to a candidate-id set
+    BEFORE a payload-carrying verify join — broadcast-hinted for the
+    (overwhelmingly common) small-id-set case, un-hinted above
+    ``_BROADCAST_ID_LIMIT`` so a huge candidate set degrades to a
+    slower-but-correct shuffled semi-join instead of failing the job
+    at the broadcast limit.
+
+    Why the prune at all: an exact-verify join keyed on doc_id looks
+    candidate-bounded, but the PLANNER sizes the payload side first —
+    without the prune it shuffles every document's shingle array into
+    the join (round-7 scaling probe: 3.35 GB shuffled at 1M docs for a
+    97k-pair verify), and AQE's broadcast conversion arrives only
+    after the map-side write is paid. The broadcast semi-join filters
+    the payload at the scan, so only candidate rows ever serialize.
+
+    Size gate: ``n_ids`` is an UPPER BOUND on the id-set size when the
+    caller already knows one (every verify path localCheckpoints its
+    pairs-sized candidate frame, so ``cand.count()`` is a cheap
+    narrow job and |distinct ids| <= |cand rows|); when None, the ids
+    frame is counted here. Above the limit the join is left un-hinted:
+    Spark's runtime bloom-filter join (on by default, verified in this
+    container: spark.sql.optimizer.runtime.bloomFilter.enabled=true)
+    then injects the approximate pre-filter into the payload scan —
+    the same intent as the broadcast, minus the hard driver limit.
+    Shared by the text-dedup verifies here and the embedding near-dup
+    verifies in llm/similarity.py (key="vec_id")."""
+    if n_ids is None:
+        n_ids = ids.count()
+    if n_ids <= _BROADCAST_ID_LIMIT:
+        return tbl.join(F.broadcast(ids), key, "leftsemi")
+    return tbl.join(ids, key, "leftsemi")
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -528,7 +556,22 @@ def portable_minhash_pairs(
     bucket equi-join, verify on candidates only — never all-pairs.
     """
     base = portable_base(docs, n)
-    bands = portable_band_index(base)
+    return portable_pairs_from_index(portable_band_index(base), base, threshold)
+
+
+def portable_pairs_from_index(
+    bands: DataFrame, base: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Verified near-dup pairs from a (possibly persisted, possibly
+    takedown-edited) portable band index: the candidate + verify TAIL
+    of `portable_minhash_pairs`, factored out so index-lifecycle
+    queries (deletion, rebuild-equivalence) run the identical
+    pipeline over an index they manipulated first. ``base`` may be
+    the FULL corpus's shingle table even when ``bands`` has had rows
+    deleted: candidates only ever come from the index, so a
+    taken-down doc can never re-enter a pair and its text is never
+    read (the semi-pruned verify scan skips it) — deleting index
+    rows IS the takedown, text-store GC is a separate concern."""
     # In-bucket pair generation (same single-pass device as
     # `lsh_candidate_pairs` / `ngram_jaccard_pairs`): groupBy the bucket
     # key + sorted collect_list + i<j slicing, so the 16-seed signature
@@ -568,11 +611,16 @@ def portable_minhash_pairs(
     # (77.9 s) — the checkpoint form pays the candidate computation
     # exactly once and reads the id sets from its tiny output.
     cand = cand.localCheckpoint()
+    n_cand = cand.count()  # narrow count on the checkpoint; upper-bounds ids
     sa = _semi_prune(
-        base, cand.select(F.col("doc_a").alias("doc_id")).distinct()
+        base,
+        cand.select(F.col("doc_a").alias("doc_id")).distinct(),
+        n_ids=n_cand,
     ).select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = _semi_prune(
-        base, cand.select(F.col("doc_b").alias("doc_id")).distinct()
+        base,
+        cand.select(F.col("doc_b").alias("doc_id")).distinct(),
+        n_ids=n_cand,
     ).select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -588,11 +636,16 @@ def portable_minhash_pairs(
     )
 
 
-def portable_minhash_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
+def portable_minhash_oracle_sql(
+    n: int = 3, threshold: float = 0.5, where: str = ""
+) -> str:
     """Full SQL replication of portable_minhash_pairs — signatures,
     banding, candidates, and exact verify, from the same coefficient
-    list."""
+    list. ``where`` (optional bare predicate) restricts the corpus —
+    the index-deletion query uses it to express rebuild-without-X,
+    keeping the deleted and undeleted oracles one generator."""
     grams = " || ' ' || ".join(f"ws[i+{d}]" for d in range(n))
+    where_sql = f"\n    WHERE {where}" if where else ""
     sig_cols = ",\n           ".join(
         f"min(({a}*x + {b}) % {_MERSENNE_P}) AS h{j}"
         for j, (a, b) in enumerate(PORTABLE_COEFFS)
@@ -611,7 +664,7 @@ def portable_minhash_oracle_sql(n: int = 3, threshold: float = 0.5) -> str:
 WITH base AS (
     SELECT doc_id,
            string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
-    FROM documents
+    FROM documents{where_sql}
 ),
 sh AS (
     SELECT doc_id,
@@ -890,11 +943,16 @@ def dedup_e2e(
     # exact per-side id sets (see portable_minhash_pairs for the
     # measured three-way A/B behind this form)
     cand = cand.localCheckpoint()
+    n_cand = cand.count()  # narrow count on the checkpoint; upper-bounds ids
     sh_a = _semi_prune(
-        sh, cand.select(F.col("doc_a").alias("doc_id")).distinct()
+        sh,
+        cand.select(F.col("doc_a").alias("doc_id")).distinct(),
+        n_ids=n_cand,
     )
     sh_b = _semi_prune(
-        sh, cand.select(F.col("doc_b").alias("doc_id")).distinct()
+        sh,
+        cand.select(F.col("doc_b").alias("doc_id")).distinct(),
+        n_ids=n_cand,
     )
     verified = (
         cand.join(
@@ -984,7 +1042,9 @@ def incremental_minhash_dedup(
     cand = cand.localCheckpoint()
     a = sh_new.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
     b = _semi_prune(
-        sh_all, cand.select(F.col("dup_of").alias("doc_id")).distinct()
+        sh_all,
+        cand.select(F.col("dup_of").alias("doc_id")).distinct(),
+        n_ids=cand.count(),
     ).select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -1070,7 +1130,9 @@ def incremental_portable_ingest(
     cand = cand.localCheckpoint()
     a = base_new.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
     b = _semi_prune(
-        sh_all, cand.select(F.col("dup_of").alias("doc_id")).distinct()
+        sh_all,
+        cand.select(F.col("dup_of").alias("doc_id")).distinct(),
+        n_ids=cand.count(),
     ).select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -1080,6 +1142,92 @@ def incremental_portable_ingest(
         .select(
             "doc_id",
             "dup_of",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def streaming_portable_ingest_pairs(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One micro-batch of STREAMING dedup-index maintenance: screen a
+    batch against the persisted band index (plus itself) and return
+    verified pairs normalized to (doc_a < doc_b), ARRIVAL-ORDER
+    AGNOSTIC.
+
+    Differs from `incremental_portable_ingest` in exactly one
+    contract clause: that function assumes an append-only id space
+    (ingest ids larger than corpus ids) and keys candidates on
+    `new.doc_id > other.doc_id`, which silently LOSES the pair when a
+    stream delivers a smaller id after a larger one (no stream
+    guarantees id-ordered arrival). Here the cross-batch candidate
+    join accepts either id order (the pair is formed exactly once —
+    in the batch where the LATER-ARRIVING member is new, since the
+    earlier member exists only in the index side), in-batch pairs
+    come from the batch self-join with a strict order to avoid
+    double-counting, and output is normalized to (least, greatest).
+    Accumulated over disjoint batches covering a corpus, the union of
+    per-batch outputs equals `portable_minhash_pairs` of the whole
+    corpus — signature, banding, candidate, and verify math are
+    shared, so the equality is exact (hash-matched against the
+    full-rebuild oracle by `stream_minhash_index_replay`).
+
+    Same 100 TB shape as the batch ingest: the index is the only
+    corpus-side input to candidate generation; corpus TEXT is read
+    id-keyed for verification candidates only (semi-pruned scan)."""
+    base_new = portable_base(new_docs, n)
+    new_bands = portable_band_index(base_new)
+    def _norm(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+
+    cross = new_bands.alias("a").join(
+        corpus_bands.alias("b"),
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.key") == F.col("b.key")),
+    )
+    in_batch = new_bands.alias("a").join(
+        new_bands.alias("b"),
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") > F.col("b.doc_id")),
+    )
+    cand = (
+        _norm(cross)
+        .unionByName(_norm(in_batch))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    # candidates materialized once; BOTH verify sides semi-pruned
+    # (either side of a normalized pair may be a corpus doc)
+    cand = cand.localCheckpoint()
+    n_cand = cand.count()  # narrow count on the checkpoint; upper-bounds ids
+    sh_all = base_new.unionByName(portable_base(corpus_docs, n))
+    sa = _semi_prune(
+        sh_all,
+        cand.select(F.col("doc_a").alias("doc_id")).distinct(),
+        n_ids=n_cand,
+    ).select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = _semi_prune(
+        sh_all,
+        cand.select(F.col("doc_b").alias("doc_id")).distinct(),
+        n_ids=n_cand,
+    ).select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
             (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -196,14 +196,18 @@ def connected_components_star(
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
-    e = (
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    raw = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    # roster from the RAW endpoint columns, BEFORE the self-loop
+    # filter: a node whose only incident edges are self-loops is its
+    # own singleton component and must still appear in the output
+    # (the contraction below never sees it, so the left join's
+    # coalesce maps it to itself)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
-    )
-    nodes = (
-        _sym(e).select(F.col("u").alias("node")).distinct().localCheckpoint()
     )
     sig = _sig(e)
     for _ in range(max_rounds):

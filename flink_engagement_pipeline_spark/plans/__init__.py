@@ -13,6 +13,7 @@ from . import queries_ml2  # noqa: F401,E402
 from . import queries_ext3  # noqa: F401,E402
 from . import queries_ext4  # noqa: F401,E402
 from . import queries_ext5  # noqa: F401,E402
+from . import queries_ext6  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order is part of the driver contract: the correctness gate
@@ -51,18 +52,16 @@ from . import queries_ext5  # noqa: F401,E402
 #       Top-N/dedup/join, BPE merge training) + 30 of the 32
 #       round-2-checked backfills (CORRECTNESS_r06.json: 47 hash +
 #       3 rows-only, 0 err);
-#   round 7 (this list): sentinels + the 14 round-7 additions
-#       (stream-stream LEFT OUTER + FULL OUTER interval joins, BPE
-#       encode, incremental IVF ingest, exact-substring dedup
-#       coverage + scrub, Gopher repeated-span signals, exact
-#       percentiles, exact k-NN graph, streaming absence detection,
-#       star-contraction connected components, degree-ordered
-#       triangle counting, BPE-token bigram perplexity, dynamic-gap
-#       session windows) + the 2 remaining round-2-checked queries +
-#       the 28 oldest round-3-checked queries in registry order
-#       (through forecast_revenue_change; the 16 r3-checked
-#       stragglers from shipmode_priority_counts on re-enter next
-#       round). Window budget honored:
+#   round 7: sentinels + the 14 round-7 additions + the 2 remaining
+#       round-2-checked queries + the 28 oldest round-3-checked
+#       queries (CORRECTNESS_r07.json: 49 hash + 1 rows-only, 0 err);
+#   round 8 (this list): sentinels + round-8 additions (inserted into
+#       [b] as they land, each displacing one tail backfill entry) +
+#       the 16 remaining round-3-checked stragglers
+#       (shipmode_priority_counts through cheapest_supplier_per_part
+#       — after this round every registered query's last driver row
+#       is round-4-or-newer) + the oldest round-4-checked queries in
+#       registry order to fill 50. Window budget honored:
 #       hop_engagement_sum stays the single multi-million-row output
 #       in-window.
 #
@@ -78,58 +77,55 @@ _PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_minhash_pairs",
-    # -- [b] new in round 7 --
+    # -- [b] new in round 8 --
     # (each addition displaces one backfill entry from the tail of [c])
-    "stream_outer_join_replay",
-    "docs_bpe_encode",
-    "embedding_ivf_ingest",
-    "docs_substring_dedup",
-    "stream_full_outer_join_replay",
-    "docs_repeated_spans",
-    "docs_substring_scrub",
-    "events_latency_quantiles",
-    "embedding_knn_graph",
-    "stream_abandoned_clicks_replay",
-    "docs_cc_star",
-    "parts_triangles",
-    "docs_bpe_perplexity",
-    "session_windows_dynamic",
-    # -- [c] backfill: oldest driver coverage first — the 2 remaining
-    # round-2-checked queries, then the round-3-checked block in
-    # registry order (28 of 44 fit; the tail re-enters next round) --
-    "user_event_type_sets",
-    "lateral_top_users",
-    "tumbling_stats",
-    "leaderboard_topk",
-    "session_windows",
-    "events_asof_orders",
-    "events_dim_asof",
-    "cdc_materialize",
-    "docs_token_stats",
-    "docs_quality",
-    "docs_lang_id",
-    "docs_fingerprint",
-    "docs_simhash",
-    "embedding_cosine_topk",
-    "embedding_near_dup",
-    "media_features",
-    "media_frame_sample",
-    "embedding_norms_pandas",
-    "docs_clean",
-    "docs_dedup_clusters",
-    "docs_word_positions",
-    "docs_corpus_prep",
-    "docs_bigram_freq",
-    "docs_train_split",
-    "docs_chunks",
-    "docs_lang_downsample",
-    "docs_contamination",
-    "docs_pack_sequences",
-    "pricing_summary",
-    "forecast_revenue_change",
-    # shipmode_priority_counts through brand_supplier_counts (and
-    # dominant_event_types onward) displaced by the 6th-10th round-7
-    # additions; they re-enter as oldest-coverage backfill next round
+    "stream_minhash_index_replay",
+    "docs_minhash_index_delete",
+    "embedding_ivf_delete",
+    # -- [c] backfill: oldest driver coverage first — the 16 remaining
+    # round-3-checked stragglers, then the round-4-checked block in
+    # registry order (28 fit; the tail re-enters next round) --
+    "shipmode_priority_counts",
+    "top_orders_by_revenue",
+    "late_ship_priority_counts",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "regional_revenue",
+    "returned_item_customers",
+    "brand_bracket_revenue",
+    "brand_supplier_counts",
+    "dominant_event_types",
+    "nation_pair_trade",
+    "customer_order_distribution",
+    "top_revenue_supplier",
+    "lone_late_suppliers",
+    "idle_rich_customers",
+    "cheapest_supplier_per_part",
+    "value_hour_correlation",
+    "user_retention_cohort",
+    "events_global_seq",
+    "click_to_purchase_latency",
+    "events_anomaly_zscore",
+    "user_activity_reconciliation",
+    "value_trimmed_mean",
+    "events_salted_sum",
+    "user_rfm_scores",
+    "parts_bought_together",
+    "user_markov_transitions",
+    "events_salted_join",
+    "docs_repetition",
+    "docs_minhash_portable",
+    "docs_dedup_e2e_portable",
+    "embedding_knn_join",
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
+    "media_resize",
+    "docs_dedup_e2e",
+    "docs_simhash_pairs",
+    "docs_training_manifest",
+    "docs_mixture_sample",
+    "docs_pii_redact",
+    "docs_span_dedup",
 )
 
 

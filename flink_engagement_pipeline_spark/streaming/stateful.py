@@ -235,6 +235,7 @@ ABANDON_STATE_SCHEMA = StructType(
     [
         StructField("click_ids", ArrayType(LongType())),
         StructField("click_ts", ArrayType(LongType())),
+        StructField("purchase_ts", ArrayType(LongType())),
     ]
 )
 
@@ -249,51 +250,66 @@ def _abandon(
     pending click whose window contains it; the EVENT-TIME TIMER
     (setTimeoutTimestamp on the earliest pending deadline) fires when
     the watermark proves no purchase can arrive, emitting the
-    abandoned click. State per key is the pending-click list — at any
-    instant bounded by the user's click rate times the 1 h horizon,
-    the Flink-CEP-absence state story, with no purchase retention at
-    all: time-split micro-batches (every event in batch b+1 is later
-    than every batch-b event — the per-key ordering contract a
-    watermarked stream provides) mean a purchase can only ever cancel
-    clicks already seen, so the cancel predicate closes over this
-    batch + pending state."""
+    abandoned click.
+
+    State per key is the pending-click list PLUS the recent-purchase
+    list, both evicted by the same watermark horizon (retain while
+    ts + 1h > watermark), so state stays bounded by the user's event
+    rate times the 1 h window. Purchases MUST be retained (ADVICE r7):
+    micro-batch arrival order is not event-time order — with any
+    nonzero watermark delay a click may arrive a batch AFTER a
+    same-window purchase (and even at '0 seconds' an equal-timestamp
+    click can land one batch later), so the cancel predicate has to
+    close over purchases already seen, not just this batch's. The
+    retention bound is exactly sufficient: a purchase p cancels clicks
+    t in (p-1h, p], and any click still capable of arriving-or-pending
+    has t + 1h > wm, so p matters only while p + 1h > wm — purchases
+    older than that could only cancel clicks laterer than the full 1 h
+    horizon, which the watermark contract (delay <= 1h) already
+    excludes from the stream."""
     if key[0] is None:  # null keys can't be abandoned; keep no state
         for _ in batches:
             pass
         return
     if state.exists:
         s = state.get
-        ids, tss = list(s[0]), list(s[1])
+        ids, tss, ps = list(s[0]), list(s[1]), list(s[2])
     else:
-        ids, tss = [], []
-    new_p: list[int] = []
+        ids, tss, ps = [], [], []
     for pdf in batches:  # drain fully before touching state
         if not len(pdf):
             continue
         c = pdf[pdf["event_type"] == "click"]
         ids.extend(int(x) for x in c["event_id"])
         tss.extend(int(x) for x in c["ts_us"])
-        new_p.extend(
+        ps.extend(
             int(x) for x in pdf.loc[pdf["event_type"] == "purchase", "ts_us"]
         )
-    if new_p:
+    if ps:
         keep = [
             (i, t)
             for i, t in zip(ids, tss)
-            if not any(t <= p < t + ABANDON_WINDOW_US for p in new_p)
+            if not any(t <= p < t + ABANDON_WINDOW_US for p in ps)
         ]
         ids = [i for i, _ in keep]
         tss = [t for _, t in keep]
     wm_us = state.getCurrentWatermarkMs() * 1000
     expired = [(i, t) for i, t in zip(ids, tss) if t + ABANDON_WINDOW_US <= wm_us]
     pend = [(i, t) for i, t in zip(ids, tss) if t + ABANDON_WINDOW_US > wm_us]
-    if pend:
-        state.update(([i for i, _ in pend], [t for _, t in pend]))
+    ps = [p for p in ps if p + ABANDON_WINDOW_US > wm_us]
+    if pend or ps:
+        state.update(
+            ([i for i, _ in pend], [t for _, t in pend], ps)
+        )
         # ceil to ms so the timer never lands AT the watermark (the
         # API requires strictly-future timestamps); a sub-ms-late
-        # firing is re-covered by the next watermark advance
+        # firing is re-covered by the next watermark advance. Purchase
+        # eviction times participate so purchase-only state is still
+        # cleaned by a timer instead of lingering forever.
         state.setTimeoutTimestamp(
-            min(t + ABANDON_WINDOW_US for _, t in pend) // 1000 + 1
+            min(t + ABANDON_WINDOW_US for t in [t for _, t in pend] + ps)
+            // 1000
+            + 1
         )
     else:
         state.remove()

@@ -448,6 +448,45 @@ def test_latency_quantiles_match_numpy(spark, sf_dir):
             assert got[et][col] == expect, (et, col, got[et][col], expect)
 
 
+def test_quantile_interpolation_cross_engine_bit_equality(spark):
+    """ADVICE r7 pin: events_latency_quantiles' hash gate assumes
+    Spark `percentile` and DuckDB `quantile_cont` interpolate to
+    bit-identical doubles BEFORE the floor(q*1e6+0.5) quantization.
+    This pins that on adversarial boundary inputs — cents at 2^52
+    magnitude (where the ULP of q*1e6 is far larger than the +0.5
+    rounding margin, so ANY interpolation-form divergence flips the
+    floored integer), odd gaps, and p*(n-1) fractions with no exact
+    binary representation. Asserts RAW repr equality, stricter than
+    the gate needs; a failure here means the query's quantization
+    must be coarsened, not that data changed."""
+    import random
+
+    import duckdb
+
+    random.seed(7)
+    cases = [
+        [2**52 - 1 - 2 * i for i in range(25)],
+        [10**15 + i * 3 for i in range(13)],
+        [-(2**52) + 7 * i for i in range(8)],
+    ]
+    for _ in range(12):
+        n = random.randrange(2, 40)
+        cases.append([random.randrange(-(2**52), 2**52) for _ in range(n)])
+    ps = [0.5, 0.9, 0.99, 0.1, 0.333, 0.77]
+    con = duckdb.connect()
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "c long")
+        srow = df.agg(F.percentile("c", F.lit(ps)).alias("q")).collect()[0][
+            "q"
+        ]
+        drow = con.execute(
+            "SELECT quantile_cont(c, ?) FROM (SELECT unnest(?) c)",
+            [ps, vals],
+        ).fetchone()[0]
+        for p, s, d in zip(ps, srow, drow):
+            assert repr(s) == repr(float(d)), (p, vals[:4], s, d)
+
+
 # ---------------------------------------------------------------------------
 # exact k-NN graph
 # ---------------------------------------------------------------------------
@@ -599,6 +638,78 @@ def test_abandoned_clicks_state_machine(spark, tmp_path):
         (4, 40, 2000 * S),  # first deadline of the re-arm chain
         (4, 41, 9000 * S),  # second deadline, fired after re-arm
     ]
+
+
+def test_abandoned_clicks_cross_batch_purchase_before_click(spark, tmp_path):
+    """ADVICE r7 regression: micro-batch arrival order is not
+    event-time order. A click delivered one batch AFTER its
+    same-window purchase (allowed within the watermark delay), and an
+    equal-timestamp click delivered after its purchase, must BOTH be
+    cancelled by the retained-purchase state — the no-purchase-state
+    version falsely emitted them as abandoned. A control click with
+    no purchase proves the detector still fires."""
+    import time as _time
+
+    from flink_engagement_pipeline_spark.streaming.stateful import (
+        abandoned_clicks,
+    )
+
+    S = 1_000_000  # 1s in us
+    batches = [
+        # batch 0: purchases arrive FIRST (wm after this batch:
+        # 3000s - 60s delay = 2940s)
+        [
+            (50, 3000 * S, 5, "purchase"),
+            (60, 3000 * S, 6, "purchase"),
+        ],
+        # batch 1: the matching clicks arrive late-but-in-bound
+        # (u5 at 2950s >= wm, window contains its purchase; u6 at the
+        # purchase's exact timestamp), plus the never-purchased u7
+        [
+            (51, 2950 * S, 5, "click"),
+            (61, 3000 * S, 6, "click"),
+            (71, 2960 * S, 7, "click"),
+        ],
+        # batch 2: sentinel advances wm past every deadline
+        [(90, 20000 * S, -9, "sentinel")],
+        # batches 3-4: drains flushing lagged timer firings
+        [(91, 20001 * S, -8, "sentinel")],
+        [(92, 20002 * S, -7, "sentinel")],
+    ]
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        f = str(ev_dir / f"{chr(97 + i)}.parquet")
+        _write_event_file(spark, rows, f)
+        os.utime(f, (now + 60 * i, now + 60 * i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(ev_dir))
+    )
+    got: list[tuple] = []
+
+    def _collect(df, _bid):
+        got.extend(
+            (r["user_id"], r["click_id"], r["click_ts_us"])
+            for r in df.collect()
+        )
+
+    (
+        abandoned_clicks(stream, watermark="60 seconds")
+        .writeStream.foreachBatch(_collect)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert sorted(got) == [(7, 71, 2960 * S)]
 
 
 def test_abandoned_clicks_watermark_not_starved_by_scan_pruning(spark):

@@ -179,6 +179,24 @@ def test_star_cc_tolerates_duplicates_and_self_loops(spark):
     assert res == {1: 1, 2: 1, 3: 1}
 
 
+def test_star_cc_keeps_self_loop_only_nodes(spark):
+    """A node whose ONLY incident edge is a self-loop is a singleton
+    component and must still appear in the roster (node 9 here has no
+    real edge — the contraction never sees it, but the docstring
+    promises every node appearing in ``edges``)."""
+    from flink_engagement_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rows = [(1, 2), (9, 9)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    res = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(e).collect()
+    }
+    assert res == {1: 1, 2: 1, 9: 9}
+
+
 # ---------------------------------------------------------------------------
 # triangle counting (degree-ordered wedges)
 # ---------------------------------------------------------------------------

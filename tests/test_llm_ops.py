@@ -630,3 +630,33 @@ def test_incremental_neardup_matches_full_rebuild(emb):
     }
     assert got == full
     assert got, "fixture should contain near-dup pairs at 0.35"
+
+
+def test_semi_prune_broadcast_gate(spark):
+    """The verify-side semi-prune broadcast-hints small id sets and
+    DROPS the hint above _BROADCAST_ID_LIMIT (ADVICE r7: an
+    unconditional F.broadcast fails the job outright once the
+    candidate id set outgrows the driver limit at corpus scale; the
+    un-hinted form degrades to the planner's choice — runtime
+    bloom-filter semi-join — instead)."""
+    from flink_engagement_pipeline_spark.llm.dedup import (
+        _BROADCAST_ID_LIMIT,
+        _semi_prune,
+    )
+
+    tbl = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("payload")
+    )
+    ids = spark.range(10).select(F.col("id").alias("doc_id"))
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    small = _semi_prune(tbl, ids, n_ids=10)
+    assert "hint" in optimized(small).lower()
+    big = _semi_prune(tbl, ids, n_ids=_BROADCAST_ID_LIMIT + 1)
+    assert "hint" not in optimized(big).lower()
+    # n_ids=None counts the id frame itself (10 rows -> small path)
+    counted = _semi_prune(tbl, ids)
+    assert "hint" in optimized(counted).lower()
+    assert counted.count() == 10

@@ -423,75 +423,70 @@ def test_gate_priority_window_covers_graded_surface():
     """The driver's correctness gate evaluates only the FIRST 50
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
-    plans/__init__.py). This pins the round-7 rotation: beyond the
-    sentinels and the fourteen round-7 additions the window is the
-    staleness re-proof pass — the 2 remaining round-2-checked
-    queries, then the 37 oldest round-3-checked queries in registry
-    order; the window's rows-only residue is exactly the queries
-    with no SQL-expressible oracle. Window budget (policy note):
-    hop_engagement_sum stays the single multi-million-row output."""
+    plans/__init__.py). This pins the round-8 rotation: beyond the
+    sentinels and the round-8 additions the window is the staleness
+    re-proof pass — the 16 remaining round-3-checked stragglers
+    (after this round every registered query's last driver row is
+    round-4-or-newer), then the oldest round-4-checked queries in
+    registry order; the window's rows-only residue is exactly the
+    queries with no SQL-expressible oracle. Window budget (policy
+    note): hop_engagement_sum stays the single multi-million-row
+    output."""
     names = list(REGISTRY)
     window = names[:50]
     sentinels = [
         "enrich_events", "latest_per_key", "hop_engagement_sum",
         "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
     ]
-    new_in_r7: list[str] = [
-        # every query registered during round 7 MUST be appended here
+    new_in_r8: list[str] = [
+        # every query registered during round 8 MUST be appended here
         # (and to _PRIORITY) the round it is added, displacing one
         # backfill entry from the tail each
-        "stream_outer_join_replay",
-        "docs_bpe_encode",
-        "embedding_ivf_ingest",
-        "docs_substring_dedup",
-        "stream_full_outer_join_replay",
-        "docs_repeated_spans",
-        "docs_substring_scrub",
-        "events_latency_quantiles",
-        "embedding_knn_graph",
-        "stream_abandoned_clicks_replay",
-        "docs_cc_star",
-        "parts_triangles",
-        "docs_bpe_perplexity",
-        "session_windows_dynamic",
-    ]
-    r2_backfill = [
-        # the last two queries whose most recent driver row is round 2
-        # (displaced from the round-6 window by its 13th-14th additions)
-        "user_event_type_sets", "lateral_top_users",
+        "stream_minhash_index_replay",
+        "docs_minhash_index_delete",
+        "embedding_ivf_delete",
     ]
     r3_backfill = [
-        # last driver row: CORRECTNESS_r03.json — the oldest-coverage
-        # block, registry order; 28 of 44 fit this round, the tail
-        # (shipmode_priority_counts, top_orders_by_revenue,
-        # late_ship_priority_counts,
-        # small_quantity_revenue,
-        # large_volume_customers, regional_revenue,
-        # returned_item_customers, brand_bracket_revenue,
-        # brand_supplier_counts, dominant_event_types,
-        # nation_pair_trade, customer_order_distribution,
-        # top_revenue_supplier, lone_late_suppliers,
-        # idle_rich_customers, cheapest_supplier_per_part and the
-        # rest of the r3 block) re-enters as oldest-coverage
-        # backfill next round
-        "tumbling_stats", "leaderboard_topk", "session_windows",
-        "events_asof_orders", "events_dim_asof", "cdc_materialize",
-        "docs_token_stats", "docs_quality", "docs_lang_id",
-        "docs_fingerprint", "docs_simhash", "embedding_cosine_topk",
-        "embedding_near_dup", "media_features", "media_frame_sample",
-        "embedding_norms_pandas", "docs_clean", "docs_dedup_clusters",
-        "docs_word_positions", "docs_corpus_prep", "docs_bigram_freq",
-        "docs_train_split", "docs_chunks", "docs_lang_downsample",
-        "docs_contamination", "docs_pack_sequences", "pricing_summary",
-        "forecast_revenue_change",
+        # last driver row: CORRECTNESS_r03.json — the final 16 of the
+        # round-3-checked block, registry order
+        "shipmode_priority_counts", "top_orders_by_revenue",
+        "late_ship_priority_counts", "small_quantity_revenue",
+        "large_volume_customers", "regional_revenue",
+        "returned_item_customers", "brand_bracket_revenue",
+        "brand_supplier_counts", "dominant_event_types",
+        "nation_pair_trade", "customer_order_distribution",
+        "top_revenue_supplier", "lone_late_suppliers",
+        "idle_rich_customers", "cheapest_supplier_per_part",
     ]
-    expected = sentinels + new_in_r7 + r2_backfill + r3_backfill
+    r4_backfill = [
+        # last driver row: CORRECTNESS_r04.json — oldest-coverage
+        # block after the r3 stragglers, registry order; the tail
+        # (stream_replay_enriched onward) re-enters next round
+        "value_hour_correlation", "user_retention_cohort",
+        "events_global_seq", "click_to_purchase_latency",
+        "events_anomaly_zscore", "user_activity_reconciliation",
+        "value_trimmed_mean", "events_salted_sum", "user_rfm_scores",
+        "parts_bought_together", "user_markov_transitions",
+        "events_salted_join", "docs_repetition",
+        "docs_minhash_portable", "docs_dedup_e2e_portable",
+        "embedding_knn_join", "embedding_ann_lsh", "embedding_ann_ivf",
+        "media_resize", "docs_dedup_e2e", "docs_simhash_pairs",
+        "docs_training_manifest", "docs_mixture_sample",
+        "docs_pii_redact", "docs_span_dedup", "docs_tokenize_ids",
+        "embedding_range_search", "nation_market_share",
+    ]
+    expected = (
+        sentinels + new_in_r8 + r3_backfill
+        + r4_backfill[: 50 - 6 - len(new_in_r8) - 16]
+    )
     assert window == expected, (
         [n for n in expected if n not in window],
         [n for n in window if n not in expected],
     )
     rows_only = sorted(n for n in window if REGISTRY[n].oracle is None)
     assert rows_only == [
+        "docs_dedup_e2e",       # xxhash64 LSH e2e (no SQL oracle);
+                                # oracled portable twin in-window too
         "docs_minhash_pairs",   # xxhash64 MinHash (no SQL oracle);
                                 # recall-tested, portable twin oracled
     ], rows_only
