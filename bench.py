@@ -56,6 +56,9 @@ FLAGSHIP_NAMES = [
     # assign+append path — the same steady-state the PQ benches report)
     "docs_substring_dedup",
     "embedding_ivf_ingest",
+    # round 9: perceptual-hash media near-dup (corpus shingle scan +
+    # aHash pack + rotation-bucket join — the media-axis flagship)
+    "media_phash_neardup",
 ]
 
 

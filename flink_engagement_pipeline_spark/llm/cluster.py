@@ -71,19 +71,35 @@ def assign_clusters(
     plan literals; k struct(dist, id) candidates per row, array_min
     picks (min dist, then min id) — the same total order the oracle's
     row_number() uses.
+
+    Built as ONE parsed SQL string, not k x dim Column objects: the
+    Column form cost ~2 s of py4j traffic PER PLAN BUILD (k=16
+    centroids x 64 F.lit doubles + struct/fold trees — the measured
+    round-9 fix for embedding_ivf_ingest's recurring build cost; same
+    device as minhash_signature and the PQ argmin, BASELINE.md r5).
+    `{x!r}D` literals parse to the identical IEEE doubles F.lit
+    produces, so every hash-matching oracle is unaffected.
     """
-    v = F.col("v")
-    vv = _dot(v, v)
+    vv = (
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+    )
     cands = []
     for j, c in enumerate(cents):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d = vv - F.lit(2.0) * _dot(v, lit_c) + F.lit(_dot_py(c, c))
-        cands.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
-    best = F.array_min(F.array(*cands))
-    out = ["vec_id", "v", best["c"].alias("cluster")]
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        dot = (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x)"
+        )
+        cands.append(
+            f"struct({vv} - 2.0D * {dot} + {float(_dot_py(c, c))!r}D AS d,"
+            f" {j} AS c)"
+        )
+    best = f"array_min(array({','.join(cands)}))"
+    out = ["vec_id", "v", f"({best}).c AS cluster"]
     if with_dist:
-        out.append(best["d"].alias("dist"))
-    return emb.select(*out)
+        out.append(f"({best}).d AS dist")
+    return emb.selectExpr(*out)
 
 
 def update_centroids(

@@ -1343,8 +1343,24 @@ def simhash_near_pairs(
     MinHash/hyperplane paths: equi-join on (rotation, bucket), exact
     verify, never all-pairs.
     """
-    bucketed = simhash_buckets(docs, rotations)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return simhash_pairs_from_index(
+        simhash_buckets(docs, rotations), max_hamming
+    )
+
+
+def simhash_pairs_from_index(
+    index: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """The factored SERVING tail of the SimHash pair pipeline: pairs
+    from a (doc_id, simhash, rot, bucket) bucket index alone — the
+    identical join+verify `simhash_near_pairs` runs, taken as a
+    separate entry point so index LIFECYCLE operations (takedown
+    anti-join, compaction) feed the same one code path they serve.
+    Unlike the MinHash tail (`portable_pairs_from_index`), Hamming
+    verification reads the signatures already in the index, so no
+    corpus text is touched at any stage — a deleted doc can neither
+    produce candidates nor be verified against."""
+    a, b = index.alias("a"), index.alias("b")
     return (
         a.join(
             b,
@@ -1363,6 +1379,55 @@ def simhash_near_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.first("hamming").alias("hamming"))
     )
+
+
+def simhash_pairs_oracle_sql(
+    max_hamming: int = 8, where: str | None = None
+) -> str:
+    """DuckDB twin of the SimHash pair pipeline, WHERE-parameterized
+    (the index-deletion device: one oracle generator serves both the
+    full build and any rebuild-without-X, so remove == rebuild is
+    checked by the same SQL text with a predicate). Filtering at the
+    sigs level is exactly index-row deletion: a doc's signature and
+    every bucket row derive 1:1 from its id."""
+    flt = f"WHERE NOT ({where})" if where else ""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    )
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+bits AS (
+    SELECT t.doc_id, b.b,
+           CASE WHEN 2 * SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END) > max(c.n)
+                THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bitval
+    FROM toks t
+    CROSS JOIN (SELECT unnest(range(60)) AS b) b
+    JOIN cnt c ON c.doc_id = t.doc_id
+    GROUP BY t.doc_id, b.b
+),
+sigs AS (
+    SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash
+    FROM bits {flt} GROUP BY doc_id
+),
+bucketed AS (
+    SELECT doc_id, simhash, r.r AS rot,
+           (((simhash % (CAST(1 AS BIGINT) << (60 - 12 * r.r))) * (CAST(1 AS BIGINT) << (12 * r.r))
+             + simhash // (CAST(1 AS BIGINT) << (60 - 12 * r.r))) >> 48) AS bucket
+    FROM sigs CROSS JOIN (SELECT unnest(range(5)) AS r) r
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(min(bit_count(xor(a.simhash, b.simhash))) AS INT) AS hamming
+FROM bucketed a
+JOIN bucketed b
+  ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+GROUP BY 1, 2
+"""
 
 
 def incremental_simhash_ingest(

@@ -99,7 +99,16 @@ def knn_join(emb: DataFrame, num_queries: int = 8, k: int = 5) -> DataFrame:
     )
 
 
-def knn_graph(emb: DataFrame, k: int = 5, blocks: int = 8) -> DataFrame:
+# knn_graph is the documented O(n^2) calibration baseline; above this
+# corpus size the blocked all-pairs join (right side replicated
+# x blocks) stops being a sane calibration run and the ANN family is
+# the only honest answer — refuse loudly instead of launching it.
+KNN_GRAPH_MAX_ROWS = 200_000
+
+
+def knn_graph(
+    emb: DataFrame, k: int = 5, blocks: int = 8, max_rows: int = KNN_GRAPH_MAX_ROWS
+) -> DataFrame:
     """Exact corpus-wide k-NN graph: EVERY vector's top-k cosine
     neighbors among all others — the primitive graph-based dedup,
     clustering, and diversity analysis build on (knn_join answers Q
@@ -117,7 +126,23 @@ def knn_graph(emb: DataFrame, k: int = 5, blocks: int = 8) -> DataFrame:
     per-vector row_number window (ties broken by neighbor id, so the
     graph is deterministic). At corpus scale the exact graph is the
     calibration baseline; the production route is the ANN candidate
-    family (near_dup_pairs / ivf_topk) feeding the same window."""
+    family (near_dup_pairs / ivf_topk) feeding the same window.
+
+    Guard (r8 verdict ask #7): the x`blocks` replication was sized
+    for fixture-scale calibration; pointed at a large corpus it would
+    silently schedule an O(n^2) join with an n*blocks-row right side.
+    A cheap count refuses corpora above ``max_rows`` (override
+    consciously for a bigger calibration run) with a pointer to the
+    ANN family."""
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"knn_graph is the O(n^2) exact calibration baseline and was "
+            f"asked for {n} vectors (max_rows={max_rows}); use the ANN "
+            f"family (near_dup_pairs / ivf_topk / ann_topk) at corpus "
+            f"scale, or raise max_rows explicitly for a deliberate "
+            f"calibration run"
+        )
     a = emb.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("ea"),
@@ -896,10 +921,27 @@ def near_dup_pairs(
     any honest near-dup threshold — the recall property is proven on
     planted near-dup clusters in tests/test_llm_ops.py instead.
     """
+    return neardup_pairs_from_index(
+        neardup_index(emb, tables, planes, impl), emb, threshold
+    )
+
+
+def neardup_pairs_from_index(
+    index: DataFrame, emb: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """The factored SERVING tail of the embedding near-dup pipeline:
+    pairs from a (vec_id, t, bucket) LSH index + a vector store — the
+    identical candidate-join + exact-cosine verify `near_dup_pairs`
+    runs, taken as a separate entry point so index LIFECYCLE
+    operations (takedown anti-join, compaction) feed the one code
+    path they serve. The verify base deliberately stays the FULL
+    vector store: candidates only ever come from the index, so a
+    deleted vector can never enter a pair and its embedding is never
+    read (the semi-pruned scan skips it) — deleting index rows IS the
+    takedown, mirroring `portable_pairs_from_index` for text."""
     from .dedup import _semi_prune
 
-    idx = neardup_index(emb, tables, planes, impl)
-    a, b = idx.alias("a"), idx.alias("b")
+    a, b = index.alias("a"), index.alias("b")
     cand = (
         a.join(
             b,
@@ -958,6 +1000,62 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= {threshold}
+"""
+
+
+def neardup_pairs_oracle_sql(
+    threshold: float = 0.35, where: str | None = None
+) -> str:
+    """LSH-aware DuckDB twin of the near-dup pair pipeline served
+    from the bucket index (candidates from the SAME pinned hyperplane
+    literals, exact cosine verify), WHERE-parameterized for the
+    index-deletion device: the predicate removes rows from the idx
+    CTE exactly as the Spark anti-join removes index rows, while the
+    verify base stays the full vector store — one generator, so
+    remove == rebuild-without-X is checked by identical SQL text.
+    Unlike `near_dup_oracle_sql` (the brute-force baseline), this
+    reproduces the CANDIDATE set too, so it hash-matches at any
+    threshold regardless of LSH recall."""
+    planes = _neardup_planes()
+
+    def dot_sql(w) -> str:
+        arr = "[" + ",".join(f"{float(x)!r}" for x in w) + "]"
+        return f"list_dot_product(v, {arr})"
+
+    def bucket_sql(t: int) -> str:
+        return " + ".join(
+            f"((CASE WHEN {dot_sql(planes[t * NEARDUP_PLANES + j])} > 0"
+            f" THEN 1 ELSE 0 END) * {1 << j})"
+            for j in range(NEARDUP_PLANES)
+        )
+
+    structs = ",".join(
+        f"{{'t': {t}, 'bucket': ({bucket_sql(t)})}}"
+        for t in range(NEARDUP_TABLES)
+    )
+    flt = f"WHERE NOT ({where})" if where else ""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+idx AS (
+    SELECT vec_id, tb.t AS t, tb.bucket AS bucket
+    FROM (SELECT vec_id, unnest([{structs}]) AS tb FROM e {flt})
+),
+cand AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM idx a JOIN idx b
+      ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT * FROM (
+    SELECT c.vec_a, c.vec_b,
+           list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+)
+WHERE cosine >= {threshold}
 """
 
 

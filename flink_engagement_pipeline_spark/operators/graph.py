@@ -202,10 +202,13 @@ def connected_components_star(
     # filter: a node whose only incident edges are self-loops is its
     # own singleton component and must still appear in the output
     # (the contraction below never sees it, so the left join's
-    # coalesce maps it to itself)
+    # coalesce maps it to itself). NULL endpoints are not nodes —
+    # without the isNotNull an edge row with a null src/dst would
+    # fabricate a (null, null) component row (ADVICE r8).
     nodes = (
         raw.select(F.col("u").alias("node"))
         .union(raw.select(F.col("v").alias("node")))
+        .filter(F.col("node").isNotNull())
         .distinct()
         .localCheckpoint()
     )

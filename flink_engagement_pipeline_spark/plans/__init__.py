@@ -55,13 +55,23 @@ from . import queries_ext6  # noqa: F401,E402
 #   round 7: sentinels + the 14 round-7 additions + the 2 remaining
 #       round-2-checked queries + the 28 oldest round-3-checked
 #       queries (CORRECTNESS_r07.json: 49 hash + 1 rows-only, 0 err);
-#   round 8 (this list): sentinels + round-8 additions (inserted into
-#       [b] as they land, each displacing one tail backfill entry) +
-#       the 16 remaining round-3-checked stragglers
-#       (shipmode_priority_counts through cheapest_supplier_per_part
-#       — after this round every registered query's last driver row
-#       is round-4-or-newer) + the oldest round-4-checked queries in
-#       registry order to fill 50. Window budget honored:
+#   round 8: sentinels + round-8 additions (streaming index
+#       maintenance + MinHash/IVF deletion) + the 16 remaining
+#       round-3-checked stragglers + 25 of the round-4-checked block
+#       (CORRECTNESS_r08.json: 48 hash + 2 rows-only, 0 err — after
+#       that round every query's last driver row is round-4-or-newer);
+#   round 9 (this list): sentinels + [b] = the 5 round-9 additions
+#       (media_phash_neardup/ingest/index_delete — the media index's
+#       full lifecycle — + the simhash/neardup index-deletion twins)
+#       PLUS two materially-changed replays owed a fresh row
+#       (stream_minhash_index_replay: delta-append persistence rework;
+#       stream_abandoned_clicks_replay: r8 purchase retention landed
+#       after its last driver row) + [c] = the 19 remaining
+#       round-4-checked queries (docs_tokenize_ids through
+#       docs_quality_deciles), then the 18 oldest round-5-checked
+#       queries in registry order (events_identity through
+#       user_active_coverage; embedding_matryoshka_rerank onward of
+#       the r5 block re-enter next round). Window budget honored:
 #       hop_engagement_sum stays the single multi-million-row output
 #       in-window.
 #
@@ -77,55 +87,56 @@ _PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_minhash_pairs",
-    # -- [b] new in round 8 --
+    # -- [b] new or materially changed in round 9 --
     # (each addition displaces one backfill entry from the tail of [c])
     "stream_minhash_index_replay",
-    "docs_minhash_index_delete",
-    "embedding_ivf_delete",
-    # -- [c] backfill: oldest driver coverage first — the 16 remaining
-    # round-3-checked stragglers, then the round-4-checked block in
-    # registry order (28 fit; the tail re-enters next round) --
-    "shipmode_priority_counts",
-    "top_orders_by_revenue",
-    "late_ship_priority_counts",
-    "small_quantity_revenue",
-    "large_volume_customers",
-    "regional_revenue",
-    "returned_item_customers",
-    "brand_bracket_revenue",
-    "brand_supplier_counts",
-    "dominant_event_types",
-    "nation_pair_trade",
-    "customer_order_distribution",
-    "top_revenue_supplier",
-    "lone_late_suppliers",
-    "idle_rich_customers",
-    "cheapest_supplier_per_part",
-    "value_hour_correlation",
-    "user_retention_cohort",
-    "events_global_seq",
-    "click_to_purchase_latency",
-    "events_anomaly_zscore",
-    "user_activity_reconciliation",
-    "value_trimmed_mean",
-    "events_salted_sum",
-    "user_rfm_scores",
-    "parts_bought_together",
-    "user_markov_transitions",
-    "events_salted_join",
-    "docs_repetition",
-    "docs_minhash_portable",
-    "docs_dedup_e2e_portable",
-    "embedding_knn_join",
-    "embedding_ann_lsh",
-    "embedding_ann_ivf",
-    "media_resize",
-    "docs_dedup_e2e",
-    "docs_simhash_pairs",
-    "docs_training_manifest",
-    "docs_mixture_sample",
-    "docs_pii_redact",
-    "docs_span_dedup",
+    "stream_abandoned_clicks_replay",
+    "media_phash_neardup",
+    "docs_simhash_index_delete",
+    "embedding_neardup_index_delete",
+    "media_phash_ingest",
+    "media_phash_index_delete",
+    # -- [c] backfill: oldest driver coverage first — the 19 remaining
+    # round-4-checked queries, then the round-5-checked block in
+    # registry order (18 fit; embedding_matryoshka_rerank onward
+    # re-enter next round) --
+    "docs_tokenize_ids",
+    "embedding_range_search",
+    "nation_market_share",
+    "stream_replay_enriched",
+    "stream_windowed_replay",
+    "stream_join_replay",
+    "stream_session_replay",
+    "datagen_events",
+    "embedding_kmeans",
+    "embedding_pq_adc",
+    "embedding_quantize",
+    "docs_bm25",
+    "docs_unigram_logprob",
+    "docs_epoch_order",
+    "events_ewma",
+    "docs_minhash_ingest",
+    "embedding_ivf_pq",
+    "docs_pmi_bigrams",
+    "docs_quality_deciles",
+    "events_identity",
+    "sink_projection",
+    "leaderboard_rank",
+    "distinct_users_by_type",
+    "approx_distinct_users",
+    "props_k_agg",
+    "daily_event_pivot",
+    "rollup_event_type",
+    "user_event_gaps",
+    "value_percentiles_by_type",
+    "events_hdr_quantiles",
+    "cdc_retract_agg",
+    "events_partitioned_prune",
+    "hll_portable_reach",
+    "orders_scd2_history",
+    "lineitem_bucketed_join",
+    "events_bloom_prune",
+    "user_active_coverage",
 )
 
 

@@ -721,44 +721,10 @@ def q_docs_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify) is deterministic integer arithmetic, so it carries an
     # exact SQL oracle on top of the pytest recall oracle. The per-pair
     # hamming is identical across colliding rotations, so the oracle's
-    # MIN equals the Spark side's FIRST.
-    oracle="""
-WITH toks AS (
-    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
-    FROM (
-        SELECT doc_id,
-               unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
-        FROM documents
-    )
-),
-cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
-bits AS (
-    SELECT t.doc_id, b.b,
-           CASE WHEN 2 * SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END) > max(c.n)
-                THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bitval
-    FROM toks t
-    CROSS JOIN (SELECT unnest(range(60)) AS b) b
-    JOIN cnt c ON c.doc_id = t.doc_id
-    GROUP BY t.doc_id, b.b
-),
-sigs AS (
-    SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
-),
-bucketed AS (
-    SELECT doc_id, simhash, r.r AS rot,
-           (((simhash % (CAST(1 AS BIGINT) << (60 - 12 * r.r))) * (CAST(1 AS BIGINT) << (12 * r.r))
-             + simhash // (CAST(1 AS BIGINT) << (60 - 12 * r.r))) >> 48) AS bucket
-    FROM sigs CROSS JOIN (SELECT unnest(range(5)) AS r) r
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(min(bit_count(xor(a.simhash, b.simhash))) AS INT) AS hamming
-FROM bucketed a
-JOIN bucketed b
-  ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-GROUP BY 1, 2
-""",
+    # MIN equals the Spark side's FIRST. Single source of truth: the
+    # WHERE-parameterized generator also serving the index-deletion
+    # twin (docs_simhash_index_delete).
+    oracle=ld.simhash_pairs_oracle_sql(),
     doc=(
         "SimHash near-dup pairs: 12-bit prefix-bucket equi-join over 5 "
         "bit-rotations + exact Hamming verify (bit_count(xor) <= 8) — "

@@ -58,6 +58,19 @@ class IdempotentParquetSink:
     pattern behind every exactly-once foreachBatch-to-object-store
     sink; transactional table formats replace the marker with their
     own commit protocol.
+
+    DELTA + SNAPSHOT contract (round 9): a stateful maintainer (e.g.
+    the streaming dedup-index) commits only each batch's OWN rows —
+    the accumulated state is the UNION of committed deltas, never a
+    per-batch full rewrite, so per-batch written bytes stay ∝ batch
+    at any corpus size. ``committed_paths(below=b)`` gives a batch
+    exactly the state committed before it (crash-replay of batch b
+    recomputes from the identical snapshot), and ``compact()`` folds
+    committed deltas into a ``compact=<max_id>`` snapshot dir — the
+    LSM/Delta-checkpoint shape: readers take the newest snapshot plus
+    deltas above it, so compaction is a pure read-path optimization
+    whose commit marker is the atomic cutover; superseded delta dirs
+    are pruned only after that marker exists.
     """
 
     def __init__(self, out_dir: str):
@@ -75,16 +88,70 @@ class IdempotentParquetSink:
         with open(marker, "w"):
             pass
 
-    def read_committed(self, spark) -> DataFrame:
+    def _committed(self, prefix: str) -> list[tuple[int, str]]:
         import glob
 
-        committed = [
-            os.path.dirname(m)
-            for m in sorted(glob.glob(os.path.join(self.out_dir, "*", "_COMMITTED")))
+        out = []
+        for m in glob.glob(
+            os.path.join(self.out_dir, f"{prefix}=*", "_COMMITTED")
+        ):
+            d = os.path.dirname(m)
+            out.append((int(os.path.basename(d).split("=")[1]), d))
+        return sorted(out)
+
+    def committed_paths(self, below: int | None = None) -> list[str]:
+        """Directories whose union IS the committed state below
+        ``below`` (all of it when None): the newest applicable
+        ``compact=<m>`` snapshot (covering batch ids <= m), then every
+        delta dir with id > m (and < below)."""
+        snaps = [
+            (m, d)
+            for m, d in self._committed("compact")
+            if below is None or m < below
         ]
+        floor = snaps[-1][0] if snaps else -1
+        deltas = [
+            d
+            for bid, d in self._committed("batch_id")
+            if bid > floor and (below is None or bid < below)
+        ]
+        return ([snaps[-1][1]] if snaps else []) + deltas
+
+    def read_committed(self, spark) -> DataFrame:
+        committed = self.committed_paths()
         if not committed:
             raise FileNotFoundError(f"no committed batches under {self.out_dir}")
         return spark.read.option("pathGlobFilter", "*.parquet").parquet(*committed)
+
+    def compact(self, spark, prune: bool = True) -> str | None:
+        """Fold all currently-committed state into one
+        ``compact=<max_batch_id>`` snapshot. Crash-safe: the snapshot
+        is invisible until its _COMMITTED marker lands (readers keep
+        using the old snapshot+deltas); pruning superseded dirs only
+        happens after, and a crash mid-prune just leaves dirs that
+        ``committed_paths`` already ignores (id <= snapshot floor).
+        Returns the snapshot dir, or None when there is nothing to
+        fold (no deltas beyond the newest snapshot)."""
+        import shutil
+
+        deltas = self._committed("batch_id")
+        snaps = self._committed("compact")
+        floor = snaps[-1][0] if snaps else -1
+        live = [(bid, d) for bid, d in deltas if bid > floor]
+        if not live:
+            return None
+        top = max(bid for bid, _ in live)
+        df = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+            *self.committed_paths()
+        )
+        snap_dir = os.path.join(self.out_dir, f"compact={top}")
+        df.write.mode("overwrite").parquet(snap_dir)
+        with open(os.path.join(snap_dir, "_COMMITTED"), "w"):
+            pass
+        if prune:
+            for _, d in snaps + [(b, d) for b, d in deltas if b <= top]:
+                shutil.rmtree(d, ignore_errors=True)
+        return snap_dir
 
     def close(self) -> None:
         pass

@@ -264,16 +264,26 @@ def _abandon(
     retention bound is exactly sufficient: a purchase p cancels clicks
     t in (p-1h, p], and any click still capable of arriving-or-pending
     has t + 1h > wm, so p matters only while p + 1h > wm — purchases
-    older than that could only cancel clicks laterer than the full 1 h
-    horizon, which the watermark contract (delay <= 1h) already
-    excludes from the stream."""
+    older than that could only cancel clicks later than the full 1 h
+    horizon, which the watermark contract (delay <= 1h, enforced by
+    abandoned_clicks) already excludes from the stream.
+
+    STATE-SCHEMA NOTE (round 8): purchase retention widened the state
+    tuple from 2 array fields to 3. Legacy 2-field state (a checkpoint
+    written before round 8) is read with an empty purchase list — the
+    guard below — so restoring an old checkpoint degrades to the old
+    (purchase-loss-prone) semantics for in-flight keys rather than
+    crashing; fresh checkpoints get the full contract."""
     if key[0] is None:  # null keys can't be abandoned; keep no state
         for _ in batches:
             pass
         return
     if state.exists:
         s = state.get
-        ids, tss, ps = list(s[0]), list(s[1]), list(s[2])
+        # len guard: legacy 2-field (pre-purchase-retention) state
+        # restores with no remembered purchases instead of crashing
+        ids, tss = list(s[0]), list(s[1])
+        ps = list(s[2]) if len(s) > 2 and s[2] is not None else []
     else:
         ids, tss, ps = [], [], []
     for pdf in batches:  # drain fully before touching state
@@ -323,6 +333,35 @@ def _abandon(
         )
 
 
+_DELAY_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def _parse_delay_us(delay: str) -> int:
+    """Parse a Spark watermark delay-threshold string ('10 seconds',
+    '1 hour 30 minutes') to microseconds — the subset of the
+    CalendarInterval grammar watermarks accept."""
+    import re
+
+    total, matched = 0, 0
+    for num, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", delay):
+        unit = unit.lower().rstrip("s")
+        if unit not in _DELAY_UNIT_US:
+            raise ValueError(f"unrecognized delay unit {unit!r} in {delay!r}")
+        total += int(num) * _DELAY_UNIT_US[unit]
+        matched += 1
+    if not matched:
+        raise ValueError(f"unparseable watermark delay {delay!r}")
+    return total
+
+
 def abandoned_clicks(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
     """Streaming funnel-abandonment detector — the ABSENCE member of
     the CEP family (Flink's notFollowedBy + within): clicks with NO
@@ -345,7 +384,21 @@ def abandoned_clicks(events: DataFrame, watermark: str = "0 seconds") -> DataFra
     doesn't change (non-click/purchase rows contribute nothing and
     null-key groups keep no state); a deployment that wants scan-side
     pruning must do it at the SOURCE (a pre-filtered topic), where the
-    watermark is computed from what the operator will actually see."""
+    watermark is computed from what the operator will actually see.
+
+    The configured watermark delay must be <= the 1 h abandon window:
+    the purchase-retention eviction bound (retain while p + 1h > wm)
+    is exactly sufficient only under that contract — with a larger
+    delay, a click arriving later than 1 h after its cancelling
+    purchase would find the purchase already evicted and be falsely
+    emitted. Enforced here, at the public API (ADVICE r8)."""
+    delay_us = _parse_delay_us(watermark)
+    if delay_us > ABANDON_WINDOW_US:
+        raise ValueError(
+            f"abandoned_clicks: watermark delay {watermark!r} exceeds the "
+            f"1 h abandon window; the purchase-retention eviction bound "
+            f"(see _abandon) requires delay <= window"
+        )
     ev = events.withWatermark("ts", watermark).select(
         "user_id",
         "event_type",

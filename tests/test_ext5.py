@@ -527,6 +527,26 @@ def test_knn_graph_matches_numpy_bruteforce(spark):
     del order
 
 
+def test_knn_graph_refuses_oversized_corpus(spark):
+    """knn_graph is the documented O(n^2) calibration baseline; above
+    max_rows it must refuse loudly (pointing at the ANN family)
+    instead of silently scheduling a corpus x blocks replicated join
+    (ADVICE/verdict r8 ask #7). An explicit max_rows override is the
+    deliberate-calibration escape hatch."""
+    import pytest as _pytest
+
+    from flink_engagement_pipeline_spark.llm.similarity import knn_graph
+    from flink_engagement_pipeline_spark.sources.datagen import (
+        gen_embeddings,
+    )
+
+    emb = gen_embeddings(spark, 50)
+    with _pytest.raises(ValueError, match="O\\(n\\^2\\).*ANN"):
+        knn_graph(emb, k=3, max_rows=10)
+    # explicit override proceeds
+    assert knn_graph(emb, k=1, max_rows=50).count() == 50
+
+
 # ---------------------------------------------------------------------------
 # streaming absence detection (event-time timers)
 # ---------------------------------------------------------------------------
@@ -728,6 +748,33 @@ def test_abandoned_clicks_watermark_not_starved_by_scan_pruning(spark):
     ).parquet("/root/testdata")  # never started; plan-only
     plan = abandoned_clicks(stream)._jdf.queryExecution().analyzed().toString()
     assert "Filter" not in plan, plan
+
+
+def test_abandoned_clicks_rejects_oversized_watermark_delay(spark):
+    """The purchase-retention eviction bound is only sufficient when
+    the watermark delay <= the 1 h abandon window (ADVICE r8): with a
+    larger delay a late click could find its cancelling purchase
+    already evicted. The public API must refuse such a config."""
+    import pytest as _pytest
+
+    from flink_engagement_pipeline_spark.streaming.stateful import (
+        _parse_delay_us,
+        abandoned_clicks,
+    )
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet("/root/testdata")  # never started; validation is eager
+    with _pytest.raises(ValueError, match="exceeds"):
+        abandoned_clicks(stream, watermark="61 minutes")
+    with _pytest.raises(ValueError, match="unparseable"):
+        abandoned_clicks(stream, watermark="soon")
+    # boundary and compound forms accepted
+    abandoned_clicks(stream, watermark="1 hour")
+    abandoned_clicks(stream, watermark="30 minutes 1800 seconds")
+    assert _parse_delay_us("1 hour") == 3_600_000_000
+    assert _parse_delay_us("2 minutes 5 seconds") == 125_000_000
 
 
 # ---------------------------------------------------------------------------

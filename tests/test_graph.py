@@ -197,6 +197,23 @@ def test_star_cc_keeps_self_loop_only_nodes(spark):
     assert res == {1: 1, 2: 1, 9: 9}
 
 
+def test_star_cc_drops_null_endpoints(spark):
+    """NULL endpoints are not nodes (ADVICE r8): an edge row with a
+    null src/dst must not fabricate a (null, null) component row, and
+    the non-null side of such a row still joins the roster."""
+    from flink_engagement_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rows = [(1, 2), (7, None), (None, None)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    res = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(e).collect()
+    }
+    assert res == {1: 1, 2: 1, 7: 7}
+
+
 # ---------------------------------------------------------------------------
 # triangle counting (degree-ordered wedges)
 # ---------------------------------------------------------------------------
