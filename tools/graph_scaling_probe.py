@@ -147,4 +147,38 @@ if __name__ == "__main__":
 # ---------------------------------------------------------------------------
 # Findings (quiet host, local[32], 128 GiB JVM) are appended below by
 # hand after each run and summarized in BASELINE.md.
+#
+# Round-9 run (quiet host, 2026-08-15):
+#
+#   -- uniform   10k  max_deg=14
+#   pagerank  2.42s  shuffleR   0.7MB | cc_star  7.36s   2.5MB | tri 1.27s  0.4MB
+#   -- powerlaw 10k  max_deg=779
+#   pagerank  1.88s            0.6MB | cc_star  5.08s   1.8MB | tri 1.47s  0.3MB
+#   -- uniform  100k max_deg=12
+#   pagerank  1.89s            6.1MB | cc_star  7.69s  27.0MB | tri 1.66s  3.5MB
+#   -- powerlaw 100k max_deg=6,253
+#   pagerank  2.00s            5.4MB | cc_star  6.31s  18.8MB | tri 1.35s  3.0MB
+#   -- uniform  1M   max_deg=14
+#   pagerank  8.35s          165.5MB | cc_star 24.70s 421.2MB | tri 4.00s 62.5MB
+#   -- powerlaw 1M   max_deg=51,215
+#   pagerank  5.88s          119.1MB | cc_star 15.74s 231.3MB | tri 3.56s 47.4MB
+#
+# Readings:
+# - TRIANGLES: the degree-ordered orientation claim HOLDS under a
+#   51,215-degree hub — 1M powerlaw runs FASTER with LESS shuffle than
+#   1M uniform (3.56s/47MB vs 4.00s/62MB): the hub's edges all orient
+#   AWAY from it (it is the (degree,id)-largest endpoint), so its
+#   wedges are generated at its low-degree neighbors and
+#   sum(out_deg^2) stays bounded. Wall-clock 100k->1M is 2.4x on 10x
+#   edges — sublinear (fixed 32-partition overhead amortizing out).
+# - PAGERANK: 10x edges -> 4.4x wall (8.35s), shuffle ~ edges x
+#   iterations; hub graph again cheaper (fewer distinct rank rows).
+#   No driver-side state; nothing here breaks at 100x.
+# - CC_STAR: 10x edges -> 3.2x wall (24.7s); shuffle grows
+#   n x alternation-rounds (O(log n) rounds, hence the 15.6x bytes at
+#   10x edges). The absolute constant is the per-round
+#   localCheckpoint + fixpoint CONFIRMATION pass (an extra large-star
+#   diff per convergence check) — acceptable for the exactness
+#   guarantee; at 100 TB the knob is checkpoint interval, not the
+#   join shape.
 # ---------------------------------------------------------------------------
