@@ -150,6 +150,61 @@ def test_sink_compact_transparent(spark, sf_dir, replay_run):
     assert set(sink.committed_paths(below=2)) == {snap}
 
 
+def test_stream_index_maintenance_with_midstream_compaction(spark, sf_dir, tmp_path):
+    """Compaction BETWEEN maintenance batches must be invisible to the
+    result: batch 0 commits its band/pair deltas, the index folds into
+    a compact= snapshot (deltas pruned), batch 1 reads its
+    below-own-id state — now the snapshot — and the union of pair
+    deltas still equals the whole-corpus rebuild. Pins the
+    snapshot+delta read path (committed_paths) inside the maintenance
+    loop, not just at rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    index_sink = IdempotentParquetSink(str(tmp_path / "index"))
+    pairs_sink = IdempotentParquetSink(str(tmp_path / "pairs"))
+
+    def apply(bid):
+        half = docs.filter((F.col("doc_id") % 2) == bid).select(
+            "doc_id", "text"
+        )
+        prev = index_sink.committed_paths(below=bid)
+        if prev:
+            corpus_bands = spark.read.option(
+                "pathGlobFilter", "*.parquet"
+            ).parquet(*prev).select("doc_id", "band_idx", "key")
+            corpus_docs = docs.join(
+                corpus_bands.select("doc_id").distinct(), "doc_id", "leftsemi"
+            ).select("doc_id", "text")
+        else:
+            corpus_bands = ld.portable_band_index(
+                ld.portable_base(docs.limit(0))
+            )
+            corpus_docs = docs.limit(0).select("doc_id", "text")
+        new_pairs = ld.streaming_portable_ingest_pairs(
+            half, corpus_bands, corpus_docs
+        )
+        index_sink.write_batch(
+            ld.portable_band_index(ld.portable_base(half)), bid
+        )
+        pairs_sink.write_batch(new_pairs, bid)
+
+    apply(0)
+    snap = index_sink.compact(spark)
+    assert snap and "compact=0" in snap
+    assert not (tmp_path / "index" / "batch_id=0").exists()  # pruned
+    apply(1)
+    # batch 1 must have read exactly the snapshot as its corpus state
+    assert index_sink.committed_paths(below=1) == [snap]
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in pairs_sink.read_committed(spark).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ld.portable_minhash_pairs(docs).collect()
+    }
+    assert got == want and want
+
+
 def test_streaming_ingest_pairs_arrival_order(spark):
     """Unit pin for the arrival-order contract: when the LARGER id is
     already in the index and the SMALLER id arrives as the new batch,
