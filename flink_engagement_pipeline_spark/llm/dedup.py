@@ -1381,6 +1381,63 @@ def simhash_pairs_from_index(
     )
 
 
+def streaming_simhash_ingest_pairs(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    max_hamming: int = 8,
+    rotations: int = 5,
+) -> DataFrame:
+    """One micro-batch of STREAMING SimHash index maintenance:
+    screen a batch against the persisted bucket index (plus itself)
+    and return verified pairs normalized to (doc_a < doc_b),
+    ARRIVAL-ORDER AGNOSTIC — the SimHash counterpart of
+    `streaming_portable_ingest_pairs`, relaxing
+    `incremental_simhash_ingest`'s append-only-id contract the same
+    way: the cross join accepts either id order (a pair forms exactly
+    once, in the batch whose member arrived later — the earlier one
+    exists only on the index side), in-batch pairs come from a
+    strict-order self-join, output is (least, greatest).
+
+    Cheaper than the MinHash streaming path at any corpus size:
+    Hamming verification reads the signatures already ON the joined
+    index rows, so no corpus-side data beyond the 4-column index is
+    touched — there is no verify scan to semi-prune at all.
+    Accumulated over disjoint batches covering a corpus, the union of
+    per-batch outputs equals `simhash_near_pairs` of the whole corpus
+    (hash-matched against the full-rebuild oracle by
+    `stream_simhash_index_replay`)."""
+    new_idx = simhash_buckets(new_docs, rotations)
+
+    def _pairs(a: DataFrame, b: DataFrame, cond) -> DataFrame:
+        j = a.alias("a").join(
+            b.alias("b"),
+            (F.col("a.rot") == F.col("b.rot"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & cond,
+        )
+        return j.select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+
+    cross = _pairs(
+        new_idx, corpus_index, F.col("a.doc_id") != F.col("b.doc_id")
+    )
+    in_batch = _pairs(
+        new_idx, new_idx, F.col("a.doc_id") > F.col("b.doc_id")
+    )
+    return (
+        cross.unionByName(in_batch)
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        # per-pair hamming is rotation-invariant, so FIRST == MIN
+        .agg(F.first("hamming").alias("hamming"))
+    )
+
+
 def simhash_pairs_oracle_sql(
     max_hamming: int = 8, where: str | None = None
 ) -> str:

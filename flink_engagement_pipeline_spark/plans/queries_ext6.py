@@ -38,6 +38,37 @@ _DOCS_STREAM_SCHEMA = (
 )
 
 
+def _parity_docs_replay(spark: SparkSession, sf_dir: str, tmp: str, apply):
+    """Shared harness for the streaming index-maintenance replays:
+    the documents fixture symlinked twice + maxFilesPerTrigger=1 gives
+    two micro-batches; `apply(df, bid)` filters its parity half and
+    commits its deltas. Runs the stream to completion."""
+    docs_dir = os.path.join(tmp, "docs")
+    os.makedirs(docs_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    os.symlink(src, os.path.join(docs_dir, "a.parquet"))
+    os.symlink(src, os.path.join(docs_dir, "b.parquet"))
+    part_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(part_key)
+    spark.conf.set(part_key, "8")
+    try:
+        stream = (
+            spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(docs_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(part_key, saved)
+
+
 def run_minhash_index_replay(
     spark: SparkSession, sf_dir: str, tmp: str
 ) -> DataFrame:
@@ -60,12 +91,6 @@ def run_minhash_index_replay(
     every emitted pair has its later-arriving member in the current
     batch (llm/dedup.py:streaming_portable_ingest_pairs), so the
     delta union equals the old accumulated set row-for-row."""
-    docs_dir = os.path.join(tmp, "docs")
-    os.makedirs(docs_dir)
-    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    # same fixture file twice + maxFilesPerTrigger=1 -> two micro-batches
-    os.symlink(src, os.path.join(docs_dir, "a.parquet"))
-    os.symlink(src, os.path.join(docs_dir, "b.parquet"))
     index_sink = IdempotentParquetSink(os.path.join(tmp, "index"))
     pairs_sink = IdempotentParquetSink(os.path.join(tmp, "pairs"))
 
@@ -108,25 +133,7 @@ def run_minhash_index_replay(
         )
         pairs_sink.write_batch(new_pairs, bid)
 
-    part_key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(part_key)
-    spark.conf.set(part_key, "8")
-    try:
-        stream = (
-            spark.readStream.schema(_DOCS_STREAM_SCHEMA)
-            .option("pathGlobFilter", "*.parquet")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(docs_dir)
-        )
-        q = (
-            stream.writeStream.foreachBatch(apply)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(part_key, saved)
+    _parity_docs_replay(spark, sf_dir, tmp, apply)
     return pairs_sink.read_committed(spark).select(
         "doc_a", "doc_b", "jaccard"
     )
@@ -177,6 +184,76 @@ def q_stream_minhash_index_replay(
 ) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_minhash_idx_")
     return run_minhash_index_replay(spark, sf_dir, tmp)
+
+
+def run_simhash_index_replay(
+    spark: SparkSession, sf_dir: str, tmp: str
+) -> DataFrame:
+    """Core of stream_simhash_index_replay: the SimHash instance of
+    the delta-append maintenance loop (same parity split, same
+    batchId-keyed delta commits, same below-own-id reads as the
+    MinHash replay), with one structural difference that makes it the
+    CHEAPEST maintainable index: Hamming verification runs on the
+    signatures carried by the joined index rows, so a batch touches
+    NO corpus-side data beyond the 4-column bucket index — no
+    id-keyed text scan, no semi-prune, nothing to GC when text is
+    taken down."""
+    index_sink = IdempotentParquetSink(os.path.join(tmp, "index"))
+    pairs_sink = IdempotentParquetSink(os.path.join(tmp, "pairs"))
+
+    def apply(df, bid):
+        half = df.filter((F.col("doc_id") % 2) == F.lit(bid % 2)).select(
+            "doc_id", "text"
+        )
+        batch_idx = ld.simhash_buckets(half)
+        prev = index_sink.committed_paths(below=bid)
+        if prev:
+            corpus_idx = spark.read.option(
+                "pathGlobFilter", "*.parquet"
+            ).parquet(*prev).select("doc_id", "simhash", "rot", "bucket")
+        else:
+            corpus_idx = batch_idx.limit(0)
+        new_pairs = ld.streaming_simhash_ingest_pairs(half, corpus_idx)
+        index_sink.write_batch(batch_idx, bid)
+        pairs_sink.write_batch(new_pairs, bid)
+
+    _parity_docs_replay(spark, sf_dir, tmp, apply)
+    return pairs_sink.read_committed(spark).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+@register(
+    "stream_simhash_index_replay",
+    oracle=ld.simhash_pairs_oracle_sql(),
+    doc=(
+        "Streaming SimHash index maintenance — the delta-append "
+        "device proven on the MinHash bands generalized to a second "
+        "index family, and the cheapest one to maintain: the parity "
+        "halves replay as two micro-batches, each commits ONLY its "
+        "own (doc_id, simhash, rot, bucket) delta and its own "
+        "verified pair delta to batchId-keyed exactly-once sinks, and "
+        "Hamming verification reads signatures carried BY the joined "
+        "index rows — a batch touches no corpus-side data beyond the "
+        "4-column index (no id-keyed text scan at all, unlike the "
+        "MinHash replay's exact-Jaccard verify). Arrival-order "
+        "agnostic like its MinHash twin "
+        "(llm/dedup.py:streaming_simhash_ingest_pairs relaxes the "
+        "batch ingest's append-only-id contract; the parity split "
+        "makes arrival order differ from id order on purpose). The "
+        "union of committed pair deltas hash-matches the whole-corpus "
+        "simhash_near_pairs REBUILD oracle — the same generator "
+        "docs_simhash_pairs and docs_simhash_index_delete use, so "
+        "build, serve, delete, and streaming maintenance are one "
+        "oracle text."
+    ),
+    tags=("streaming", "dedup", "simhash", "index", "exactly-once"),
+)
+def q_stream_simhash_index_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_simhash_idx_")
+    return run_simhash_index_replay(spark, sf_dir, tmp)
 
 
 # ---------------------------------------------------------------------------

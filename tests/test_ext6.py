@@ -205,6 +205,62 @@ def test_stream_index_maintenance_with_midstream_compaction(spark, sf_dir, tmp_p
     assert got == want and want
 
 
+def test_stream_simhash_replay_matches_batch_rebuild(spark, sf_dir):
+    """The SimHash instance of delta-append maintenance: the union of
+    per-batch pair deltas must equal the whole-corpus
+    simhash_near_pairs rebuild, each index delta must contain only its
+    own parity half, and the batch's corpus-side input must be the
+    index alone (structural: streaming_simhash_ingest_pairs takes no
+    text argument)."""
+    import tempfile
+
+    from flink_engagement_pipeline_spark.plans.queries_ext6 import (
+        run_simhash_index_replay,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="test_simhash_idx_")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in run_simhash_index_replay(spark, sf_dir, tmp).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in ld.simhash_near_pairs(docs).collect()
+    }
+    assert got == want and want
+    # arrival-order non-vacuity: some pair's smaller id is odd (batch 1)
+    assert any(a % 2 == 1 and b % 2 == 0 for a, b, _ in want)
+    for bid in (0, 1):
+        d = os.path.join(tmp, "index", f"batch_id={bid}")
+        df = spark.read.option("pathGlobFilter", "*.parquet").parquet(d)
+        ps = {
+            r["p"]
+            for r in df.select((F.col("doc_id") % 2).alias("p"))
+            .distinct()
+            .collect()
+        }
+        assert ps == {bid}
+
+
+def test_streaming_simhash_ingest_arrival_order(spark):
+    """Unit pin: a smaller id arriving after its larger near-dup
+    partner (already in the index) must still pair — the relaxation
+    over incremental_simhash_ingest's append-only-id contract."""
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = ld.simhash_buckets(docs.filter(F.col("doc_id") == 10))
+    got = ld.streaming_simhash_ingest_pairs(
+        docs.filter(F.col("doc_id") == 3), idx
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [
+        (3, 10, 0)
+    ]
+
+
 def test_streaming_ingest_pairs_arrival_order(spark):
     """Unit pin for the arrival-order contract: when the LARGER id is
     already in the index and the SMALLER id arrives as the new batch,
