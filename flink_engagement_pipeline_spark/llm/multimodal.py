@@ -268,17 +268,21 @@ def media_phash(media: DataFrame) -> DataFrame:
     (measured on the fixture: near-dup payloads Hamming <= 2, random
     pairs >= 12, so the <= 6 verify threshold separates cleanly).
 
-    Plan shape: shingle explode -> ONE doc_id exchange carrying 61
-    fixed-width partial sums (60 bin cells + the total) -> bit-pack
-    projection. The cells are conditional aggregates, NOT a
-    (doc_id, bin) groupBy + mean window: that form pays two exchanges
-    of shingle-count-sized rows, this one shuffles docs x 61 longs
-    regardless of blob size — the shape that matters at corpus scale
-    (at sf0.1 wall-clock is ~equal because the md5 fold over ~2M
-    shingles dominates both: measured 0.76 s shingling + 0.9 s
-    md5/conv + 0.5 s aggregation = 2.15 s hash, 2.7 s with the pair
-    join, which reuses the hash subplan via ReusedExchange). No
-    Python UDF, no all-pairs anywhere.
+    Plan shape: shingle explode -> (doc_id, bin) aggregation (the
+    map-side partial combine reduces the shuffle to <= 60
+    occupied-cell rows per doc regardless of blob size) -> doc_id
+    mean window -> bit-pack aggregation riding the window's
+    partitioning. All three candidate forms were measured (sf0.1
+    warm min-of-3 / fresh-vanilla-session cold): this window form
+    3.1 s / ~3.5 s; a 60-conditional-aggregate single-exchange form
+    3.0 s / 15.6 s — its generated code costs ~12 s of ONE-TIME
+    Janino compilation per driver session, a tax on exactly the cold
+    gate path; a collect_list + HOF-lambda pack form 4.5 s / ~3.5 s —
+    interpreted per-element folds lose the warm race. Shuffle volume
+    is docs x occupied-cells for every form (partial agg makes the
+    first exchange cell-sized, not shingle-sized), so the constants
+    decide, and the window form wins both temperatures. No Python
+    UDF, no all-pairs anywhere.
     """
     from .text import shingles
 
@@ -299,21 +303,23 @@ def media_phash(media: DataFrame) -> DataFrame:
             f"(h DIV {bits}) % 256 AS lum",
         )
     )
-    cells = binned.groupBy("doc_id").agg(
-        *[
-            F.expr(f"SUM(CASE WHEN bin = {b} THEN lum ELSE 0 END)").alias(
-                f"p{b}"
-            )
-            for b in range(bits)
-        ],
-        F.expr("SUM(lum)").alias("tot"),
+    pix = binned.groupBy("doc_id", "bin").agg(F.sum("lum").alias("pix"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    return (
+        pix.withColumn("tot", F.sum("pix").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN pix * {bits} > tot"
+                    " THEN shiftleft(CAST(1 AS BIGINT), bin)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("phash")
+        )
     )
-    pack = " + ".join(
-        f"(CASE WHEN p{b} * {bits} > tot THEN CAST({1 << b} AS BIGINT)"
-        " ELSE CAST(0 AS BIGINT) END)"
-        for b in range(bits)
-    )
-    return cells.selectExpr("doc_id", f"({pack}) AS phash")
 
 
 def media_phash_buckets(
