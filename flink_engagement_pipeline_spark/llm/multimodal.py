@@ -442,6 +442,55 @@ def incremental_media_phash_ingest(
     )
 
 
+def streaming_media_phash_ingest_pairs(
+    new_media: DataFrame,
+    corpus_index: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    rotations: int = PHASH_ROTATIONS,
+) -> DataFrame:
+    """One micro-batch of STREAMING media-pHash index maintenance,
+    ARRIVAL-ORDER AGNOSTIC — the media instance of the relaxation
+    `streaming_simhash_ingest_pairs` makes for text: the cross join
+    against the persisted index accepts either id order (each pair
+    forms exactly once, in the batch whose member arrived later),
+    in-batch pairs come from a strict-order self-join, output is
+    normalized (doc_a < doc_b, hamming). Like SimHash, verification
+    reads the hashes carried BY the joined index rows, so a batch
+    touches no corpus payloads at all. Accumulated over disjoint
+    batches covering a corpus, the union of per-batch outputs equals
+    `media_phash_pairs` of the whole corpus."""
+    new_idx = media_phash_buckets(new_media, rotations)
+
+    def _pairs(a: DataFrame, b: DataFrame, cond) -> DataFrame:
+        j = a.alias("a").join(
+            b.alias("b"),
+            (F.col("a.rot") == F.col("b.rot"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & cond,
+        )
+        return j.select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+
+    cross = _pairs(
+        new_idx, corpus_index, F.col("a.doc_id") != F.col("b.doc_id")
+    )
+    in_batch = _pairs(
+        new_idx, new_idx, F.col("a.doc_id") > F.col("b.doc_id")
+    )
+    return (
+        cross.unionByName(in_batch)
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        # per-pair hamming is rotation-invariant, so FIRST == MIN
+        .agg(F.first("hamming").alias("hamming"))
+    )
+
+
 def _phash_sigs_ctes(where: str | None = None) -> str:
     """Shared CTE chain computing (doc_id, phash) signatures — fake
     decode (shingle cells), aHash threshold/pack — used by the pair,

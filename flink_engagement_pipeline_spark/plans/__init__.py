@@ -60,19 +60,21 @@ from . import queries_ext6  # noqa: F401,E402
 #       round-3-checked stragglers + 25 of the round-4-checked block
 #       (CORRECTNESS_r08.json: 48 hash + 2 rows-only, 0 err — after
 #       that round every query's last driver row is round-4-or-newer);
-#   round 9 (this list): sentinels + [b] = the 6 round-9 additions
-#       (media_phash_neardup/ingest/index_delete — the media index's
-#       full lifecycle — + the simhash/neardup index-deletion twins +
-#       stream_simhash_index_replay, the delta-append maintenance
-#       device generalized to a second family) PLUS two
-#       materially-changed replays owed a fresh row
+#   round 9 (this list): sentinels + [b] = the 7 round-9 additions
+#       (media_phash_neardup/ingest/index_delete/
+#       stream_media_phash_index_replay — the media index's full
+#       lifecycle including streaming maintenance — + the simhash/
+#       neardup index-deletion twins + stream_simhash_index_replay,
+#       the delta-append maintenance device generalized beyond
+#       MinHash) PLUS two materially-changed replays owed a fresh
+#       row
 #       (stream_minhash_index_replay: delta-append persistence rework;
 #       stream_abandoned_clicks_replay: r8 purchase retention landed
 #       after its last driver row) + [c] = the 19 remaining
 #       round-4-checked queries (docs_tokenize_ids through
-#       docs_quality_deciles), then the 17 oldest round-5-checked
+#       docs_quality_deciles), then the 16 oldest round-5-checked
 #       queries in registry order (events_identity through
-#       events_bloom_prune; user_active_coverage onward of the r5
+#       lineitem_bucketed_join; events_bloom_prune onward of the r5
 #       block re-enter next round). Window budget honored:
 #       hop_engagement_sum stays the single multi-million-row output
 #       in-window.
@@ -99,9 +101,10 @@ _PRIORITY: tuple[str, ...] = (
     "media_phash_ingest",
     "media_phash_index_delete",
     "stream_simhash_index_replay",
+    "stream_media_phash_index_replay",
     # -- [c] backfill: oldest driver coverage first — the 19 remaining
     # round-4-checked queries, then the round-5-checked block in
-    # registry order (17 fit; user_active_coverage onward re-enter
+    # registry order (16 fit; events_bloom_prune onward re-enter
     # next round) --
     "docs_tokenize_ids",
     "embedding_range_search",
@@ -138,7 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "hll_portable_reach",
     "orders_scd2_history",
     "lineitem_bucketed_join",
-    "events_bloom_prune",
 )
 
 

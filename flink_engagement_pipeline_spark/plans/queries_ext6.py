@@ -487,3 +487,67 @@ def q_media_phash_index_delete(
     del_ids = docs.filter(F.col("doc_id") % 6 == 0).select("doc_id")
     kept = index.join(F.broadcast(del_ids), "doc_id", "anti")
     return lm.media_phash_pairs_from_index(kept)
+
+
+def run_media_phash_index_replay(
+    spark: SparkSession, sf_dir: str, tmp: str
+) -> DataFrame:
+    """Core of stream_media_phash_index_replay: the media instance of
+    the delta-append maintenance loop (parity split, batchId-keyed
+    delta commits, below-own-id reads), sharing SimHash's cheapest-
+    to-maintain property — Hamming verification on the hashes carried
+    by the joined index rows, zero corpus-payload reads per batch."""
+    index_sink = IdempotentParquetSink(os.path.join(tmp, "index"))
+    pairs_sink = IdempotentParquetSink(os.path.join(tmp, "pairs"))
+
+    def apply(df, bid):
+        half = lm.docs_as_media(
+            df.filter((F.col("doc_id") % 2) == F.lit(bid % 2))
+        )
+        batch_idx = lm.media_phash_buckets(half)
+        prev = index_sink.committed_paths(below=bid)
+        if prev:
+            corpus_idx = spark.read.option(
+                "pathGlobFilter", "*.parquet"
+            ).parquet(*prev).select("doc_id", "phash", "rot", "bucket")
+        else:
+            corpus_idx = batch_idx.limit(0)
+        new_pairs = lm.streaming_media_phash_ingest_pairs(half, corpus_idx)
+        index_sink.write_batch(batch_idx, bid)
+        pairs_sink.write_batch(new_pairs, bid)
+
+    _parity_docs_replay(spark, sf_dir, tmp, apply)
+    return pairs_sink.read_committed(spark).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+@register(
+    "stream_media_phash_index_replay",
+    oracle=lm.media_phash_oracle_sql(),
+    doc=(
+        "Streaming media-pHash index maintenance — with this the "
+        "media index family, born this round, ships EVERY lifecycle "
+        "stage at once: build (media_phash_neardup), batch ingest "
+        "(media_phash_ingest), takedown (media_phash_index_delete), "
+        "and cross-micro-batch streaming maintenance, all four "
+        "hash-matched against one oracle generator. Same delta-append "
+        "device as the MinHash and SimHash replays (each batch "
+        "commits ONLY its own (doc_id, phash, rot, bucket) rows and "
+        "verified pair delta to batchId-keyed exactly-once sinks; "
+        "arrival-order agnostic via "
+        "llm/multimodal.py:streaming_media_phash_ingest_pairs), and "
+        "like SimHash the cheapest kind to maintain: Hamming "
+        "verification reads hashes carried by the joined index rows, "
+        "so a daily batch hashes only its own blobs and touches no "
+        "corpus payloads — the media takedown story extends to the "
+        "maintenance path. The union of committed pair deltas "
+        "hash-matches the whole-corpus media_phash_pairs rebuild."
+    ),
+    tags=("streaming", "multimodal", "media", "phash", "exactly-once"),
+)
+def q_stream_media_phash_index_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_phash_idx_")
+    return run_media_phash_index_replay(spark, sf_dir, tmp)

@@ -261,6 +261,65 @@ def test_streaming_simhash_ingest_arrival_order(spark):
     ]
 
 
+def test_stream_media_phash_replay_matches_batch_rebuild(spark, sf_dir):
+    """Media pHash streaming maintenance: the union of per-batch pair
+    deltas equals the whole-corpus media_phash_pairs rebuild, and
+    each index delta holds only its parity half (delta-append, never
+    a full-state rewrite)."""
+    import tempfile
+
+    from flink_engagement_pipeline_spark.llm import multimodal as lm
+    from flink_engagement_pipeline_spark.plans.queries_ext6 import (
+        run_media_phash_index_replay,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="test_phash_idx_")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in run_media_phash_index_replay(spark, sf_dir, tmp).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in lm.media_phash_pairs(lm.docs_as_media(docs)).collect()
+    }
+    assert got == want and want
+    assert any(a % 2 == 1 and b % 2 == 0 for a, b, _ in want)
+    for bid in (0, 1):
+        d = os.path.join(tmp, "index", f"batch_id={bid}")
+        df = spark.read.option("pathGlobFilter", "*.parquet").parquet(d)
+        ps = {
+            r["p"]
+            for r in df.select((F.col("doc_id") % 2).alias("p"))
+            .distinct()
+            .collect()
+        }
+        assert ps == {bid}
+
+
+def test_streaming_media_phash_arrival_order(spark):
+    """Unit pin: a smaller id arriving after its identical-payload
+    partner (already in the index) still pairs at Hamming 0."""
+    from flink_engagement_pipeline_spark.llm import multimodal as lm
+
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = lm.docs_as_media(docs)
+    idx = lm.media_phash_buckets(
+        lm.docs_as_media(docs.filter(F.col("doc_id") == 10))
+    )
+    got = lm.streaming_media_phash_ingest_pairs(
+        lm.docs_as_media(docs.filter(F.col("doc_id") == 3)), idx
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [
+        (3, 10, 0)
+    ]
+    del media
+
+
 def test_streaming_ingest_pairs_arrival_order(spark):
     """Unit pin for the arrival-order contract: when the LARGER id is
     already in the index and the SMALLER id arrives as the new batch,

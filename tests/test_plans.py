@@ -453,6 +453,7 @@ def test_gate_priority_window_covers_graded_surface():
         "media_phash_ingest",
         "media_phash_index_delete",
         "stream_simhash_index_replay",
+        "stream_media_phash_index_replay",
     ]
     r4_backfill = [
         # last driver row: CORRECTNESS_r04.json — the final 19 of the
@@ -469,7 +470,7 @@ def test_gate_priority_window_covers_graded_surface():
     r5_backfill = [
         # last driver row: CORRECTNESS_r05.json — oldest-coverage
         # block after the r4 tail, registry order; the tail
-        # (user_active_coverage onward) re-enters next round
+        # (events_bloom_prune onward) re-enters next round
         "events_identity", "sink_projection", "leaderboard_rank",
         "distinct_users_by_type", "approx_distinct_users",
         "props_k_agg", "daily_event_pivot", "rollup_event_type",
