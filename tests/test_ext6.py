@@ -307,7 +307,6 @@ def test_streaming_media_phash_arrival_order(spark):
         (3, "alpha beta gamma delta epsilon zeta"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    media = lm.docs_as_media(docs)
     idx = lm.media_phash_buckets(
         lm.docs_as_media(docs.filter(F.col("doc_id") == 10))
     )
@@ -317,7 +316,6 @@ def test_streaming_media_phash_arrival_order(spark):
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [
         (3, 10, 0)
     ]
-    del media
 
 
 def test_streaming_ingest_pairs_arrival_order(spark):
