@@ -59,6 +59,12 @@ FLAGSHIP_NAMES = [
     # round 9: perceptual-hash media near-dup (corpus shingle scan +
     # aHash pack + rotation-bucket join — the media-axis flagship)
     "media_phash_neardup",
+    # round 10: frame-level video near-dup (frame fan-out x per-frame
+    # pHash — the heaviest media query, ~4.6x the shingle volume of
+    # the doc-level build) and semantic dedup (kmeans training jobs +
+    # within-cluster cosine screen — the SemDeDup composition)
+    "media_video_neardup",
+    "embedding_semdedup",
 ]
 
 

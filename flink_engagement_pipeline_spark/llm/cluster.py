@@ -190,6 +190,117 @@ def km_update_cte(out: str, assigned: str, prev: str, k: int, dim: int) -> str:
 )"""
 
 
+def train_kmeans(
+    emb: DataFrame, k: int = 8, iters: int = 3
+) -> list[list[float]]:
+    """The centroid-training half of :func:`kmeans`, factored so
+    compositions (semantic dedup, IVF variants) can reuse the trained
+    quantizer: deterministic lowest-vec_id init, ``iters``
+    integer-quantized Lloyd updates, centroids returned as driver
+    metadata (k x dim — never corpus-sized)."""
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in e.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(iters):
+        cents = update_centroids(assign_clusters(e, cents), cents, k)
+    return cents
+
+
+def semantic_dedup(
+    emb: DataFrame, k: int = 8, iters: int = 3, threshold: float = 0.35
+) -> DataFrame:
+    """Semantic (embedding-cluster) dedup — the SemDeDup shape
+    (Abbas et al. 2023, arXiv:2303.09540): k-means the corpus, then
+    screen for near-duplicate semantics WITHIN each cluster only, and
+    drop every vector that has a lower-id duplicate at
+    cosine >= ``threshold`` in its cluster (SemDeDup's keep-one
+    policy; lowest id is the deterministic representative).
+
+    Composition of proven pieces, so the whole policy hash-matches
+    one SQL text: the trainer is the oracle-exact quantized Lloyd's
+    (:func:`train_kmeans` — the embedding_kmeans CTEs), assignment is
+    the zero-shuffle parsed-SQL projection, and the verify is the
+    exact sequential-fold cosine. The within-cluster pair join is the
+    deliberate SemDeDup trade: NEVER cross-cluster all-pairs — the
+    equi-join key is the cluster id, so the candidate space is
+    sum_c(n_c^2) instead of n^2, and k is the knob that bounds n_c
+    (SemDeDup runs k ~ n/50k at web scale; a skewed giant cluster is
+    the known failure mode and AQE skew-join or a k bump is the
+    remedy). Vector payloads ride the single cluster-keyed exchange;
+    at 100 TB the width lever (carry float, widen in the cosine — the
+    near_dup_pairs device) halves that shuffle if it binds.
+
+    Returns (vec_id, cluster, is_kept) for EVERY corpus vector —
+    the keep/drop decision a curation pipeline consumes."""
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = train_kmeans(emb, k, iters)
+    assigned = assign_clusters(e, cents)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    va, vb = F.col("a.v"), F.col("b.v")
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(F.broadcast(dropped), "vec_id", "left")
+        .select(
+            "vec_id", "cluster", F.col("__dropped").isNull().alias("is_kept")
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    k: int = 8, iters: int = 3, threshold: float = 0.35, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup`: the embedding_kmeans
+    unrolled-Lloyd CTE chain (same generators), the within-cluster
+    strict-order pair screen, and the keep/drop left join."""
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}) t
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(km_assign_cte(f"a{i}", f"c{i - 1}"))
+        parts.append(km_update_cte(f"c{i}", f"a{i}", f"c{i - 1}", k, dim))
+    parts.append(km_assign_cte("asg", f"c{iters}"))
+    parts.append(
+        f"""drops AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT a.vec_id AS vec_id, CAST(a.cl AS INT) AS cluster,
+       d.vec_id IS NULL AS is_kept
+FROM asg a LEFT JOIN drops d USING (vec_id)
+"""
+    )
+
+
 def kmeans(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
     """Full Lloyd's run; returns (vec_id, cluster, dist).
 
@@ -199,12 +310,7 @@ def kmeans(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
     the same driver-job budget the IVF index build pays.
     """
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cents = [
-        [float(x) for x in r["v"]]
-        for r in e.orderBy("vec_id").limit(k).collect()
-    ]
-    for _ in range(iters):
-        cents = update_centroids(assign_clusters(e, cents), cents, k)
+    cents = train_kmeans(emb, k, iters)
     return assign_clusters(e, cents, with_dist=True).select(
         "vec_id", "cluster", "dist"
     )

@@ -1102,8 +1102,11 @@ def incremental_portable_ingest(
     generation never re-reads corpus text, and exact Jaccard runs on
     candidates only. Assumes an append-only id space (ingest ids are
     larger than corpus ids), so `dup_of < doc_id` covers both
-    corpus matches and in-batch ordering. Returns
-    (doc_id, dup_of, jaccard) for every >= threshold match.
+    corpus matches and in-batch ordering — the scheduled-daily-batch
+    contract; for arrival-order-agnostic ingestion use
+    :func:`streaming_portable_ingest_pairs`, which relaxes exactly
+    this clause. Returns (doc_id, dup_of, jaccard) for every
+    >= threshold match.
     """
     base_new = portable_base(new_docs, n)
     new_bands = portable_band_index(base_new)
@@ -1507,9 +1510,11 @@ def incremental_simhash_ingest(
     index, and the only join is the bounded-key (rot, bucket)
     equi-join. Assumes an append-only id space (ingest ids larger
     than corpus ids), so ``dup_of < doc_id`` covers both corpus
-    matches and in-batch ordering. Returns (doc_id, dup_of, hamming)
-    for every <= max_hamming match of a new doc against
-    corpus + batch.
+    matches and in-batch ordering — the scheduled-daily-batch
+    contract; for arrival-order-agnostic ingestion use
+    :func:`streaming_simhash_ingest_pairs`, which relaxes exactly
+    this clause. Returns (doc_id, dup_of, hamming) for every
+    <= max_hamming match of a new doc against corpus + batch.
     """
     new_idx = simhash_buckets(new_docs, rotations)
     all_idx = corpus_index.unionByName(new_idx)

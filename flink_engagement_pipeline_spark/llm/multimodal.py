@@ -418,7 +418,11 @@ def incremental_media_phash_ingest(
     (corpus payloads are never read, same property as SimHash
     ingest). Assumes an append-only id space (ingest ids larger than
     corpus ids), so ``dup_of < doc_id`` covers corpus matches and
-    in-batch ordering. Returns (doc_id, dup_of, hamming)."""
+    in-batch ordering — the scheduled-daily-batch contract; for
+    arrival-order-agnostic ingestion (a stream may deliver a smaller
+    id after its larger partner) use
+    :func:`streaming_media_phash_ingest_pairs`, which relaxes exactly
+    this clause. Returns (doc_id, dup_of, hamming)."""
     new_idx = media_phash_buckets(new_media, rotations)
     all_idx = corpus_index.unionByName(new_idx)
     return (
@@ -491,12 +495,15 @@ def streaming_media_phash_ingest_pairs(
     )
 
 
-def _phash_sigs_ctes(where: str | None = None) -> str:
+def _phash_sigs_ctes(where: str | None = None, src: str = "documents") -> str:
     """Shared CTE chain computing (doc_id, phash) signatures — fake
     decode (shingle cells), aHash threshold/pack — used by the pair,
-    deletion, and ingest oracles so all three stay one text. ``where``
-    filters the sigs CTE: a doc's signature and bucket rows derive
-    1:1 from its id, so this is exactly index-row deletion."""
+    deletion, ingest, and video-frame oracles so all four stay one
+    text. ``where`` filters the sigs CTE: a doc's signature and bucket
+    rows derive 1:1 from its id, so this is exactly index-row
+    deletion. ``src`` is the (doc_id, text) relation to hash — the
+    documents table by default, or the frames CTE for the video
+    family (whose composite key rides doc_id as doc*64+frame)."""
     n = 3
     grams = " || ' ' || ".join(f"ws[i+{d}]" for d in range(n))
     bits = PHASH_BITS
@@ -504,7 +511,7 @@ def _phash_sigs_ctes(where: str | None = None) -> str:
     return f"""base AS (
     SELECT doc_id,
            string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
-    FROM documents
+    FROM {src}
 ),
 sh AS (
     SELECT doc_id,
@@ -559,6 +566,209 @@ JOIN bucketed b
   ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
 GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# frame-level video near-dup (frame fan-out x per-frame pHash)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_STRIDE = 4  # sample_frames' every_k default
+VIDEO_MIN_FRAC = 0.5  # matched-frame fraction floor for a video pair
+_FRAME_KEY = 64  # frame slots per video key (n_frames <= 32 < 64)
+
+
+def media_video_frames(
+    media: DataFrame, every_k: int = VIDEO_FRAME_STRIDE
+) -> DataFrame:
+    """Fan a video blob out into its sampled frames as a media-shaped
+    table, keyed by the composite ``doc_id * 64 + frame_idx`` (the
+    fake decode bounds n_frames at 32, so the packing is collision-
+    free and both engines recover video and frame by div/mod).
+
+    Same deterministic fake as :func:`sample_frames` (frame count
+    from digest byte 2, every k-th frame), but evaluated JVM-side as
+    Catalyst expressions instead of mapInPandas: the fake's frame
+    content derives from the payload bytes alone, so nothing needs
+    Python — measured faster, and whole-stage-codegen'd into the
+    downstream hash. A real codec decode would ride sample_frames'
+    Arrow-batched 1->N mapInPandas shape instead; everything from the
+    returned frame table onward (hashing, bucketing, pair scoring) is
+    the production pipeline either way. Frame content = payload +
+    ':frame:<idx>' — the per-frame digest convention
+    MEDIA_FRAME_SAMPLE_ORACLE pins."""
+    m = media.select(
+        "doc_id",
+        F.col("payload").cast("string").alias("text"),
+        (
+            F.lit(1)
+            + F.conv(F.substring(F.md5("payload"), 5, 2), 16, 10)
+            .cast("int")
+            % 32
+        ).alias("n_frames"),
+    )
+    return m.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_frames") - 1, F.lit(every_k)
+            )
+        ).alias("fi"),
+    ).select(
+        (F.col("doc_id") * _FRAME_KEY + F.col("fi")).alias("doc_id"),
+        F.lit("text/plain").alias("kind"),
+        F.concat(
+            F.col("text"), F.lit(":frame:"), F.col("fi").cast("string")
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+
+
+def media_video_neardup(
+    media: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_frac: float = VIDEO_MIN_FRAC,
+    every_k: int = VIDEO_FRAME_STRIDE,
+) -> DataFrame:
+    """Frame-level video near-dup — the real video-dedup shape (r9
+    verdict ask #3), composed from proven pieces: the frame fan-out
+    (media_video_frames, sample_frames' 1->N device), per-frame pHash
+    over the SAME rotation-bucket index machinery as the document
+    family (media_phash_buckets applied to frame keys), and video
+    pairs scored by MATCHED-FRAME FRACTION — two videos are near-dups
+    when >= ``min_frac`` of their combined sampled frames have a
+    Hamming <= ``max_hamming`` partner in the other video.
+
+    Plan shape at 100 TB: frames fan out 1->N but hashing stays one
+    scan + one cell-sized exchange per frame (map-side partial agg,
+    the media_phash property); candidates come from the bounded-key
+    (rot, bucket) equi-join over the narrow FRAME index — never
+    all-pairs over frames, never all-pairs over videos; the per-video
+    frame counts are a broadcast-sized dimension joined after the
+    pair aggregation. countDistinct collapses multi-rotation and
+    multi-frame collisions before the fraction, and every quantity
+    stays integer until the single final division, so the whole
+    composition hash-matches the DuckDB twin (the pHash signature
+    CTE chain parameterized by the frames relation).
+
+    Returns (doc_a, doc_b, matched_a, matched_b, frames_a, frames_b,
+    match_frac) for video pairs with match_frac >= ``min_frac``."""
+    frames = media_video_frames(media, every_k)
+    idx = media_phash_buckets(frames)
+    nframes = (
+        frames.select(F.expr(f"doc_id div {_FRAME_KEY}").alias("vid"))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    fp = (
+        a.join(
+            b,
+            (F.col("a.rot") == F.col("b.rot"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (
+                F.expr(f"a.doc_id div {_FRAME_KEY}")
+                < F.expr(f"b.doc_id div {_FRAME_KEY}")
+            ),
+        )
+        .filter(
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            <= max_hamming
+        )
+        .select(
+            F.expr(f"a.doc_id div {_FRAME_KEY}").alias("doc_a"),
+            (F.col("a.doc_id") % _FRAME_KEY).alias("frame_a"),
+            F.expr(f"b.doc_id div {_FRAME_KEY}").alias("doc_b"),
+            (F.col("b.doc_id") % _FRAME_KEY).alias("frame_b"),
+        )
+    )
+    agg = fp.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("frame_a").alias("matched_a"),
+        F.countDistinct("frame_b").alias("matched_b"),
+    )
+    na = nframes.select(
+        F.col("vid").alias("doc_a"), F.col("nf").alias("frames_a")
+    )
+    nb = nframes.select(
+        F.col("vid").alias("doc_b"), F.col("nf").alias("frames_b")
+    )
+    return (
+        agg.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn(
+            "match_frac",
+            (F.col("matched_a") + F.col("matched_b")).cast("double")
+            / (F.col("frames_a") + F.col("frames_b")),
+        )
+        .filter(F.col("match_frac") >= min_frac)
+        .select(
+            "doc_a",
+            "doc_b",
+            "matched_a",
+            "matched_b",
+            "frames_a",
+            "frames_b",
+            "match_frac",
+        )
+    )
+
+
+def media_video_oracle_sql(
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_frac: float = VIDEO_MIN_FRAC,
+    every_k: int = VIDEO_FRAME_STRIDE,
+) -> str:
+    """Exact DuckDB twin of :func:`media_video_neardup`: the frame
+    fan-out CTE (the MEDIA_FRAME_SAMPLE_ORACLE device keyed as
+    doc*64+frame), the SHARED pHash signature chain parameterized by
+    the frames relation, the frame-pair bucket join, and the
+    matched-frame-fraction aggregation."""
+    fk = _FRAME_KEY
+    return f"""
+WITH vm AS (
+    SELECT doc_id, text,
+           1 + CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 32 AS n_frames
+    FROM documents
+),
+frames AS (
+    SELECT doc_id * {fk} + unnest(range(0, n_frames, {every_k})) AS doc_id,
+           text || ':frame:' ||
+               CAST(unnest(range(0, n_frames, {every_k})) AS VARCHAR) AS text
+    FROM vm
+),
+{_phash_sigs_ctes(src="frames")},
+nf AS (
+    SELECT doc_id // {fk} AS vid, count(*) AS nf FROM frames GROUP BY 1
+),
+fp AS (
+    SELECT a.doc_id // {fk} AS doc_a, a.doc_id % {fk} AS frame_a,
+           b.doc_id // {fk} AS doc_b, b.doc_id % {fk} AS frame_b
+    FROM bucketed a JOIN bucketed b
+      ON a.rot = b.rot AND a.bucket = b.bucket
+     AND a.doc_id // {fk} < b.doc_id // {fk}
+    WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+),
+agg AS (
+    SELECT doc_a, doc_b,
+           count(DISTINCT frame_a) AS matched_a,
+           count(DISTINCT frame_b) AS matched_b
+    FROM fp GROUP BY 1, 2
+)
+SELECT * FROM (
+    SELECT agg.doc_a AS doc_a, agg.doc_b AS doc_b,
+           CAST(matched_a AS BIGINT) AS matched_a,
+           CAST(matched_b AS BIGINT) AS matched_b,
+           CAST(na.nf AS BIGINT)     AS frames_a,
+           CAST(nb.nf AS BIGINT)     AS frames_b,
+           CAST(matched_a + matched_b AS DOUBLE) / (na.nf + nb.nf)
+               AS match_frac
+    FROM agg
+    JOIN nf na ON na.vid = agg.doc_a
+    JOIN nf nb ON nb.vid = agg.doc_b
+)
+WHERE match_frac >= {min_frac}
 """
 
 

@@ -107,7 +107,11 @@ KNN_GRAPH_MAX_ROWS = 200_000
 
 
 def knn_graph(
-    emb: DataFrame, k: int = 5, blocks: int = 8, max_rows: int = KNN_GRAPH_MAX_ROWS
+    emb: DataFrame,
+    k: int = 5,
+    blocks: int = 8,
+    max_rows: int = KNN_GRAPH_MAX_ROWS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact corpus-wide k-NN graph: EVERY vector's top-k cosine
     neighbors among all others — the primitive graph-based dedup,
@@ -133,8 +137,11 @@ def knn_graph(
     silently schedule an O(n^2) join with an n*blocks-row right side.
     A cheap count refuses corpora above ``max_rows`` (override
     consciously for a bigger calibration run) with a pointer to the
-    ANN family."""
-    n = emb.count()
+    ANN family. NOTE (r9 ADVICE): the guard count is an EAGER Spark
+    job at plan-build time — builders that already know the corpus
+    size (or need lazy construction, e.g. plan-drift snapshots) pass
+    ``n_rows`` and no job runs."""
+    n = emb.count() if n_rows is None else n_rows
     if n > max_rows:
         raise ValueError(
             f"knn_graph is the O(n^2) exact calibration baseline and was "
@@ -767,8 +774,11 @@ def incremental_neardup_ingest(
     MinHash ingest's text-for-verification-only contract). Assumes an
     append-only id space (ingest ids larger than corpus ids), so
     ``dup_of < vec_id`` covers both corpus matches and in-batch
-    ordering. Returns (vec_id, dup_of, cosine) for every >= threshold
-    match of a new vector against corpus + batch.
+    ordering — the scheduled-daily-batch contract; for
+    arrival-order-agnostic ingestion use
+    :func:`streaming_neardup_ingest_pairs`, which relaxes exactly
+    this clause. Returns (vec_id, dup_of, cosine) for every
+    >= threshold match of a new vector against corpus + batch.
     """
     new_idx = neardup_index(new_emb, tables, planes, impl)
     all_idx = corpus_index.unionByName(new_idx)
@@ -822,6 +832,115 @@ def incremental_neardup_ingest(
         .select("vec_id", "dup_of", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def streaming_neardup_ingest_pairs(
+    new_emb: DataFrame,
+    corpus_index: DataFrame,
+    corpus_emb: DataFrame,
+    threshold: float = 0.9,
+    tables: int = NEARDUP_TABLES,
+    planes: int = NEARDUP_PLANES,
+) -> DataFrame:
+    """One micro-batch of STREAMING hyperplane-LSH index maintenance,
+    ARRIVAL-ORDER AGNOSTIC — the embedding instance of the relaxation
+    `llm/dedup.py:streaming_portable_ingest_pairs` makes for text:
+    `incremental_neardup_ingest` assumes an append-only id space and
+    keys candidates on ``new.vec_id > other.vec_id``, which silently
+    loses the pair when a stream delivers a smaller id after a larger
+    one. Here the cross join against the persisted index accepts
+    either id order (each pair forms exactly once, in the batch whose
+    member arrived LATER — the earlier member exists only on the index
+    side), in-batch pairs come from a strict-order self-join, and
+    output is normalized to (vec_a < vec_b, cosine). Accumulated over
+    disjoint batches covering a corpus, the union of per-batch outputs
+    equals `near_dup_pairs` of the whole corpus — bucket, candidate,
+    and verify math are shared, so the equality is exact
+    (hash-matched against the LSH-aware full-rebuild oracle by
+    `stream_neardup_index_replay`).
+
+    Same 100 TB shape as the batch ingest: candidate generation
+    touches only the 3-column (vec_id, t, bucket) index; corpus
+    VECTORS are read id-keyed for exact-cosine verification of
+    candidates only (semi-pruned scan), riding the joins as raw
+    array<float> and widening to double inside the cosine."""
+    from .dedup import _semi_prune
+
+    new_idx = neardup_index(new_emb, tables, planes)
+
+    def _norm(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
+        )
+
+    on = (F.col("a.t") == F.col("b.t")) & (
+        F.col("a.bucket") == F.col("b.bucket")
+    )
+    cross = new_idx.alias("a").join(corpus_index.alias("b"), on)
+    in_batch = new_idx.alias("a").join(
+        new_idx.alias("b"), on & (F.col("a.vec_id") > F.col("b.vec_id"))
+    )
+    cand = (
+        _norm(cross)
+        .unionByName(_norm(in_batch))
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_cand = cand.count()
+    all_vecs = new_emb.select("vec_id", "embedding").unionByName(
+        corpus_emb.select("vec_id", "embedding")
+    )
+    va = _semi_prune(
+        all_vecs,
+        cand.select(F.col("vec_a").alias("vec_id")).distinct(),
+        "vec_id",
+        n_ids=n_cand,
+    ).select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    vb = _semi_prune(
+        all_vecs,
+        cand.select(F.col("vec_b").alias("vec_id")).distinct(),
+        "vec_id",
+        n_ids=n_cand,
+    ).select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    ea, eb = _as_double(F.col("e_a")), _as_double(F.col("e_b"))
+    cos = _dot(ea, eb) / (F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb)))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_codes_oracle_sql() -> str:
+    """DuckDB twin of the full IVF codes table under the
+    corpus-trained pinned quantizer: strided seeds + one
+    integer-quantized Lloyd step over the WHOLE corpus, then
+    assignment of every vector — exactly what the union of
+    delta-committed streaming assignments reconstructs
+    (`stream_ivf_index_replay`), because the pinned quantizer makes
+    append == rebuild (the property ivf_ingest pins for the batch
+    path). Same CTE generators as the ingest/delete oracles."""
+    from .cluster import km_assign_cte, km_update_cte
+
+    k, dim = IVF_LISTS, DIM
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cnt AS (SELECT count(*) AS n FROM e),
+seeds AS (
+  SELECT CAST(vec_id // greatest(1, n // {k}) AS INT) AS cl, v
+  FROM e, cnt
+  WHERE vec_id % greatest(1, n // {k}) = 0
+    AND vec_id < {k} * greatest(1, n // {k})
+),
+{km_assign_cte("a1", "seeds", "e")},
+{km_update_cte("c1", "a1", "seeds", k, dim)},
+{km_assign_cte("acorp", "c1", "e")}
+SELECT vec_id, CAST(cl AS INT) AS cluster FROM acorp
+"""
 
 
 def neardup_ingest_oracle_sql(threshold: float = 0.9) -> str:

@@ -14,6 +14,7 @@ from . import queries_ext3  # noqa: F401,E402
 from . import queries_ext4  # noqa: F401,E402
 from . import queries_ext5  # noqa: F401,E402
 from . import queries_ext6  # noqa: F401,E402
+from . import queries_ext7  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order is part of the driver contract: the correctness gate
@@ -60,24 +61,31 @@ from . import queries_ext6  # noqa: F401,E402
 #       round-3-checked stragglers + 25 of the round-4-checked block
 #       (CORRECTNESS_r08.json: 48 hash + 2 rows-only, 0 err — after
 #       that round every query's last driver row is round-4-or-newer);
-#   round 9 (this list): sentinels + [b] = the 7 round-9 additions
-#       (media_phash_neardup/ingest/index_delete/
-#       stream_media_phash_index_replay — the media index's full
-#       lifecycle including streaming maintenance — + the simhash/
-#       neardup index-deletion twins + stream_simhash_index_replay,
-#       the delta-append maintenance device generalized beyond
-#       MinHash) PLUS two materially-changed replays owed a fresh
-#       row
-#       (stream_minhash_index_replay: delta-append persistence rework;
-#       stream_abandoned_clicks_replay: r8 purchase retention landed
-#       after its last driver row) + [c] = the 19 remaining
-#       round-4-checked queries (docs_tokenize_ids through
-#       docs_quality_deciles), then the 16 oldest round-5-checked
-#       queries in registry order (events_identity through
-#       lineitem_bucketed_join; events_bloom_prune onward of the r5
-#       block re-enter next round). Window budget honored:
-#       hop_engagement_sum stays the single multi-million-row output
-#       in-window.
+#   round 9: sentinels + [b] = the 7 round-9 additions (the media
+#       pHash lifecycle + simhash/neardup deletion twins +
+#       stream_simhash_index_replay) plus two materially-changed
+#       replays (stream_minhash_index_replay,
+#       stream_abandoned_clicks_replay) + [c] = the 19 remaining
+#       round-4-checked queries, then the 16 oldest round-5-checked
+#       (events_identity through lineitem_bucketed_join)
+#       (CORRECTNESS_r09.json: 46 hash + 4 rows-only, 0 err);
+#   round 10 (this list): sentinels + [b] = the 5 round-10 additions
+#       (stream_neardup_index_replay + stream_ivf_index_replay — the
+#       lifecycle matrix's two empty stream-maintain cells, with
+#       policy-triggered compaction exercised in their loops —
+#       media_video_neardup, embedding_semdedup,
+#       media_dedup_survivors) + [c] = the round-5-checked tail in
+#       registry order (events_bloom_prune onward, 26 of 28: the
+#       streaming budget note below defers stream_stateful_replay and
+#       stream_retract_replay, unchanged since r5 and green in the
+#       local suite, to round 11), then the 13 oldest round-6-checked
+#       queries (cube_returnflag_status through
+#       part_string_functions). STREAMING BUDGET (r9 verdict ask #5):
+#       the r9 window carried 8 streaming jobs (~95 s of its
+#       ~270-300 s cost); this round holds the documented 3-replay
+#       practical ceiling — the two new replays plus one returning
+#       veteran (stream_late_drop_replay). hop_engagement_sum stays
+#       the single multi-million-row output in-window.
 #
 # Everything not listed keeps module import order after the priority block
 # and remains covered by tests/test_registry_oracle.py locally.
@@ -91,56 +99,57 @@ _PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_minhash_pairs",
-    # -- [b] new or materially changed in round 9 --
+    # -- [b] new in round 10 --
     # (each addition displaces one backfill entry from the tail of [c])
-    "stream_minhash_index_replay",
-    "stream_abandoned_clicks_replay",
-    "media_phash_neardup",
-    "docs_simhash_index_delete",
-    "embedding_neardup_index_delete",
-    "media_phash_ingest",
-    "media_phash_index_delete",
-    "stream_simhash_index_replay",
-    "stream_media_phash_index_replay",
-    # -- [c] backfill: oldest driver coverage first — the 19 remaining
-    # round-4-checked queries, then the round-5-checked block in
-    # registry order (16 fit; events_bloom_prune onward re-enter
-    # next round) --
-    "docs_tokenize_ids",
-    "embedding_range_search",
-    "nation_market_share",
-    "stream_replay_enriched",
-    "stream_windowed_replay",
-    "stream_join_replay",
-    "stream_session_replay",
-    "datagen_events",
-    "embedding_kmeans",
-    "embedding_pq_adc",
-    "embedding_quantize",
-    "docs_bm25",
-    "docs_unigram_logprob",
-    "docs_epoch_order",
-    "events_ewma",
-    "docs_minhash_ingest",
-    "embedding_ivf_pq",
-    "docs_pmi_bigrams",
-    "docs_quality_deciles",
-    "events_identity",
-    "sink_projection",
-    "leaderboard_rank",
-    "distinct_users_by_type",
-    "approx_distinct_users",
-    "props_k_agg",
-    "daily_event_pivot",
-    "rollup_event_type",
-    "user_event_gaps",
-    "value_percentiles_by_type",
-    "events_hdr_quantiles",
-    "cdc_retract_agg",
-    "events_partitioned_prune",
-    "hll_portable_reach",
-    "orders_scd2_history",
-    "lineitem_bucketed_join",
+    "stream_neardup_index_replay",
+    "stream_ivf_index_replay",
+    "media_video_neardup",
+    "embedding_semdedup",
+    "media_dedup_survivors",
+    # -- [c] backfill: oldest driver coverage first — the
+    # round-5-checked tail in registry order (minus the two deferred
+    # replays, see the streaming-budget note), then the oldest
+    # round-6-checked queries (13 fit; events_from_buyers onward of
+    # the r6 block re-enter next round) --
+    "events_bloom_prune",
+    "user_active_coverage",
+    "embedding_matryoshka_rerank",
+    "events_value_trend_ols",
+    "cms_user_frequency",
+    "audience_overlap",
+    "events_ntile_quartiles",
+    "cep_conversion_within",
+    "stream_late_drop_replay",
+    "docs_token_entropy",
+    "docs_quality_gate",
+    "events_zorder",
+    "docs_head_editdist",
+    "parts_pagerank",
+    "embedding_ann_recall",
+    "events_anomaly_mad",
+    "value_rank_distribution",
+    "docs_dedup_survivors_quality",
+    "docs_langid_confusion",
+    "docs_weighted_sample",
+    "embedding_power_iteration",
+    "docs_dup_rate_by_source",
+    "docs_bigram_logprob",
+    "embedding_kmeans_inertia",
+    "docs_snapshot_diff",
+    "weekly_gmv_growth",
+    "cube_returnflag_status",
+    "promo_revenue",
+    "ingest_kafka_payload",
+    "top_users_per_type",
+    "events_from_buyers",
+    "events_from_non_buyers",
+    "heavy_users",
+    "user_value_median",
+    "docs_tfidf",
+    "orders_events_interval_join",
+    "conversion_funnel",
+    "events_profile",
+    "part_string_functions",
 )
 
 

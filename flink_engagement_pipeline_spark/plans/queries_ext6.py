@@ -36,27 +36,38 @@ from .registry import register
 _DOCS_STREAM_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
+_EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 
-def _parity_docs_replay(spark: SparkSession, sf_dir: str, tmp: str, apply):
+def _parity_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    tmp: str,
+    apply,
+    table: str = "documents",
+    schema: str = _DOCS_STREAM_SCHEMA,
+):
     """Shared harness for the streaming index-maintenance replays:
-    the documents fixture symlinked twice + maxFilesPerTrigger=1 gives
+    the fixture parquet symlinked twice + maxFilesPerTrigger=1 gives
     two micro-batches; `apply(df, bid)` filters its parity half and
-    commits its deltas. Runs the stream to completion."""
-    docs_dir = os.path.join(tmp, "docs")
-    os.makedirs(docs_dir)
-    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    os.symlink(src, os.path.join(docs_dir, "a.parquet"))
-    os.symlink(src, os.path.join(docs_dir, "b.parquet"))
+    commits its deltas. Runs the stream to completion. Round 10
+    parameterizes the round-9 documents-only harness on (table,
+    schema) so the embeddings fixture replays through the identical
+    device."""
+    data_dir = os.path.join(tmp, table)
+    os.makedirs(data_dir)
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    os.symlink(src, os.path.join(data_dir, "a.parquet"))
+    os.symlink(src, os.path.join(data_dir, "b.parquet"))
     part_key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(part_key)
     spark.conf.set(part_key, "8")
     try:
         stream = (
-            spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+            spark.readStream.schema(schema)
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", "1")
-            .parquet(docs_dir)
+            .parquet(data_dir)
         )
         q = (
             stream.writeStream.foreachBatch(apply)
@@ -67,6 +78,12 @@ def _parity_docs_replay(spark: SparkSession, sf_dir: str, tmp: str, apply):
         q.awaitTermination()
     finally:
         spark.conf.set(part_key, saved)
+
+
+def _parity_docs_replay(spark: SparkSession, sf_dir: str, tmp: str, apply):
+    """Documents instance of :func:`_parity_replay` (round-9 name,
+    kept for the three text/media replays and their tests)."""
+    _parity_replay(spark, sf_dir, tmp, apply)
 
 
 def run_minhash_index_replay(

@@ -347,18 +347,28 @@ _DELAY_UNIT_US = {
 def _parse_delay_us(delay: str) -> int:
     """Parse a Spark watermark delay-threshold string ('10 seconds',
     '1 hour 30 minutes') to microseconds — the subset of the
-    CalendarInterval grammar watermarks accept."""
+    CalendarInterval grammar watermarks accept.
+
+    The WHOLE string must match (r9 ADVICE): an unanchored findall
+    silently misparsed decimal delays ('90.5 minutes' -> 5 minutes),
+    so the <=1h guard downstream could mis-evaluate a string Spark
+    itself might accept differently — anything with leftover
+    characters (a '.', a stray token) is rejected loudly instead."""
     import re
 
-    total, matched = 0, 0
+    m = re.fullmatch(r"\s*(?:\d+\s*[a-zA-Z]+\s*)+", delay)
+    if m is None:
+        raise ValueError(
+            f"unparseable watermark delay {delay!r}: expected one or "
+            "more '<integer> <unit>' terms (decimals and other tokens "
+            "are rejected rather than silently dropped)"
+        )
+    total = 0
     for num, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", delay):
         unit = unit.lower().rstrip("s")
         if unit not in _DELAY_UNIT_US:
             raise ValueError(f"unrecognized delay unit {unit!r} in {delay!r}")
         total += int(num) * _DELAY_UNIT_US[unit]
-        matched += 1
-    if not matched:
-        raise ValueError(f"unparseable watermark delay {delay!r}")
     return total
 
 
