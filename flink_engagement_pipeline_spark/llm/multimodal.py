@@ -655,14 +655,41 @@ def media_video_neardup(
 
     Returns (doc_a, doc_b, matched_a, matched_b, frames_a, frames_b,
     match_frac) for video pairs with match_frac >= ``min_frac``."""
-    frames = media_video_frames(media, every_k)
-    idx = media_phash_buckets(frames)
-    nframes = (
-        frames.select(F.expr(f"doc_id div {_FRAME_KEY}").alias("vid"))
-        .groupBy("vid")
+    return media_video_pairs_from_index(
+        media_phash_buckets(media_video_frames(media, every_k)),
+        max_hamming,
+        min_frac,
+    )
+
+
+def _video_nframes(index: DataFrame) -> DataFrame:
+    """Per-video SAMPLED frame counts derived from the frame index
+    itself (each sampled frame contributes exactly one distinct fkey,
+    carried by `rotations` bucket rows) — so the serving tail, the
+    ingest screen, and the takedown need NO input beyond the index:
+    deleting a video's index rows removes both its pairs and its
+    frame count, which is exactly rebuild-without-X semantics."""
+    return (
+        index.select("doc_id")
+        .distinct()
+        .groupBy(F.expr(f"doc_id div {_FRAME_KEY}").alias("vid"))
         .agg(F.count(F.lit(1)).alias("nf"))
     )
-    a, b = idx.alias("a"), idx.alias("b")
+
+
+def _video_pairs(
+    a_idx: DataFrame,
+    b_idx: DataFrame,
+    nframes: DataFrame,
+    max_hamming: int,
+    min_frac: float,
+) -> DataFrame:
+    """Shared pair/score stage of the video family: frame-level
+    rotation-bucket candidates (a.video < b.video), Hamming verify on
+    the hashes in the index, matched-frame-fraction aggregation.
+    ``b_idx`` restricts the larger-id side (the full index for a
+    build/serve, the batch's own index for an ingest screen)."""
+    a, b = a_idx.alias("a"), b_idx.alias("b")
     fp = (
         a.join(
             b,
@@ -715,22 +742,82 @@ def media_video_neardup(
     )
 
 
+def media_video_pairs_from_index(
+    index: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_frac: float = VIDEO_MIN_FRAC,
+) -> DataFrame:
+    """The factored SERVING tail of the video near-dup pipeline:
+    scored video pairs from the persisted frame-level (fkey, phash,
+    rot, bucket) index ALONE — frame counts derive from the index's
+    distinct fkeys (see _video_nframes), so lifecycle operations
+    (takedown anti-join, compaction) feed the one code path the full
+    build runs and never touch payloads."""
+    return _video_pairs(
+        index, index, _video_nframes(index), max_hamming, min_frac
+    )
+
+
+def incremental_media_video_ingest(
+    new_media: DataFrame,
+    corpus_index: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_frac: float = VIDEO_MIN_FRAC,
+    every_k: int = VIDEO_FRAME_STRIDE,
+) -> DataFrame:
+    """Incremental video ingest: fan out and hash ONLY the batch's
+    frames, screen them against the persisted corpus frame index —
+    the daily-batch shape every index family carries (the lifecycle
+    principle: no family ships build-only). Corpus-side inputs are
+    the 4-column index alone: Hamming verification reads the hashes
+    in it, and even the corpus videos' frame counts derive from its
+    distinct fkeys — no corpus payload is ever read. Assumes the
+    append-only id space (batch video ids larger than corpus ids),
+    the scheduled-daily-batch contract shared with
+    incremental_media_phash_ingest — and like it, the arrival-order
+    relaxation is the streaming replay device (the frame index is the
+    same (key, phash, rot, bucket) shape the
+    stream_media_phash_index_replay loop maintains, applied at frame
+    keys). Returns the scored video pairs whose LARGER id is in the
+    batch — exactly the full rebuild's pairs touching the batch."""
+    new_idx = media_phash_buckets(media_video_frames(new_media, every_k))
+    all_idx = corpus_index.unionByName(new_idx)
+    return _video_pairs(
+        all_idx, new_idx, _video_nframes(all_idx), max_hamming, min_frac
+    )
+
+
 def media_video_oracle_sql(
     max_hamming: int = PHASH_MAX_HAMMING,
     min_frac: float = VIDEO_MIN_FRAC,
     every_k: int = VIDEO_FRAME_STRIDE,
+    where: str | None = None,
+    batch_only: bool = False,
 ) -> str:
-    """Exact DuckDB twin of :func:`media_video_neardup`: the frame
+    """Exact DuckDB twin of the video family — one generator for all
+    three lifecycle stages (the document pHash discipline): the frame
     fan-out CTE (the MEDIA_FRAME_SAMPLE_ORACLE device keyed as
     doc*64+frame), the SHARED pHash signature chain parameterized by
     the frames relation, the frame-pair bucket join, and the
-    matched-frame-fraction aggregation."""
+    matched-frame-fraction aggregation. ``where`` removes videos from
+    the vm CTE — a video's frame rows, signatures, and frame count
+    all derive 1:1 from it, so this is exactly frame-index takedown
+    (rebuild-without-X). ``batch_only`` restricts output to pairs
+    whose larger id is in the 80%%-of-max-id batch (the shared ingest
+    split): under the append-only contract that is exactly the
+    incremental screen's output."""
     fk = _FRAME_KEY
+    flt = f"WHERE NOT ({where})" if where else ""
+    batch = (
+        "WHERE doc_b >= (SELECT (max(doc_id) * 4) // 5 FROM documents)"
+        if batch_only
+        else ""
+    )
     return f"""
 WITH vm AS (
     SELECT doc_id, text,
            1 + CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 32 AS n_frames
-    FROM documents
+    FROM documents {flt}
 ),
 frames AS (
     SELECT doc_id * {fk} + unnest(range(0, n_frames, {every_k})) AS doc_id,
@@ -767,6 +854,7 @@ SELECT * FROM (
     FROM agg
     JOIN nf na ON na.vid = agg.doc_a
     JOIN nf nb ON nb.vid = agg.doc_b
+    {batch}
 )
 WHERE match_frac >= {min_frac}
 """

@@ -69,18 +69,20 @@ from . import queries_ext7  # noqa: F401,E402
 #       round-4-checked queries, then the 16 oldest round-5-checked
 #       (events_identity through lineitem_bucketed_join)
 #       (CORRECTNESS_r09.json: 46 hash + 4 rows-only, 0 err);
-#   round 10 (this list): sentinels + [b] = the 5 round-10 additions
+#   round 10 (this list): sentinels + [b] = the 7 round-10 additions
 #       (stream_neardup_index_replay + stream_ivf_index_replay — the
 #       lifecycle matrix's two empty stream-maintain cells, with
 #       policy-triggered compaction exercised in their loops —
-#       media_video_neardup, embedding_semdedup,
+#       media_video_neardup + media_video_ingest +
+#       media_video_index_delete — the video frame index's lifecycle,
+#       complete in its birth round — embedding_semdedup,
 #       media_dedup_survivors) + [c] = the round-5-checked tail in
 #       registry order (events_bloom_prune onward, 26 of 28: the
 #       streaming budget note below defers stream_stateful_replay and
 #       stream_retract_replay, unchanged since r5 and green in the
-#       local suite, to round 11), then the 13 oldest round-6-checked
+#       local suite, to round 11), then the 11 oldest round-6-checked
 #       queries (cube_returnflag_status through
-#       part_string_functions). STREAMING BUDGET (r9 verdict ask #5):
+#       conversion_funnel). STREAMING BUDGET (r9 verdict ask #5):
 #       the r9 window carried 8 streaming jobs (~95 s of its
 #       ~270-300 s cost); this round holds the documented 3-replay
 #       practical ceiling — the two new replays plus one returning
@@ -104,6 +106,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_neardup_index_replay",
     "stream_ivf_index_replay",
     "media_video_neardup",
+    "media_video_ingest",
+    "media_video_index_delete",
     "embedding_semdedup",
     "media_dedup_survivors",
     # -- [c] backfill: oldest driver coverage first — the
@@ -148,8 +152,6 @@ _PRIORITY: tuple[str, ...] = (
     "docs_tfidf",
     "orders_events_interval_join",
     "conversion_funnel",
-    "events_profile",
-    "part_string_functions",
 )
 
 

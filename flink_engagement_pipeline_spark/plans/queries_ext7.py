@@ -237,6 +237,76 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.media_video_neardup(lm.docs_as_media(docs))
 
 
+@register(
+    "media_video_ingest",
+    oracle=lm.media_video_oracle_sql(batch_only=True),
+    doc=(
+        "Incremental video ingest — the video frame index obeys the "
+        "lifecycle principle the round it is born (no index family "
+        "ships build-only): the batch (video ids >= 80% of max, the "
+        "dedup family's shared split) fans out and hashes ONLY its "
+        "own frames and screens against the persisted corpus frame "
+        "index. Corpus-side inputs are the 4-column index alone — "
+        "Hamming verify reads the hashes in it, and even corpus "
+        "frame counts derive from its distinct frame keys "
+        "(_video_nframes), so no corpus payload is ever read (the "
+        "SimHash-class takedown-friendly property, now for video). "
+        "Hash-matches the one video oracle generator restricted to "
+        "pairs whose larger id is in the batch (under the append-"
+        "only-id contract that IS the incremental screen's output); "
+        "arrival-order-agnostic maintenance of this same index shape "
+        "is the proven stream_media_phash_index_replay loop applied "
+        "at frame keys."
+    ),
+    tags=("llm", "multimodal", "media", "video", "incremental"),
+)
+def q_media_video_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr("max(doc_id) * 4 div 5").alias("c")).first()["c"]
+    corpus_idx = lm.media_phash_buckets(
+        lm.media_video_frames(
+            lm.docs_as_media(docs.filter(F.col("doc_id") < cut))
+        )
+    )
+    new = lm.docs_as_media(docs.filter(F.col("doc_id") >= cut))
+    return lm.incremental_media_video_ingest(new, corpus_idx)
+
+
+@register(
+    "media_video_index_delete",
+    oracle=lm.media_video_oracle_sql(where="doc_id % 6 = 0"),
+    doc=(
+        "Video frame-index DELETION — takedown by VIDEO id over the "
+        "frame-level index (one broadcast anti-join on the recovered "
+        "video key, doc_id div 64), served by the factored tail "
+        "media_video_pairs_from_index: one code path deleted or not. "
+        "Because the tail derives even frame COUNTS from the index's "
+        "distinct frame keys, deleting a video's index rows removes "
+        "its pairs AND its denominator contribution in one stroke — "
+        "no payload read, no frame re-fan-out, and the output "
+        "hash-matches the rebuild-without-X twin (the same "
+        "WHERE-parameterized generator as the build and ingest)."
+    ),
+    tags=("llm", "multimodal", "media", "video", "delete"),
+)
+def q_media_video_index_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    index = lm.media_phash_buckets(
+        lm.media_video_frames(lm.docs_as_media(docs))
+    )
+    del_ids = docs.filter(F.col("doc_id") % 6 == 0).select(
+        F.col("doc_id").alias("vid")
+    )
+    kept = (
+        index.withColumn("vid", F.expr("doc_id div 64"))
+        .join(F.broadcast(del_ids), "vid", "anti")
+        .drop("vid")
+    )
+    return lm.media_video_pairs_from_index(kept)
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup)
 # ---------------------------------------------------------------------------
@@ -257,7 +327,10 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster pair join is the deliberate SemDeDup trade: the "
         "equi-join key is the CLUSTER id, so candidate space is "
         "sum_c(n_c^2), never the n^2 cross-cluster all-pairs, and k "
-        "is the knob that bounds cluster size at corpus scale. "
+        "is the knob that bounds cluster size at corpus scale — "
+        "enforced by a metadata-sized pair-budget guard (a k too "
+        "small for the corpus refuses loudly, naming the oversized "
+        "clusters). "
         "Returns the full keep/drop decision (vec_id, cluster, "
         "is_kept). Every stage — trainer, assignment projection, "
         "fold cosine, keep/drop anti-join — is engine-exact, so the "

@@ -318,6 +318,64 @@ def test_media_video_pairs_consistent_with_doc_phash(spark, sf_dir):
         assert r["match_frac"] >= 0.5
 
 
+def test_media_video_lifecycle_equivalences(spark, sf_dir):
+    """The video frame index obeys the lifecycle algebra in its birth
+    round: ingest(corpus index, batch) finds exactly the full
+    rebuild's pairs whose larger video is in the batch, and
+    delete == rebuild-without-X through the served tail (which
+    derives frame counts from the index, so the takedown needs no
+    other input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = lm.docs_as_media(docs)
+    cut = docs.agg(F.expr("max(doc_id) * 4 div 5").alias("c")).first()["c"]
+    pk = lambda r: (  # noqa: E731
+        r["doc_a"], r["doc_b"], r["matched_a"], r["matched_b"],
+        r["frames_a"], r["frames_b"], round(r["match_frac"], 9),
+    )
+    full = lm.media_video_neardup(media)
+    # ingest == rebuild restricted to batch-touching pairs
+    corpus_idx = lm.media_phash_buckets(
+        lm.media_video_frames(
+            lm.docs_as_media(docs.filter(F.col("doc_id") < cut))
+        )
+    )
+    got = sorted(
+        map(
+            pk,
+            lm.incremental_media_video_ingest(
+                lm.docs_as_media(docs.filter(F.col("doc_id") >= cut)),
+                corpus_idx,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        pk(r) for r in full.collect() if r["doc_b"] >= cut
+    )
+    assert got == want and got
+    # delete == rebuild-without-X through the served tail
+    index = lm.media_phash_buckets(lm.media_video_frames(media))
+    del_vids = docs.filter(F.col("doc_id") % 6 == 0).select(
+        F.col("doc_id").alias("vid")
+    )
+    kept = (
+        index.withColumn("vid", F.expr("doc_id div 64"))
+        .join(del_vids, "vid", "anti")
+        .drop("vid")
+    )
+    served = sorted(
+        map(pk, lm.media_video_pairs_from_index(kept).collect())
+    )
+    rebuilt = sorted(
+        map(
+            pk,
+            lm.media_video_neardup(
+                lm.docs_as_media(docs.filter(F.col("doc_id") % 6 != 0))
+            ).collect(),
+        )
+    )
+    assert served == rebuilt
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup)
 # ---------------------------------------------------------------------------
@@ -367,6 +425,40 @@ def test_semantic_dedup_matches_python_policy(spark, sf_dir):
     assert got == want
     kept = sum(1 for _, k in got.values() if k)
     assert 0 < kept < len(got)  # non-vacuous both ways
+
+
+def test_assign_clusters_pandas_matches_catalyst(spark, sf_dir):
+    """The numpy-matmul scale path must produce the identical
+    assignment (and keep/drop decision) as the oracle-exact literal
+    form on the fixture — same argmin, same lowest-cluster tie rule
+    (ties are measure-zero on real data; the fixture has none)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = lc.train_kmeans(emb, 8, 3)
+    cat = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in lc.assign_clusters(e, cents).collect()
+    )
+    pan = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in lc.assign_clusters(e, cents, impl="pandas").collect()
+    )
+    assert cat == pan
+    a = sorted(map(tuple, lc.semantic_dedup(emb).collect()))
+    b = sorted(map(tuple, lc.semantic_dedup(emb, impl="pandas").collect()))
+    assert a == b
+
+
+def test_semantic_dedup_pair_budget_guard(spark, sf_dir):
+    """A k too small for the corpus must refuse loudly (naming the
+    oversized clusters) instead of scheduling a quasi-all-pairs
+    within-cluster join — the knn_graph guard pattern on the
+    composed pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="within-cluster pairs"):
+        lc.semantic_dedup(emb, max_candidate_pairs=10)
 
 
 def test_semantic_dedup_plan_no_cartesian(spark, sf_dir):

@@ -424,10 +424,11 @@ def test_gate_priority_window_covers_graded_surface():
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
     plans/__init__.py). This pins the round-10 rotation: beyond the
-    sentinels, [b] holds the 5 round-10 additions (the two embedding
+    sentinels, [b] holds the 7 round-10 additions (the two embedding
     index-maintenance replays that complete the lifecycle matrix, the
-    frame-level video near-dup, the SemDeDup composition, and the
-    media survivor policy), and [c] is the staleness re-proof pass —
+    frame-level video near-dup family — build, ingest, takedown — the
+    SemDeDup composition, and the media survivor policy), and [c] is
+    the staleness re-proof pass —
     the round-5-checked tail in registry order (minus the two
     deferred replays per the streaming-budget note), then the oldest
     round-6-checked queries. Streaming budget: exactly 3 replays
@@ -448,6 +449,8 @@ def test_gate_priority_window_covers_graded_surface():
         "stream_neardup_index_replay",
         "stream_ivf_index_replay",
         "media_video_neardup",
+        "media_video_ingest",
+        "media_video_index_delete",
         "embedding_semdedup",
         "media_dedup_survivors",
     ]
@@ -481,7 +484,6 @@ def test_gate_priority_window_covers_graded_surface():
         "events_from_buyers", "events_from_non_buyers", "heavy_users",
         "user_value_median", "docs_tfidf",
         "orders_events_interval_join", "conversion_funnel",
-        "events_profile", "part_string_functions",
     ]
     expected = (
         sentinels + new_in_r10 + r5_backfill
