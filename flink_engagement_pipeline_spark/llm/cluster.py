@@ -134,25 +134,39 @@ def _assign_clusters_pandas(
 
     C = np.array(cents, dtype=np.float64)  # (k, dim)
     cc = (C * C).sum(axis=1)  # (k,)
+    # The (rows x k) distance intermediate is the memory hazard at
+    # large k: a 10k-row Arrow batch against k=20k centroids is
+    # 1.6 GB of doubles PER TASK (measured: 32 concurrent tasks
+    # OOM-killed the probe's single-JVM host). Chunk rows so the
+    # intermediate stays ~32 MB regardless of k.
+    chunk = max(1, 4_000_000 // max(1, len(cents)))
 
     def _assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
-            # vv is constant per row: it never changes the argmin,
-            # only the reported dist
-            d = -2.0 * (M @ C.T) + cc  # (rows, k)
-            cl = d.argmin(axis=1)
+            cls, dists = [], []
+            for lo in range(0, len(M), chunk):
+                Mc = M[lo : lo + chunk]
+                # vv is constant per row: it never changes the
+                # argmin, only the reported dist
+                d = -2.0 * (Mc @ C.T) + cc  # (chunk, k)
+                cl = d.argmin(axis=1)
+                cls.append(cl)
+                if with_dist:
+                    dists.append(
+                        (Mc * Mc).sum(axis=1)
+                        + d[np.arange(len(cl)), cl]
+                    )
+            cl = np.concatenate(cls)
             out = {
                 "vec_id": pdf["vec_id"],
                 "v": pdf["v"],
                 "cluster": cl.astype("int32"),
             }
             if with_dist:
-                out["dist"] = (M * M).sum(axis=1) + d[
-                    np.arange(len(cl)), cl
-                ]
+                out["dist"] = np.concatenate(dists)
             yield pd.DataFrame(out)
 
     schema = "vec_id long, v array<double>, cluster int"

@@ -16,11 +16,11 @@ were):
   stays bounded.
 - semantic_dedup: the SemDeDup contract scales k WITH the corpus so
   within-cluster candidate pairs stay bounded (the pair-budget
-  guard). k=8 fits 10k rows; 100k needs k=128, which is where the
-  literal-SQL centroid device gets slow/fragile — so 100k and 1M run
-  impl="pandas" (one numpy matmul per Arrow batch), measuring the
-  documented scale path. Training cost is iters x (assign + k*dim
-  aggregation); the probe reports it separately from the screen.
+  guard; SEM_CONF below has the per-size k). k=8 fits 10k rows on
+  the literal-SQL centroid device; the larger ks run impl="pandas"
+  (one numpy matmul per Arrow batch), measuring the documented scale
+  path. Training cost is iters x (assign + k*dim aggregation); the
+  probe reports it separately from the screen.
 
 Methodology identical to tools/dedup_scaling_probe.py: Spark UI REST
 enabled for this session, shuffle bytes attributed by diffing
@@ -100,7 +100,7 @@ SIZES = [int(x) for x in os.environ.get(
     "PROBE_SIZES", "10000,100000,1000000"
 ).split(",")]
 
-for n in SIZES:
+for n in SIZES if not os.environ.get("PROBE_SKIP_DOCS") else []:
     docs = gen_documents(spark, n).cache()
     assert docs.count() == n
     media = lm.docs_as_media(docs)
@@ -110,27 +110,38 @@ for n in SIZES:
     run(lm.media_video_neardup(media), "video_neardup", n)
     docs.unpersist()
 
+# SemDeDup contract: k grows with n so within-cluster pairs stay
+# bounded (the guard's sum_c(n_c^2)/2 budget: k ~ n^2/1e8 keeps the
+# screen at ~25-50M candidate pairs). k=8 fits 10k on the literal-SQL
+# centroid device; larger ks run impl="pandas" (one numpy matmul per
+# Arrow batch) — the documented scale path. At 1M the trainer's k*dim
+# update aggregation collects 1.28M driver rows per iteration, so the
+# probe trains ONE Lloyd step there (training cost is linear in
+# iters; the scaling question is the screen). Training is reported
+# separately from the e2e row (which re-trains via the memo: ~0).
+SEM_CONF = {
+    10_000: (8, 3, "catalyst"),
+    100_000: (200, 3, "pandas"),
+    1_000_000: (20_000, 1, "pandas"),
+}
+
 for n in SIZES:
     emb = gen_embeddings(spark, n).cache()
     assert emb.count() == n
     print(f"-- embeddings n={n:,} generated+cached --", flush=True)
-    # SemDeDup contract: k grows with n so within-cluster pairs stay
-    # bounded (guard target ~50M). k=8 at 10k; k=128 at 100k; k=1280
-    # at 1M. The literal-SQL device is measured where it fits (10k);
-    # larger ks run the pandas matmul path — the documented scale
-    # route (assign_clusters impl docstring).
-    k = max(8, n // 800)
-    impl = "catalyst" if k <= 8 else "pandas"
+    k, iters, impl = SEM_CONF.get(
+        n, (max(8, n * n // 50_000_000), 3, "pandas")
+    )
     t0 = time.perf_counter()
-    cents = lc.train_kmeans(emb, k=k, iters=3, impl=impl)
+    cents = lc.train_kmeans(emb, k=k, iters=iters, impl=impl)
     t_train = time.perf_counter() - t0
     print(
         f"n={n:>9,} {'semdedup_train':>16}: {t_train:7.2f}s  "
-        f"(k={k}, impl={impl})",
+        f"(k={k}, iters={iters}, impl={impl})",
         flush=True,
     )
     run(
-        lambda: lc.semantic_dedup(emb, k=k, impl=impl),
+        lambda: lc.semantic_dedup(emb, k=k, iters=iters, impl=impl),
         "semdedup_e2e",
         n,
     )
@@ -141,3 +152,25 @@ spark.stop()
 # ---------------------------------------------------------------------------
 # FINDINGS (quiet-host runs; summarized in BASELINE.md)
 # ---------------------------------------------------------------------------
+# Quiet-host run, 2026-08-16 (load < 0.3; BASELINE.md round-10 section
+# has the analysis):
+#
+# -- documents --
+# n=   10,000  phash_sigs  4.17s | phash_pairs  7.93s | video 13.85s (shuffle 215 MB)
+# n=  100,000  phash_sigs  8.92s | phash_pairs  6.39s | video 80.18s (shuffle 2.12 GB)
+# n=1,000,000  phash_sigs 81.63s | phash_pairs 45.79s | video 711.55s (shuffle 22.1 GB)
+#   -> both media families ~linear in docs; video shuffle is
+#      hash-build-bound (<= 60 cells/frame), collision term submerged
+#      at a fixed 12-bit prefix up to ~5M frames (grow prefix with
+#      log2(frames) past that).
+#
+# -- embeddings (SemDeDup; k per SEM_CONF) --
+# n=   10,000  k=12(first run)  train  9.19s | e2e   4.46s (~4.2M pairs)
+# n=  100,000  k=125(first run) train  6.40s | e2e  63.07s (~40M pairs)
+# n=1,000,000  k=20,000 iters=1 train 73.86s | e2e 105.72s (~25M pairs, 748 MB shuffle)
+#   -> screen is pair-budget-bound (wall tracks pairs, not n): size k
+#      so the budget stays flat — the SemDeDup contract, enforced by
+#      the guard, which the first 1M attempt (old k=1250 formula,
+#      ~422M pairs) crashed into exactly as designed. The k=20k
+#      assignment also exposed the (rows x k) matmul-intermediate OOM
+#      fixed by row-chunking in _assign_clusters_pandas.
