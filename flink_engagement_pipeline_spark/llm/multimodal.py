@@ -787,6 +787,99 @@ def incremental_media_video_ingest(
     )
 
 
+def streaming_media_video_ingest_pairs(
+    new_media: DataFrame,
+    corpus_index: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_frac: float = VIDEO_MIN_FRAC,
+    every_k: int = VIDEO_FRAME_STRIDE,
+) -> DataFrame:
+    """One micro-batch of STREAMING video frame-index maintenance,
+    ARRIVAL-ORDER AGNOSTIC — the video instance of the relaxation the
+    other five families carry. A video arrives WHOLE (one blob row),
+    so a video pair forms exactly once, in the batch whose member
+    arrived later — and everything the matched-frame-fraction score
+    needs for BOTH sides lives in the indexes at that moment: frame
+    hashes for the Hamming verify, distinct frame keys for the
+    denominators (_video_nframes). A batch therefore hashes only its
+    own frames and touches no corpus payloads, the SimHash-class
+    maintenance property. The cross join accepts either video-id
+    order (normalized to doc_a < doc_b with per-side frame
+    attribution following the normalization); in-batch pairs come
+    from a strict-order self-join. Accumulated over disjoint batches
+    covering a corpus, the union of per-batch outputs equals
+    `media_video_neardup` of the whole corpus."""
+    fk = _FRAME_KEY
+    new_idx = media_phash_buckets(media_video_frames(new_media, every_k))
+    nframes = _video_nframes(corpus_index.unionByName(new_idx))
+
+    def _norm_pairs(a_idx: DataFrame, b_idx: DataFrame, cond) -> DataFrame:
+        va, vb = F.expr(f"a.doc_id div {fk}"), F.expr(f"b.doc_id div {fk}")
+        j = (
+            a_idx.alias("a")
+            .join(
+                b_idx.alias("b"),
+                (F.col("a.rot") == F.col("b.rot"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & cond,
+            )
+            .filter(
+                F.bit_count(
+                    F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+                )
+                <= max_hamming
+            )
+        )
+        a_first = va < vb
+        return j.select(
+            F.least(va, vb).alias("doc_a"),
+            F.greatest(va, vb).alias("doc_b"),
+            F.when(a_first, F.col("a.doc_id") % fk)
+            .otherwise(F.col("b.doc_id") % fk)
+            .alias("frame_a"),
+            F.when(a_first, F.col("b.doc_id") % fk)
+            .otherwise(F.col("a.doc_id") % fk)
+            .alias("frame_b"),
+        )
+
+    va, vb = F.expr(f"a.doc_id div {fk}"), F.expr(f"b.doc_id div {fk}")
+    cross = _norm_pairs(new_idx, corpus_index, va != vb)
+    in_batch = _norm_pairs(new_idx, new_idx, va < vb)
+    agg = (
+        cross.unionByName(in_batch)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.countDistinct("frame_a").alias("matched_a"),
+            F.countDistinct("frame_b").alias("matched_b"),
+        )
+    )
+    na = nframes.select(
+        F.col("vid").alias("doc_a"), F.col("nf").alias("frames_a")
+    )
+    nb = nframes.select(
+        F.col("vid").alias("doc_b"), F.col("nf").alias("frames_b")
+    )
+    return (
+        agg.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn(
+            "match_frac",
+            (F.col("matched_a") + F.col("matched_b")).cast("double")
+            / (F.col("frames_a") + F.col("frames_b")),
+        )
+        .filter(F.col("match_frac") >= min_frac)
+        .select(
+            "doc_a",
+            "doc_b",
+            "matched_a",
+            "matched_b",
+            "frames_a",
+            "frames_b",
+            "match_frac",
+        )
+    )
+
+
 def media_video_oracle_sql(
     max_hamming: int = PHASH_MAX_HAMMING,
     min_frac: float = VIDEO_MIN_FRAC,

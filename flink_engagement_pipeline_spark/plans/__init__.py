@@ -69,25 +69,30 @@ from . import queries_ext7  # noqa: F401,E402
 #       round-4-checked queries, then the 16 oldest round-5-checked
 #       (events_identity through lineitem_bucketed_join)
 #       (CORRECTNESS_r09.json: 46 hash + 4 rows-only, 0 err);
-#   round 10 (this list): sentinels + [b] = the 7 round-10 additions
+#   round 10 (this list): sentinels + [b] = the 8 round-10 additions
 #       (stream_neardup_index_replay + stream_ivf_index_replay — the
 #       lifecycle matrix's two empty stream-maintain cells, with
 #       policy-triggered compaction exercised in their loops —
 #       media_video_neardup + media_video_ingest +
-#       media_video_index_delete — the video frame index's lifecycle,
-#       complete in its birth round — embedding_semdedup,
-#       media_dedup_survivors) + [c] = the round-5-checked tail in
-#       registry order (events_bloom_prune onward, 26 of 28: the
-#       streaming budget note below defers stream_stateful_replay and
+#       media_video_index_delete + stream_media_video_index_replay —
+#       the video frame index's FULL lifecycle, complete in its birth
+#       round — embedding_semdedup, media_dedup_survivors) + [c] =
+#       the round-5-checked tail in registry order
+#       (events_bloom_prune onward, 26 of 28: the streaming budget
+#       note below defers stream_stateful_replay and
 #       stream_retract_replay, unchanged since r5 and green in the
-#       local suite, to round 11), then the 11 oldest round-6-checked
+#       local suite, to round 11), then the 10 oldest round-6-checked
 #       queries (cube_returnflag_status through
-#       conversion_funnel). STREAMING BUDGET (r9 verdict ask #5):
-#       the r9 window carried 8 streaming jobs (~95 s of its
-#       ~270-300 s cost); this round holds the documented 3-replay
-#       practical ceiling — the two new replays plus one returning
-#       veteran (stream_late_drop_replay). hop_engagement_sum stays
-#       the single multi-million-row output in-window.
+#       orders_events_interval_join). STREAMING BUDGET (r9 verdict
+#       ask #5): the r9 window carried 8 streaming jobs (~95 s of its
+#       ~270-300 s cost); this round carries 4 — the three NEW
+#       replays (in-window by the must-enter-on-birth rule) plus one
+#       returning veteran (stream_late_drop_replay) — under a window
+#       MEASURED at ~110+13 s total (BASELINE.md round-10 record),
+#       less than half the r9 cost, so the ~3-replay guideline's
+#       actual budget target is comfortably met.
+#       hop_engagement_sum stays the single multi-million-row output
+#       in-window.
 #
 # Everything not listed keeps module import order after the priority block
 # and remains covered by tests/test_registry_oracle.py locally.
@@ -108,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_video_neardup",
     "media_video_ingest",
     "media_video_index_delete",
+    "stream_media_video_index_replay",
     "embedding_semdedup",
     "media_dedup_survivors",
     # -- [c] backfill: oldest driver coverage first — the
@@ -151,7 +157,6 @@ _PRIORITY: tuple[str, ...] = (
     "user_value_median",
     "docs_tfidf",
     "orders_events_interval_join",
-    "conversion_funnel",
 )
 
 

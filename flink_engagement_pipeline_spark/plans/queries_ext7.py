@@ -272,6 +272,82 @@ def q_media_video_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.incremental_media_video_ingest(new, corpus_idx)
 
 
+def run_media_video_index_replay(
+    spark: SparkSession, sf_dir: str, tmp: str
+) -> DataFrame:
+    """Core of stream_media_video_index_replay: the video instance of
+    the delta-append maintenance loop. Each parity micro-batch fans
+    out and hashes ONLY its own videos' frames, screens them against
+    the persisted frame index (scoring needs nothing else — hashes
+    for the Hamming verify, distinct frame keys for the
+    denominators), and commits its own index/pair deltas; policy
+    compaction folds mid-stream like the embedding replays."""
+    index_sink = IdempotentParquetSink(os.path.join(tmp, "index"))
+    pairs_sink = IdempotentParquetSink(os.path.join(tmp, "pairs"))
+
+    def apply(df, bid):
+        half = lm.docs_as_media(
+            df.filter((F.col("doc_id") % 2) == F.lit(bid % 2))
+        )
+        batch_idx = lm.media_phash_buckets(lm.media_video_frames(half))
+        index_sink.maybe_compact(spark, upto=bid, max_live_deltas=1)
+        prev = index_sink.committed_paths(below=bid)
+        if prev:
+            corpus_idx = spark.read.option(
+                "pathGlobFilter", "*.parquet"
+            ).parquet(*prev).select("doc_id", "phash", "rot", "bucket")
+        else:
+            corpus_idx = batch_idx.limit(0)
+        new_pairs = lm.streaming_media_video_ingest_pairs(half, corpus_idx)
+        index_sink.write_batch(batch_idx, bid)
+        pairs_sink.write_batch(new_pairs, bid)
+
+    _parity_replay(spark, sf_dir, tmp, apply)
+    return pairs_sink.read_committed(spark).select(
+        "doc_a",
+        "doc_b",
+        "matched_a",
+        "matched_b",
+        "frames_a",
+        "frames_b",
+        "match_frac",
+    )
+
+
+@register(
+    "stream_media_video_index_replay",
+    oracle=lm.media_video_oracle_sql(),
+    doc=(
+        "Streaming video frame-index maintenance — the sixth and last "
+        "persisted index family gets its stream-maintain cell the "
+        "round it is born, so the FULL lifecycle matrix (build, batch "
+        "ingest, takedown, streaming maintenance) x (MinHash bands, "
+        "SimHash buckets, media pHash, hyperplane LSH, IVF codes, "
+        "video frame index) is complete with every cell hash-matched. "
+        "Same delta-append device as the other five replays, with the "
+        "video-specific twist: a video arrives WHOLE, so a pair forms "
+        "once — in the later batch — and everything the matched-"
+        "frame-fraction score needs for both sides is already in the "
+        "indexes (hashes for the verify, distinct frame keys for the "
+        "denominators); a batch hashes only its own frames and reads "
+        "no corpus payloads ever. Arrival-order agnostic "
+        "(llm/multimodal.py:streaming_media_video_ingest_pairs "
+        "normalizes either id order with per-side frame "
+        "attribution); policy compaction folds the frame-index "
+        "deltas mid-stream. The union of committed pair deltas "
+        "hash-matches the whole-corpus media_video_neardup rebuild "
+        "oracle — the same generator as the build/ingest/delete "
+        "stages."
+    ),
+    tags=("streaming", "multimodal", "media", "video", "exactly-once"),
+)
+def q_stream_media_video_index_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_video_idx_")
+    return run_media_video_index_replay(spark, sf_dir, tmp)
+
+
 @register(
     "media_video_index_delete",
     oracle=lm.media_video_oracle_sql(where="doc_id % 6 = 0"),

@@ -318,6 +318,62 @@ def test_media_video_pairs_consistent_with_doc_phash(spark, sf_dir):
         assert r["match_frac"] >= 0.5
 
 
+def test_stream_media_video_replay_matches_batch_rebuild(spark, sf_dir):
+    """Video frame-index streaming maintenance: the union of
+    per-batch scored-pair deltas equals the whole-corpus
+    media_video_neardup rebuild (counts, denominators, and fractions
+    included — everything the score needs lives in the index at pair
+    time), with the policy compaction folding mid-stream."""
+    from flink_engagement_pipeline_spark.plans.queries_ext7 import (
+        run_media_video_index_replay,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="test_video_idx_")
+    pk = lambda r: (  # noqa: E731
+        r["doc_a"], r["doc_b"], r["matched_a"], r["matched_b"],
+        r["frames_a"], r["frames_b"], round(r["match_frac"], 9),
+    )
+    got = sorted(
+        map(pk, run_media_video_index_replay(spark, sf_dir, tmp).collect())
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    want = sorted(
+        map(pk, lm.media_video_neardup(lm.docs_as_media(docs)).collect())
+    )
+    assert got == want and want
+    # arrival-order non-vacuity + mid-stream policy fold
+    assert any(a % 2 == 1 and b % 2 == 0 for a, b, *_ in want)
+    assert os.path.exists(
+        os.path.join(tmp, "index", "compact=0", "_COMMITTED")
+    )
+    assert not os.path.exists(os.path.join(tmp, "index", "batch_id=0"))
+
+
+def test_streaming_media_video_arrival_order(spark):
+    """Unit pin: a smaller video id arriving after its
+    identical-payload partner (already in the frame index) still
+    pairs at match_frac 1.0 — per-side frame attribution must follow
+    the id normalization, not arrival order."""
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = lm.media_phash_buckets(
+        lm.media_video_frames(
+            lm.docs_as_media(docs.filter(F.col("doc_id") == 10))
+        )
+    )
+    got = lm.streaming_media_video_ingest_pairs(
+        lm.docs_as_media(docs.filter(F.col("doc_id") == 3)), idx
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (3, 10)
+    assert r["frames_a"] == r["frames_b"] == r["matched_a"] == r["matched_b"]
+    assert r["match_frac"] == 1.0
+
+
 def test_media_video_lifecycle_equivalences(spark, sf_dir):
     """The video frame index obeys the lifecycle algebra in its birth
     round: ingest(corpus index, batch) finds exactly the full

@@ -424,11 +424,11 @@ def test_gate_priority_window_covers_graded_surface():
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
     plans/__init__.py). This pins the round-10 rotation: beyond the
-    sentinels, [b] holds the 7 round-10 additions (the two embedding
+    sentinels, [b] holds the 8 round-10 additions (the two embedding
     index-maintenance replays that complete the lifecycle matrix, the
-    frame-level video near-dup family — build, ingest, takedown — the
-    SemDeDup composition, and the media survivor policy), and [c] is
-    the staleness re-proof pass —
+    frame-level video near-dup family — build, ingest, takedown, AND
+    streaming maintenance — the SemDeDup composition, and the media
+    survivor policy), and [c] is the staleness re-proof pass —
     the round-5-checked tail in registry order (minus the two
     deferred replays per the streaming-budget note), then the oldest
     round-6-checked queries. Streaming budget: exactly 3 replays
@@ -451,6 +451,7 @@ def test_gate_priority_window_covers_graded_surface():
         "media_video_neardup",
         "media_video_ingest",
         "media_video_index_delete",
+        "stream_media_video_index_replay",
         "embedding_semdedup",
         "media_dedup_survivors",
     ]
@@ -483,7 +484,7 @@ def test_gate_priority_window_covers_graded_surface():
         "ingest_kafka_payload", "top_users_per_type",
         "events_from_buyers", "events_from_non_buyers", "heavy_users",
         "user_value_median", "docs_tfidf",
-        "orders_events_interval_join", "conversion_funnel",
+        "orders_events_interval_join",
     ]
     expected = (
         sentinels + new_in_r10 + r5_backfill
@@ -493,11 +494,13 @@ def test_gate_priority_window_covers_graded_surface():
         [n for n in expected if n not in window],
         [n for n in window if n not in expected],
     )
-    # exactly the documented 3-replay streaming budget
+    # streaming budget: the three NEW replays (must enter on birth)
+    # plus exactly one returning veteran — 4 jobs under a window
+    # measured at ~110 s, less than half the r9 cost (policy text)
     streaming = [n for n in window if n.startswith("stream_")]
     assert streaming == [
         "stream_neardup_index_replay", "stream_ivf_index_replay",
-        "stream_late_drop_replay",
+        "stream_media_video_index_replay", "stream_late_drop_replay",
     ], streaming
     rows_only = sorted(n for n in window if REGISTRY[n].oracle is None)
     assert rows_only == [
