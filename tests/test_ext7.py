@@ -80,6 +80,26 @@ def test_committed_paths_raises_when_folded_past_below(spark, tmp_path):
     assert len(sink2.committed_paths(below=2)) == 2  # deltas 0, 1
 
 
+def test_folded_ids_legacy_marker_conservative(spark, tmp_path):
+    """A compact= snapshot whose marker predates the folded-id
+    manifest (empty file) must be treated as having folded EVERYTHING
+    up to its id — the guard can only raise MORE often, never
+    silently serve partial state."""
+    import os as _os
+
+    sink = IdempotentParquetSink(str(tmp_path))
+    sink.write_batch(spark.range(1), 0)
+    sink.write_batch(spark.range(1), 1)
+    snap = sink.compact(spark)
+    with open(_os.path.join(snap, "_COMMITTED"), "w"):
+        pass  # blank the manifest: the legacy pre-round-10 marker
+    with pytest.raises(RuntimeError, match="not reconstructible"):
+        sink.committed_paths(below=1)
+    # the full view (and views at/after the snapshot) still serve
+    assert sink.committed_paths() == [snap]
+    assert sink.committed_paths(below=2) == [snap]
+
+
 def test_redelivered_batch_racing_bounded_compaction(spark, sf_dir, tmp_path):
     """The pin the r9 verdict asked for: a redelivered batch racing a
     (bounded) compaction still yields the identical committed output.
@@ -196,6 +216,14 @@ def test_stream_neardup_replay_matches_batch_rebuild(spark, sf_dir):
         .collect()
     }
     assert ps == {1}
+    # pair deltas are disjoint (each pair commits once, in the batch
+    # whose member arrived later) and together are the full result
+    p0 = spark.read.parquet(os.path.join(tmp, "pairs", "batch_id=0"))
+    p1 = spark.read.parquet(os.path.join(tmp, "pairs", "batch_id=1"))
+    k = lambda r: (r["vec_a"], r["vec_b"])  # noqa: E731
+    s0, s1 = set(map(k, p0.collect())), set(map(k, p1.collect()))
+    assert not (s0 & s1)
+    assert s0 | s1 == {(a, b) for a, b, _ in want}
 
 
 def test_stream_ivf_replay_matches_pinned_rebuild(spark, sf_dir):
