@@ -402,9 +402,25 @@ def semantic_dedup(
         .distinct()
         .withColumn("__dropped", F.lit(1))
     )
+    # Keep/drop join: the dropped-id set scales with the corpus
+    # duplicate count (SemDeDup at web scale drops tens of percent of
+    # the corpus), so an unconditional broadcast hint is the exact
+    # hazard _semi_prune already solves. Same device here: hint below
+    # _BROADCAST_ID_LIMIT, planner-chosen (runtime bloom-filter /
+    # shuffled) join above it. The size gate is FREE — distinct
+    # dropped ids are bounded both by the candidate-pair count
+    # (each drop needs >= 1 pair) and by the corpus cardinality, and
+    # both bounds fall out of the `sizes` metadata already collected
+    # for the pair-budget guard; no extra job runs.
+    from .dedup import _BROADCAST_ID_LIMIT
+
+    n_drop_upper = min(est_pairs, sum(sizes.values()))
+    drop_side = (
+        F.broadcast(dropped) if n_drop_upper <= _BROADCAST_ID_LIMIT else dropped
+    )
     return (
         assigned.select("vec_id", "cluster")
-        .join(F.broadcast(dropped), "vec_id", "left")
+        .join(drop_side, "vec_id", "left")
         .select(
             "vec_id", "cluster", F.col("__dropped").isNull().alias("is_kept")
         )
@@ -444,6 +460,376 @@ def semantic_dedup_oracle_sql(
 SELECT a.vec_id AS vec_id, CAST(a.cl AS INT) AS cluster,
        d.vec_id IS NULL AS is_kept
 FROM asg a LEFT JOIN drops d USING (vec_id)
+"""
+    )
+
+
+def semantic_dedup_ingest(
+    new_emb: DataFrame,
+    corpus_index: DataFrame,
+    corpus_emb: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.35,
+    max_candidate_pairs: int = SEMDEDUP_MAX_CANDIDATE_PAIRS,
+    impl: str = "catalyst",
+) -> DataFrame:
+    """Incremental semantic-dedup ingest — the daily-batch shape for
+    SemDeDup (r10 verdict ask #1: the one dedup family without an
+    ingest path). A NEW batch of vectors is screened against the
+    persisted per-cluster corpus state under the PINNED quantizer:
+
+    - ``cents`` is the corpus-trained centroid list (train_kmeans —
+      memoized, NEVER retrained at ingest: retraining would reshuffle
+      every persisted assignment and is a rebuild, not an ingest —
+      the ivf_ingest contract applied to the semantic quantizer);
+    - ``corpus_index`` is the persisted (vec_id, cluster) assignment
+      table (the ivf_assignments shape — narrow, two columns);
+    - ``corpus_emb`` is the id-keyed corpus vector store, read ONLY
+      for same-cluster verification (the
+      text-for-verification-only contract of the MinHash ingest).
+
+    The batch is assigned by pure projection against the pinned
+    centroids, then screened WITHIN its clusters only: a batch vector
+    is dropped iff some lower-id same-cluster vector (corpus or
+    earlier-in-batch) has cosine >= ``threshold`` — exactly the
+    SemDeDup lower-id-wins policy, which composes with the
+    append-only id-space contract (ingest ids above corpus ids, the
+    *_ingest split device) so ``b.vec_id < a.vec_id`` covers both
+    corpus matches and in-batch ordering. Because the quantizer is
+    pinned and corpus decisions cannot depend on higher-id batch rows,
+    the ingest decision EQUALS the batch rows of a full
+    ``semantic_dedup`` rebuild over corpus+batch under the same
+    centroids — the rebuild-equivalence property pinned in pytest.
+
+    Scale shape: candidate space is sum_c(nb_c^2/2 + nb_c*ncorp_c)
+    over TOUCHED clusters only, never corpus^2 — the corpus side is
+    pruned to the batch's cluster set with a LITERAL isin on the
+    metadata-sized touched-cluster list (collected for the pair-budget
+    guard anyway), so the predicate pushes into the persisted-index
+    scan; corpus vectors ride one id-keyed join against that pruned
+    index slice. The pair-budget guard extends to the ingest cross
+    terms, and the keep/drop join carries the _BROADCAST_ID_LIMIT
+    degrade. Returns (vec_id, cluster, is_kept) for every BATCH row."""
+    b_asg = assign_clusters(
+        new_emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        cents,
+        impl=impl,
+    )
+    b_sizes = {
+        r["cluster"]: r["n"]
+        for r in b_asg.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    touched = sorted(b_sizes)
+    c_sizes = {
+        r["cluster"]: r["n"]
+        for r in corpus_index.filter(F.col("cluster").isin(touched))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    est_pairs = sum(
+        nb * (nb - 1) // 2 + nb * c_sizes.get(cl, 0)
+        for cl, nb in b_sizes.items()
+    )
+    if est_pairs > max_candidate_pairs:
+        biggest = sorted(
+            b_sizes.items(),
+            key=lambda kv: -(kv[1] + c_sizes.get(kv[0], 0)),
+        )[:3]
+        raise ValueError(
+            f"semantic_dedup_ingest would screen ~{est_pairs} "
+            f"batch-vs-state pairs (> max_candidate_pairs="
+            f"{max_candidate_pairs}); most-loaded batch clusters "
+            f"{biggest}. Raise k at (re)build time so clusters "
+            f"shrink, or raise max_candidate_pairs for a deliberate "
+            f"run"
+        )
+    # corpus state pruned to touched clusters at the INDEX scan, then
+    # vectors id-keyed through that slice; norms computed once per
+    # side before the quadratic stage (the norm-once lesson)
+    c_state = (
+        corpus_index.filter(F.col("cluster").isin(touched))
+        .join(
+            corpus_emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            "vec_id",
+        )
+        .select("vec_id", "cluster", "v")
+    )
+    sided_b = b_asg.select(
+        "vec_id",
+        "cluster",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    state = (
+        b_asg.select("vec_id", "cluster", "v")
+        .unionByName(c_state)
+        .select(
+            "vec_id",
+            "cluster",
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        )
+    )
+    a, b = sided_b.alias("a"), state.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    from .dedup import _BROADCAST_ID_LIMIT
+
+    n_drop_upper = min(est_pairs, sum(b_sizes.values()))
+    drop_side = (
+        F.broadcast(dropped) if n_drop_upper <= _BROADCAST_ID_LIMIT else dropped
+    )
+    return (
+        b_asg.select("vec_id", "cluster")
+        .join(drop_side, "vec_id", "left")
+        .select(
+            "vec_id", "cluster", F.col("__dropped").isNull().alias("is_kept")
+        )
+    )
+
+
+def semantic_dedup_ingest_oracle_sql(
+    k: int = 8, iters: int = 3, threshold: float = 0.35, dim: int = 64
+) -> str:
+    """DuckDB twin of the registered ``embedding_semdedup_ingest``
+    composition: corpus/batch split at (max id * 4) // 5, the
+    quantized-Lloyd trainer unrolled on the CORPUS ONLY (pinned
+    quantizer), batch assignment, and the batch-vs-(corpus ∪ batch)
+    lower-id within-cluster screen."""
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "cutt AS (SELECT (max(vec_id) * 4) // 5 AS cut FROM e)",
+        "corpus AS (SELECT vec_id, v FROM e, cutt WHERE vec_id < cut)",
+        "batch AS (SELECT vec_id, v FROM e, cutt WHERE vec_id >= cut)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v
+  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT {k}) t
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(km_assign_cte(f"a{i}", f"c{i - 1}", "corpus"))
+        parts.append(km_update_cte(f"c{i}", f"a{i}", f"c{i - 1}", k, dim))
+    parts.append(km_assign_cte("acorp", f"c{iters}", "corpus"))
+    parts.append(km_assign_cte("abatch", f"c{iters}", "batch"))
+    parts.append(
+        """allv AS (
+  SELECT vec_id, v, cl FROM acorp
+  UNION ALL
+  SELECT vec_id, v, cl FROM abatch
+)"""
+    )
+    parts.append(
+        f"""drops AS (
+  SELECT DISTINCT a.vec_id AS vec_id
+  FROM abatch a JOIN allv b ON a.cl = b.cl AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT a.vec_id AS vec_id, CAST(a.cl AS INT) AS cluster,
+       d.vec_id IS NULL AS is_kept
+FROM abatch a LEFT JOIN drops d USING (vec_id)
+"""
+    )
+
+
+def _within_cluster_drops(members: DataFrame, threshold: float) -> DataFrame:
+    """The SemDeDup screen over a (vec_id, cluster, v) frame: distinct
+    ids that have a lower-id same-cluster neighbour at
+    cosine >= threshold — norm-once form (the measured 3x win), the
+    identical float ops and order as semantic_dedup's inline screen."""
+    sided = members.select(
+        "vec_id",
+        "cluster",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    a, b = sided.alias("a"), sided.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+
+
+def semantic_dedup_delete(
+    emb: DataFrame,
+    del_ids: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+    max_candidate_pairs: int = SEMDEDUP_MAX_CANDIDATE_PAIRS,
+    impl: str = "catalyst",
+    prior: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic-dedup TAKEDOWN — the delete cell of the family's
+    lifecycle row (the ivf_index_delete contract on the semantic
+    axis). Removes ``del_ids`` from the corpus and serves the
+    keep/drop decision of the SHRUNKEN corpus under the PINNED
+    quantizer (trained on the original corpus, never retrained at
+    takedown — retraining reshuffles every persisted assignment and
+    is a rebuild, not a delete), i.e. exactly
+    rebuild-without-X under the same centroids.
+
+    The semantically interesting part: deleting a KEPT representative
+    can RESURRECT vectors whose only lower-id duplicate it was — so
+    a takedown must re-screen, not just filter the persisted
+    decisions. The bounded-work shape: only clusters CONTAINING a
+    deleted id can change (the screen is within-cluster by
+    construction), so prior decisions pass through untouched clusters
+    unchanged and the re-screen runs over the touched clusters'
+    remaining members only — takedown-sized work plus per-touched-
+    cluster state reads, never a corpus re-screen. The touched set is
+    metadata (a takedown-sized broadcast semi-join on the narrow
+    assignment state, k-bounded collect), and pytest pins
+    touched-only == full rebuild-without-X.
+
+    ``prior`` is the persisted keep/drop decision table ((vec_id,
+    cluster, is_kept) — what a production takedown reads for the
+    untouched clusters); when None (the registered query), it is
+    rebuilt in-plan by :func:`semantic_dedup` — the same
+    serve-the-index-the-ingest-left device the other delete twins
+    use, so the ORACLE is one SQL text, while the scaling probe
+    passes a materialized prior to measure the takedown's own
+    (touched-cluster-bounded) cost.
+
+    Returns (vec_id, cluster, is_kept) for every REMAINING vector."""
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = train_kmeans(emb, k, iters, impl=impl)  # pinned
+    assigned = assign_clusters(e, cents, impl=impl)
+    dset = del_ids.select("vec_id").distinct()
+    touched = sorted(
+        r["cluster"]
+        for r in assigned.join(F.broadcast(dset), "vec_id", "leftsemi")
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    remaining = assigned.join(F.broadcast(dset), "vec_id", "left_anti")
+    # untouched clusters: the persisted decisions are unchanged —
+    # served here by the same plan that built them (the registered
+    # delete queries rebuild the served state in-plan; in production
+    # this side is one narrow read of the persisted decision table)
+    if prior is None:
+        prior = semantic_dedup(
+            emb,
+            k,
+            iters,
+            threshold,
+            max_candidate_pairs=max_candidate_pairs,
+            impl=impl,
+        )
+    untouched = prior.filter(~F.col("cluster").isin(touched))
+    re_members = remaining.filter(F.col("cluster").isin(touched))
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in re_members.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    est_pairs = sum(n * (n - 1) // 2 for n in sizes.values())
+    if est_pairs > max_candidate_pairs:
+        biggest = sorted(sizes.items(), key=lambda kv: -kv[1])[:3]
+        raise ValueError(
+            f"semantic_dedup_delete would re-screen ~{est_pairs} "
+            f"pairs in the touched clusters (> max_candidate_pairs="
+            f"{max_candidate_pairs}); largest {biggest}"
+        )
+    from .dedup import _BROADCAST_ID_LIMIT
+
+    dropped = _within_cluster_drops(re_members, threshold)
+    n_drop_upper = min(est_pairs, sum(sizes.values()))
+    drop_side = (
+        F.broadcast(dropped) if n_drop_upper <= _BROADCAST_ID_LIMIT else dropped
+    )
+    rescreened = (
+        re_members.select("vec_id", "cluster")
+        .join(drop_side, "vec_id", "left")
+        .select(
+            "vec_id", "cluster", F.col("__dropped").isNull().alias("is_kept")
+        )
+    )
+    return untouched.unionByName(rescreened)
+
+
+def semantic_dedup_delete_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+    dim: int = 64,
+    del_pred: str = "vec_id % 9 = 0",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_delete` with the
+    registered query's modulo takedown set: the quantizer CTEs train
+    on the FULL original corpus (pinned through the takedown), the
+    screen and output run on the remaining vectors only — literally
+    rebuild-without-X under the same centroids."""
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}) t
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(km_assign_cte(f"a{i}", f"c{i - 1}"))
+        parts.append(km_update_cte(f"c{i}", f"a{i}", f"c{i - 1}", k, dim))
+    parts.append(km_assign_cte("asg", f"c{iters}"))
+    parts.append(
+        f"rem AS (SELECT vec_id, v, cl FROM asg WHERE NOT ({del_pred}))"
+    )
+    parts.append(
+        f"""drops AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM rem a JOIN rem b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT a.vec_id AS vec_id, CAST(a.cl AS INT) AS cluster,
+       d.vec_id IS NULL AS is_kept
+FROM rem a LEFT JOIN drops d USING (vec_id)
 """
     )
 

@@ -15,6 +15,7 @@ from . import queries_ext4  # noqa: F401,E402
 from . import queries_ext5  # noqa: F401,E402
 from . import queries_ext6  # noqa: F401,E402
 from . import queries_ext7  # noqa: F401,E402
+from . import queries_ext8  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order is part of the driver contract: the correctness gate
@@ -69,7 +70,7 @@ from . import queries_ext7  # noqa: F401,E402
 #       round-4-checked queries, then the 16 oldest round-5-checked
 #       (events_identity through lineitem_bucketed_join)
 #       (CORRECTNESS_r09.json: 46 hash + 4 rows-only, 0 err);
-#   round 10 (this list): sentinels + [b] = the 8 round-10 additions
+#   round 10: sentinels + [b] = the 8 round-10 additions
 #       (stream_neardup_index_replay + stream_ivf_index_replay — the
 #       lifecycle matrix's two empty stream-maintain cells, with
 #       policy-triggered compaction exercised in their loops —
@@ -92,6 +93,27 @@ from . import queries_ext7  # noqa: F401,E402
 #       less than half the r9 cost, so the ~3-replay guideline's
 #       actual budget target is comfortably met.
 #       hop_engagement_sum stays the single multi-million-row output
+#       in-window (CORRECTNESS_r10.json: 48 hash + 2 rows-only by
+#       design, 0 err);
+#   round 11 (this list): sentinels + [b] = the 4 round-11 additions
+#       (embedding_semdedup_ingest + embedding_semdedup_delete — the
+#       semantic family's daily-batch ingest and takedown under the
+#       pinned quantizer, completing its lifecycle row —
+#       docs_hybrid_retrieval — RRF fusion of the oracled BM25 +
+#       dense top-k stages — corpus_manifest_multimodal — media
+#       survivors + video drops gating the training manifest) +
+#       [c] = the two round-5-checked replays the r10 policy text
+#       explicitly deferred here (stream_stateful_replay,
+#       stream_retract_replay — honouring that promise closes all
+#       pre-r6 staleness), then the FULL round-6-checked remainder
+#       (conversion_funnel through embedding_neardup_ingest, all 34
+#       in registry order), then the 4 oldest round-7-checked
+#       queries (tumbling_stats through events_asof_orders).
+#       STREAMING BUDGET: 4 replays in-window — the two returning r5
+#       veterans plus the r6 block's stream_cep_replay and
+#       stream_sketch_replay — matching the measured r10 slate of 4;
+#       no new streaming query was added this round.
+#       hop_engagement_sum stays the single multi-million-row output
 #       in-window.
 #
 # Everything not listed keeps module import order after the priority block
@@ -106,57 +128,57 @@ _PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_minhash_pairs",
-    # -- [b] new in round 10 --
+    # -- [b] new in round 11 --
     # (each addition displaces one backfill entry from the tail of [c])
-    "stream_neardup_index_replay",
-    "stream_ivf_index_replay",
-    "media_video_neardup",
-    "media_video_ingest",
-    "media_video_index_delete",
-    "stream_media_video_index_replay",
-    "embedding_semdedup",
-    "media_dedup_survivors",
-    # -- [c] backfill: oldest driver coverage first — the
-    # round-5-checked tail in registry order (minus the two deferred
-    # replays, see the streaming-budget note), then the oldest
-    # round-6-checked queries (13 fit; events_from_buyers onward of
-    # the r6 block re-enter next round) --
-    "events_bloom_prune",
-    "user_active_coverage",
-    "embedding_matryoshka_rerank",
-    "events_value_trend_ols",
-    "cms_user_frequency",
-    "audience_overlap",
-    "events_ntile_quartiles",
-    "cep_conversion_within",
-    "stream_late_drop_replay",
-    "docs_token_entropy",
-    "docs_quality_gate",
-    "events_zorder",
-    "docs_head_editdist",
-    "parts_pagerank",
-    "embedding_ann_recall",
-    "events_anomaly_mad",
-    "value_rank_distribution",
-    "docs_dedup_survivors_quality",
-    "docs_langid_confusion",
-    "docs_weighted_sample",
-    "embedding_power_iteration",
-    "docs_dup_rate_by_source",
-    "docs_bigram_logprob",
-    "embedding_kmeans_inertia",
-    "docs_snapshot_diff",
-    "weekly_gmv_growth",
-    "cube_returnflag_status",
-    "promo_revenue",
-    "ingest_kafka_payload",
-    "top_users_per_type",
-    "events_from_buyers",
-    "events_from_non_buyers",
-    "heavy_users",
-    "user_value_median",
-    "docs_tfidf",
-    "orders_events_interval_join",
+    "embedding_semdedup_ingest",
+    "embedding_semdedup_delete",
+    "docs_hybrid_retrieval",
+    "corpus_manifest_multimodal",
+    # -- [c] backfill: oldest driver coverage first — the two
+    # round-5-checked replays deferred from r10 (the policy promise),
+    # then ALL 34 round-6-checked queries in registry order, then the
+    # 5 oldest round-7-checked (cdc_materialize onward of the r7
+    # block re-enter next round) --
+    "stream_stateful_replay",
+    "stream_retract_replay",
+    "conversion_funnel",
+    "events_profile",
+    "part_string_functions",
+    "orders_by_month",
+    "embedding_array_ops",
+    "clickers_also_purchasing",
+    "clickers_never_erroring",
+    "user_running_totals",
+    "value_percentiles_exact",
+    "activity_union_all",
+    "grouping_sets_engagement",
+    "minute_rollup",
+    "hll_user_reach",
+    "user_value_ranking",
+    "minute_rollup_gapfill",
+    "event_stats_unpivot",
+    "user_first_last_event",
+    "value_histogram",
+    "value_moments_by_type",
+    "user_trailing_7d_value",
+    "cep_direct_purchase",
+    "cep_session_conversion",
+    "stream_cep_replay",
+    "cep_engaged_conversion",
+    "embedding_mmr_rerank",
+    "embedding_mmr_batch",
+    "cumulate_engagement",
+    "window_topn",
+    "window_dedup",
+    "window_join",
+    "docs_bpe_merges",
+    "stream_sketch_replay",
+    "docs_simhash_ingest",
+    "embedding_neardup_ingest",
+    "tumbling_stats",
+    "leaderboard_topk",
+    "session_windows",
+    "events_asof_orders",
 )
 
 

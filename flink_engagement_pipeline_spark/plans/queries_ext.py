@@ -174,9 +174,12 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # JSON wire format; round-trip checked in pytest
     doc=(
         "K1/S1 ingest parity: latest-per-key upserted events rendered "
-        "as upsert-Kafka JSON key/value payloads (reference "
-        "src/ingest.py:35-56). Rows-only gate; the key/value JSON "
-        "round-trip is asserted in tests/test_streaming.py."
+        "as upsert-Kafka JSON key/value payloads. Rows-only BY "
+        "DESIGN, verified by "
+        "tests/test_streaming.py::test_kafka_payload_roundtrip (the "
+        "wire JSON parses back to the exact input rows) — a wire "
+        "format has no fixture-derivable SQL twin. Reference "
+        "src/ingest.py:35-56."
     ),
     tags=("sink", "kafka", "upsert"),
 )

@@ -426,9 +426,9 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "media_dedup_survivors",
-    oracle=f"""
+# Shared by media_dedup_survivors and the multimodal manifest
+# (queries_ext8): the full media keep/drop policy as one SQL text.
+MEDIA_SURVIVORS_ORACLE = f"""
 WITH cl AS (
   SELECT doc_id, cluster_id
   FROM ({ld.closure_oracle_sql(lm.media_phash_oracle_sql())}) t
@@ -451,7 +451,12 @@ SELECT doc_id, cluster_id, quality_score,
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
        ) AS is_survivor
 FROM j
-""",
+"""
+
+
+@register(
+    "media_dedup_survivors",
+    oracle=MEDIA_SURVIVORS_ORACLE,
     doc=(
         "Media dedup POLICY layer (r9 verdict ask #7): the pHash "
         "pair family gains the cluster/survivor stage every text "
@@ -470,6 +475,13 @@ FROM j
     tags=("llm", "multimodal", "media", "dedup", "policy"),
 )
 def q_media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_survivors_frame(spark, sf_dir)
+
+
+def media_survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media keep/drop policy (doc_id, cluster_id, quality_score,
+    survivor_id, is_survivor) — shared by media_dedup_survivors and
+    the multimodal manifest (queries_ext8)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")

@@ -1,0 +1,334 @@
+"""Round-11 extension batch: the capability-surface gaps the r10
+verdict named — incremental semantic-dedup ingest (the one dedup
+family without a daily-batch shape, now screening new vectors against
+persisted per-cluster state under the PINNED memoized quantizer),
+hybrid retrieval (RRF fusion of the already-oracled BM25 lexical and
+dense cosine top-k stages — the composition a retrieval pipeline
+actually serves), and the multimodal training manifest (media
+survivor policy + video near-dup drops gating the text-prep manifest
+— the end-to-end multimodal curation shape).
+
+House rules as ever: JVM-side expressions only, each oracle generated
+from the same constants as the Spark plan, corpus-derived strings
+never spliced into SQL text, every cross-engine float hazard kept
+integer until a single final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import cluster as lc
+from ..llm import multimodal as lm
+from ..llm import similarity as ls
+from ..sources.tables import load_table
+from .queries_ext7 import _SEMDEDUP_THRESHOLD
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# incremental semantic-dedup ingest (SemDeDup daily batch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_semdedup_ingest",
+    oracle=lc.semantic_dedup_ingest_oracle_sql(
+        threshold=_SEMDEDUP_THRESHOLD
+    ),
+    doc=(
+        "Incremental semantic-dedup ingest (r10 verdict ask #1): the "
+        "SemDeDup family gains the daily-batch shape every other "
+        "dedup family already has. Corpus = vec_id below 80% of max "
+        "id; its quantizer (the oracle-exact quantized Lloyd trainer, "
+        "k=8 x 3 iterations) is trained on the CORPUS ONLY, memoized, "
+        "and PINNED — ingest never retrains (the ivf_ingest "
+        "contract), so batch assignment is a pure projection and "
+        "appending batch decisions to persisted state EQUALS the "
+        "batch rows of a full rebuild under the same centroids (the "
+        "rebuild-equivalence pytest). The batch is screened WITHIN "
+        "its clusters only, against the persisted (vec_id, cluster) "
+        "assignment state pruned to the batch's touched-cluster set "
+        "(a literal isin on metadata the pair-budget guard collects "
+        "anyway, so the predicate pushes into the index scan) plus "
+        "lower-id in-batch rows; corpus vectors are read id-keyed "
+        "through that pruned slice for verification only. Candidate "
+        "space is sum_c(nb_c^2/2 + nb_c*ncorp_c) over touched "
+        "clusters — batch-sized work plus per-cluster state reads, "
+        "never a corpus rescan — guarded by the extended pair "
+        "budget, with the _BROADCAST_ID_LIMIT degrade on the "
+        "keep/drop join. Returns (vec_id, cluster, is_kept) per "
+        "batch row, hash-matched against the unrolled corpus-trained "
+        "Lloyd + batch-screen SQL twin."
+    ),
+    tags=("llm", "embedding", "dedup", "semdedup", "incremental"),
+)
+def q_embedding_semdedup_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = int(
+        emb.agg(F.expr("max(vec_id) * 4 div 5").alias("c")).first()["c"]
+    )
+    corpus = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    cents = lc.train_kmeans(corpus, 8, 3)  # pinned + memoized
+    corpus_index = lc.assign_clusters(
+        corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        cents,
+    ).select("vec_id", "cluster")
+    return lc.semantic_dedup_ingest(
+        batch, corpus_index, corpus, cents, threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
+@register(
+    "embedding_semdedup_delete",
+    oracle=lc.semantic_dedup_delete_oracle_sql(
+        threshold=_SEMDEDUP_THRESHOLD
+    ),
+    doc=(
+        "Semantic-dedup TAKEDOWN (completing the family's lifecycle "
+        "row alongside build + ingest): remove vec_id % 9 == 0 from "
+        "the corpus and serve the keep/drop decision of the shrunken "
+        "corpus under the PINNED quantizer (trained on the original "
+        "corpus, never retrained at takedown) — exactly "
+        "rebuild-without-X under the same centroids. Deleting a kept "
+        "representative RESURRECTS vectors whose only lower-id "
+        "duplicate it was, so the takedown re-screens — but only the "
+        "clusters CONTAINING a deleted id can change, so prior "
+        "decisions pass through untouched clusters unchanged and the "
+        "re-screen is bounded to the touched clusters' remaining "
+        "members (touched-only == full rebuild pinned in pytest, "
+        "resurrection non-vacuous on the fixture). Hash-matched "
+        "against the rebuild-without-X SQL twin (full-corpus-trained "
+        "Lloyd CTEs + remaining-only screen)."
+    ),
+    tags=("llm", "embedding", "dedup", "semdedup", "deletion"),
+)
+def q_embedding_semdedup_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    del_ids = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    return lc.semantic_dedup_delete(
+        emb, del_ids, threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval (RRF fusion of lexical BM25 + dense cosine top-k)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+def _hybrid_oracle() -> str:
+    from .queries_ml import _bm25_oracle
+
+    k = _RRF_K
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS r
+  FROM ({_bm25_oracle()}) t
+),
+dense AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS r
+  FROM ({ls.cosine_topk_oracle_sql()}) t
+),
+f AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         CAST(coalesce(l.r, 0) AS INT) AS lex_rank,
+         CAST(coalesce(d.r, 0) AS INT) AS dense_rank
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank,
+       CAST(CASE WHEN lex_rank > 0 AND dense_rank > 0
+                 THEN ({k} + lex_rank) + ({k} + dense_rank)
+                 ELSE 1 END AS DOUBLE)
+       / ((CASE WHEN lex_rank > 0 THEN {k} + lex_rank ELSE 1 END)
+          * (CASE WHEN dense_rank > 0 THEN {k} + dense_rank ELSE 1 END))
+           AS rrf_score
+FROM f
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@register(
+    "docs_hybrid_retrieval",
+    oracle=_hybrid_oracle(),
+    doc=(
+        "Hybrid retrieval (r10 verdict ask #4): reciprocal-rank "
+        "fusion of the two already-oracled retrieval stages — the "
+        "BM25 lexical top-20 (docs_bm25's scored frame, reused) and "
+        "the dense cosine top-20 (embedding_cosine_topk, vec_id as "
+        "the document key) — the composition a RAG/retrieval "
+        "pipeline actually serves. Each stage yields integer ranks "
+        "(row_number over its own engine-exact ordering, on the "
+        "already-LIMITed 20-row stage output — metadata-sized, so "
+        "the single-partition window is free); fusion is one "
+        "full-outer rank-keyed equi-join of two 20-row frames. The "
+        "RRF score 1/(60+r_lex) + 1/(60+r_dense) is computed as ONE "
+        "division of integer terms — (a+b)/(a*b) when both stages "
+        "rank the doc, 1/a when one does (absent stages contribute "
+        "0, encoded as rank 0) — so the score is engine-exact with "
+        "no float-sum ordering hazard. Plan: two "
+        "TakeOrderedAndProject stages over the corpus scans, then "
+        "metadata-sized fusion; no corpus-sized shuffle beyond the "
+        "two scans themselves."
+    ),
+    tags=("llm", "text", "retrieval", "hybrid", "rrf"),
+)
+def q_docs_hybrid_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .queries_ml import bm25_topk_frame
+
+    lex = bm25_topk_frame(spark, sf_dir)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).alias("lex_rank")
+    )
+    dense = ls.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+    wd = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    dense_r = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).alias("dense_rank"),
+    )
+    f = lex_r.join(dense_r, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+    )
+    lr, dr = F.col("lex_rank"), F.col("dense_rank")
+    a = F.when(lr > 0, F.lit(_RRF_K) + lr).otherwise(F.lit(1))
+    b = F.when(dr > 0, F.lit(_RRF_K) + dr).otherwise(F.lit(1))
+    num = F.when(
+        (lr > 0) & (dr > 0),
+        (F.lit(_RRF_K) + lr) + (F.lit(_RRF_K) + dr),
+    ).otherwise(F.lit(1))
+    return (
+        f.select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            (num.cast("double") / (a * b)).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal training manifest (text prep + media survivors + video gate)
+# ---------------------------------------------------------------------------
+
+
+def _manifest_multimodal_oracle() -> str:
+    from .queries_ext7 import MEDIA_SURVIVORS_ORACLE
+    from .queries_llm import CORPUS_PREP_ORACLE
+
+    return f"""
+WITH prep AS ({CORPUS_PREP_ORACLE}),
+surv AS (
+  SELECT doc_id FROM ({MEDIA_SURVIVORS_ORACLE}) t WHERE is_survivor
+),
+vdrop AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({lm.media_video_oracle_sql()}) t
+),
+gated AS (
+  SELECT p.doc_id AS doc_id, p.n_tokens AS n_tokens, p.fp_md5 AS fp_md5
+  FROM prep p
+  JOIN surv s ON p.doc_id = s.doc_id
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM vdrop)
+),
+tagged AS (
+    SELECT doc_id, n_tokens, fp_md5,
+           CASE WHEN h < 'cc' THEN 'train'
+                WHEN h < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT *, substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        FROM gated
+    )
+)
+SELECT doc_id, split, n_tokens,
+       row_number() OVER (PARTITION BY split ORDER BY fp_md5, doc_id) AS sample_idx
+FROM tagged
+"""
+
+
+@register(
+    "corpus_manifest_multimodal",
+    oracle=_manifest_multimodal_oracle(),
+    doc=(
+        "The end-to-end MULTIMODAL curation manifest (r10 verdict "
+        "ask #6): docs_training_manifest's text prep (score -> "
+        "language filter -> quality filter -> exact-dedup survivors) "
+        "now additionally gated by the two media dedup policies — "
+        "only media-cluster SURVIVORS pass (media_dedup_survivors: "
+        "perceptual-hash pairs -> shared connected-components "
+        "closure -> highest-quality member per cluster) and video "
+        "near-dup DROPS are removed (media_video_neardup pairs, "
+        "keep-lowest-id: every doc_b of a matched-frame-fraction "
+        "pair is dropped) — then the deterministic salted-hash "
+        "train/val/test split and per-split sample index. The media "
+        "gate is a leftsemi against the survivor id set; the video "
+        "gate a left-anti against the pair drops — both id-keyed, "
+        "both bounded by the dedup outputs, never re-reading "
+        "payloads. Every stage reuses a hash-verified component "
+        "query (corpus prep, media survivor closure, video frame "
+        "pairs), and the whole composition replays in one SQL text "
+        "(the shared closure + pHash + frame-fan-out generators)."
+    ),
+    tags=("llm", "multimodal", "pipeline", "manifest", "dedup"),
+)
+def q_corpus_manifest_multimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .queries_ext7 import media_survivors_frame
+    from .queries_llm import corpus_prep_frame
+
+    prep = corpus_prep_frame(spark, sf_dir)
+    surv = (
+        media_survivors_frame(spark, sf_dir)
+        .filter(F.col("is_survivor"))
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    vdrop = (
+        lm.media_video_neardup(lm.docs_as_media(docs))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    gated = (
+        prep.join(surv, "doc_id", "leftsemi")
+        .join(vdrop, "doc_id", "left_anti")
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))
+        ),
+        1,
+        2,
+    )
+    tagged = gated.withColumn(
+        "split",
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test"),
+    )
+    w = Window.partitionBy("split").orderBy("fp_md5", "doc_id")
+    return tagged.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        F.row_number().over(w).alias("sample_idx"),
+    )

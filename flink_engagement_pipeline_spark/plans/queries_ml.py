@@ -321,6 +321,12 @@ LIMIT {_BM25_TOPK}
     tags=("llm", "text", "retrieval", "bm25"),
 )
 def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk_frame(spark, sf_dir)
+
+
+def bm25_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 lexical top-k (doc_id, n_tokens, score) — shared by
+    docs_bm25 and the docs_hybrid_retrieval fusion (queries_ext8)."""
     docs = load_table(spark, sf_dir, "documents")
     ws = lt.words("text")
 

@@ -545,6 +545,31 @@ def test_semantic_dedup_pair_budget_guard(spark, sf_dir):
         lc.semantic_dedup(emb, max_candidate_pairs=10)
 
 
+def test_semantic_dedup_broadcast_degrade(spark, sf_dir, monkeypatch):
+    """The keep/drop join broadcast-hints the dropped-id set only
+    below _BROADCAST_ID_LIMIT (r10 verdict ask #2: SemDeDup at web
+    scale drops O(corpus) vectors, so the unconditional hint was the
+    exact hazard _semi_prune solves — hint below the limit,
+    planner-chosen join above it). The size gate reuses the
+    pair-budget metadata, so no extra job runs either way, and the
+    result is identical on both paths."""
+    from flink_engagement_pipeline_spark.llm import dedup as ldd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    small = lc.semantic_dedup(emb, threshold=0.35)
+    assert "hint" in optimized(small).lower()
+    monkeypatch.setattr(ldd, "_BROADCAST_ID_LIMIT", 0)
+    big = lc.semantic_dedup(emb, threshold=0.35)
+    assert "hint" not in optimized(big).lower()
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, big.collect())
+    )
+
+
 def test_semantic_dedup_plan_no_cartesian(spark, sf_dir):
     """The within-cluster screen must plan as a cluster-keyed
     equi-join (the SemDeDup bounded candidate space) — never a

@@ -423,17 +423,18 @@ def test_gate_priority_window_covers_graded_surface():
     """The driver's correctness gate evaluates only the FIRST 50
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
-    plans/__init__.py). This pins the round-10 rotation: beyond the
-    sentinels, [b] holds the 8 round-10 additions (the two embedding
-    index-maintenance replays that complete the lifecycle matrix, the
-    frame-level video near-dup family — build, ingest, takedown, AND
-    streaming maintenance — the SemDeDup composition, and the media
-    survivor policy), and [c] is the staleness re-proof pass —
-    the round-5-checked tail in registry order (minus the two
-    deferred replays per the streaming-budget note), then the oldest
-    round-6-checked queries. Streaming budget: exactly 3 replays
-    in-window (the 2 new + 1 returning veteran), back at the
-    documented practical ceiling after r9's 8. Window budget:
+    plans/__init__.py). This pins the round-11 rotation: beyond the
+    sentinels, [b] holds the 4 round-11 additions (the semantic
+    family's incremental ingest AND takedown — completing its
+    lifecycle row — the RRF hybrid-retrieval fusion,
+    and the multimodal training manifest), and [c] is the staleness
+    re-proof pass — the two round-5-checked replays the r10 policy
+    text explicitly deferred here, then the FULL round-6-checked
+    remainder (34 queries, registry order), then the 5 oldest
+    round-7-checked. After this window no query's last driver row is
+    older than round 7. Streaming budget: 4 replays in-window (the
+    two returning r5 veterans + the r6 block's CEP and sketch
+    replays), matching the measured r10 slate of 4. Window budget:
     hop_engagement_sum stays the single multi-million-row output."""
     names = list(REGISTRY)
     window = names[:50]
@@ -441,76 +442,75 @@ def test_gate_priority_window_covers_graded_surface():
         "enrich_events", "latest_per_key", "hop_engagement_sum",
         "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
     ]
-    new_in_r10: list[str] = [
-        # every query registered during round 10 MUST be appended here
+    new_in_r11: list[str] = [
+        # every query registered during round 11 MUST be appended here
         # (and to _PRIORITY) the round it is added, displacing one
         # backfill entry from the tail each; materially-changed
         # streaming queries re-enter here too (policy class [b])
-        "stream_neardup_index_replay",
-        "stream_ivf_index_replay",
-        "media_video_neardup",
-        "media_video_ingest",
-        "media_video_index_delete",
-        "stream_media_video_index_replay",
-        "embedding_semdedup",
-        "media_dedup_survivors",
+        "embedding_semdedup_ingest",
+        "embedding_semdedup_delete",
+        "docs_hybrid_retrieval",
+        "corpus_manifest_multimodal",
     ]
     r5_backfill = [
-        # last driver row: CORRECTNESS_r05.json — the round-5-checked
-        # tail, registry order, closing r5 staleness.
-        # stream_stateful_replay and stream_retract_replay are
-        # DEFERRED to round 11 (streaming-budget note in the policy
-        # text: 3 replays per window; both unchanged since r5 and
-        # green in the local suite's stream==batch pins)
-        "events_bloom_prune", "user_active_coverage",
-        "embedding_matryoshka_rerank", "events_value_trend_ols",
-        "cms_user_frequency", "audience_overlap",
-        "events_ntile_quartiles", "cep_conversion_within",
-        "stream_late_drop_replay", "docs_token_entropy",
-        "docs_quality_gate", "events_zorder", "docs_head_editdist",
-        "parts_pagerank", "embedding_ann_recall", "events_anomaly_mad",
-        "value_rank_distribution", "docs_dedup_survivors_quality",
-        "docs_langid_confusion", "docs_weighted_sample",
-        "embedding_power_iteration", "docs_dup_rate_by_source",
-        "docs_bigram_logprob", "embedding_kmeans_inertia",
-        "docs_snapshot_diff", "weekly_gmv_growth",
+        # last driver row: CORRECTNESS_r05.json — the two replays the
+        # r10 policy text deferred to this round (its explicit
+        # promise); with them re-proven, no last-row predates r6
+        "stream_stateful_replay", "stream_retract_replay",
     ]
     r6_backfill = [
-        # last driver row: CORRECTNESS_r06.json — oldest-coverage
-        # block after the r5 tail, registry order; the tail
-        # (events_from_buyers onward… whatever does not fit) re-enters
+        # last driver row: CORRECTNESS_r06.json — the full r6-checked
+        # remainder, registry order (all 34 fit this round)
+        "conversion_funnel", "events_profile", "part_string_functions",
+        "orders_by_month", "embedding_array_ops",
+        "clickers_also_purchasing", "clickers_never_erroring",
+        "user_running_totals", "value_percentiles_exact",
+        "activity_union_all", "grouping_sets_engagement",
+        "minute_rollup", "hll_user_reach", "user_value_ranking",
+        "minute_rollup_gapfill", "event_stats_unpivot",
+        "user_first_last_event", "value_histogram",
+        "value_moments_by_type", "user_trailing_7d_value",
+        "cep_direct_purchase", "cep_session_conversion",
+        "stream_cep_replay", "cep_engaged_conversion",
+        "embedding_mmr_rerank", "embedding_mmr_batch",
+        "cumulate_engagement", "window_topn", "window_dedup",
+        "window_join", "docs_bpe_merges", "stream_sketch_replay",
+        "docs_simhash_ingest", "embedding_neardup_ingest",
+    ]
+    r7_backfill = [
+        # last driver row: CORRECTNESS_r07.json — oldest-coverage
+        # block after the r6 remainder, registry order; the tail
+        # (events_dim_asof onward, whatever does not fit) re-enters
         # next round
-        "cube_returnflag_status", "promo_revenue",
-        "ingest_kafka_payload", "top_users_per_type",
-        "events_from_buyers", "events_from_non_buyers", "heavy_users",
-        "user_value_median", "docs_tfidf",
-        "orders_events_interval_join",
+        "tumbling_stats", "leaderboard_topk", "session_windows",
+        "events_asof_orders",
     ]
     expected = (
-        sentinels + new_in_r10 + r5_backfill
-        + r6_backfill[: 50 - 6 - len(new_in_r10) - len(r5_backfill)]
+        sentinels + new_in_r11 + r5_backfill + r6_backfill
+        + r7_backfill[
+            : 50 - 6 - len(new_in_r11) - len(r5_backfill) - len(r6_backfill)
+        ]
     )
     assert window == expected, (
         [n for n in expected if n not in window],
         [n for n in window if n not in expected],
     )
-    # streaming budget: the three NEW replays (must enter on birth)
-    # plus exactly one returning veteran — 4 jobs under a window
-    # measured at ~110 s, less than half the r9 cost (policy text)
+    # streaming budget: 4 replays in-window — the two deferred r5
+    # veterans (the policy promise) plus the two riding inside the
+    # r6 backfill block; matches the r10 slate measured at ~110 s
     streaming = [n for n in window if n.startswith("stream_")]
     assert streaming == [
-        "stream_neardup_index_replay", "stream_ivf_index_replay",
-        "stream_media_video_index_replay", "stream_late_drop_replay",
+        "stream_stateful_replay", "stream_retract_replay",
+        "stream_cep_replay", "stream_sketch_replay",
     ], streaming
     rows_only = sorted(n for n in window if REGISTRY[n].oracle is None)
     assert rows_only == [
         "docs_minhash_pairs",          # xxhash64 MinHash (no SQL
                                        # oracle); recall-tested,
                                        # portable twin oracled
-        "ingest_kafka_payload",        # upsert-Kafka wire payload:
-                                       # JSON key/value round-trip
-                                       # pinned in pytest, no fixture
-                                       # -derivable SQL twin
+        "hll_user_reach",              # HyperLogLog reach: approx by
+                                       # design; error-bound pytest
+                                       # vs exact distinct
     ], rows_only
 
 

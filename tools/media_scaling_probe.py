@@ -145,6 +145,54 @@ for n in SIZES:
         "semdedup_e2e",
         n,
     )
+    # round-11 lifecycle stages. Ingest: the standard 80/20 split —
+    # quantizer pinned on the corpus, batch screened against
+    # state-pruned-to-touched-clusters; the scaling question is
+    # whether ingest stays batch-bound (sum over touched clusters of
+    # nb^2/2 + nb*ncorp), not corpus-bound. Delete: a REALISTIC
+    # takedown (100 ids, not a modulo sweep) against a MATERIALIZED
+    # prior decision table (the persisted-state read a production
+    # takedown does) — the claim under test is that takedown cost is
+    # touched-cluster-bounded, i.e. ~flat in n for a fixed-size
+    # takedown.
+    cut = n * 4 // 5
+    corpus = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    t0 = time.perf_counter()
+    cents_c = lc.train_kmeans(corpus, k=k, iters=iters, impl=impl)
+    print(
+        f"n={n:>9,} {'ingest_train':>16}: "
+        f"{time.perf_counter() - t0:7.2f}s  (corpus-pinned)",
+        flush=True,
+    )
+    corpus_index = lc.assign_clusters(
+        corpus.selectExpr(
+            "vec_id", "cast(embedding as array<double>) as v"
+        ),
+        cents_c,
+        impl=impl,
+    ).select("vec_id", "cluster").localCheckpoint()
+    run(
+        lambda: lc.semantic_dedup_ingest(
+            batch, corpus_index, corpus, cents_c,
+            max_candidate_pairs=500_000_000, impl=impl,
+        ),
+        "semdedup_ingest",
+        n,
+    )
+    prior = lc.semantic_dedup(
+        emb, k=k, iters=iters, impl=impl
+    ).localCheckpoint()
+    del_ids = emb.filter(
+        F.col("vec_id") % max(1, n // 100) == 0
+    ).select("vec_id")
+    run(
+        lambda: lc.semantic_dedup_delete(
+            emb, del_ids, k=k, iters=iters, impl=impl, prior=prior
+        ),
+        "semdedup_delete",
+        n,
+    )
     emb.unpersist()
 
 spark.stop()
