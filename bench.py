@@ -65,6 +65,16 @@ FLAGSHIP_NAMES = [
     # within-cluster cosine screen — the SemDeDup composition)
     "media_video_neardup",
     "embedding_semdedup",
+    # round 11: the semantic family's daily-batch ingest (pinned
+    # corpus quantizer memoized after run 1, so min-of-5 times the
+    # recurring assign+screen path — the ivf_ingest convention), the
+    # multimodal manifest (the heaviest composition: corpus prep +
+    # media survivor closure + video near-dup gates in one plan),
+    # and the RRF hybrid-retrieval fusion (serving-path cost: two
+    # corpus scans + metadata fusion)
+    "embedding_semdedup_ingest",
+    "corpus_manifest_multimodal",
+    "docs_hybrid_retrieval",
 ]
 
 

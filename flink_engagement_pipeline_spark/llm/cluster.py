@@ -788,6 +788,127 @@ def semantic_dedup_delete(
     return untouched.unionByName(rescreened)
 
 
+def streaming_semdedup_pairs(
+    new_emb: DataFrame,
+    corpus_index: DataFrame,
+    corpus_emb: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.35,
+    max_candidate_pairs: int = SEMDEDUP_MAX_CANDIDATE_PAIRS,
+    impl: str = "catalyst",
+) -> DataFrame:
+    """One micro-batch of STREAMING semantic-dedup maintenance,
+    ARRIVAL-ORDER AGNOSTIC — the semantic instance of the relaxation
+    `llm/similarity.py:streaming_neardup_ingest_pairs` makes for the
+    LSH family: `semantic_dedup_ingest` keys its screen on
+    ``other.vec_id < new.vec_id`` under the append-only-id batch
+    contract, which silently loses the pair when a stream delivers a
+    smaller id after a larger one. Here the cross screen against the
+    persisted (vec_id, cluster) state accepts either id order (each
+    same-cluster pair forms exactly once, in the batch whose member
+    arrived LATER — the earlier member exists only on the state
+    side), in-batch pairs come from a strict-order self-join, and
+    output is normalized to (vec_a < vec_b, cosine). Accumulated over
+    disjoint batches covering a corpus, the union of per-batch pair
+    deltas equals the whole-corpus within-cluster screen under the
+    same PINNED quantizer — the screen is exact (every same-cluster
+    pair is a candidate; no LSH recall caveat), so the maintained
+    decisions hash-match the semantic_dedup rebuild oracle.
+
+    Same 100 TB shape as the batch ingest: state is pruned to the
+    batch's touched-cluster set at the index scan (literal isin on
+    guard metadata), corpus vectors read id-keyed through that slice
+    for the verify only, pair budget guarded, batch-sized work plus
+    per-touched-cluster state reads."""
+    b_asg = assign_clusters(
+        new_emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        cents,
+        impl=impl,
+    )
+    b_sizes = {
+        r["cluster"]: r["n"]
+        for r in b_asg.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    touched = sorted(b_sizes)
+    c_sizes = {
+        r["cluster"]: r["n"]
+        for r in corpus_index.filter(F.col("cluster").isin(touched))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    est_pairs = sum(
+        nb * (nb - 1) // 2 + nb * c_sizes.get(cl, 0)
+        for cl, nb in b_sizes.items()
+    )
+    if est_pairs > max_candidate_pairs:
+        biggest = sorted(
+            b_sizes.items(),
+            key=lambda kv: -(kv[1] + c_sizes.get(kv[0], 0)),
+        )[:3]
+        raise ValueError(
+            f"streaming_semdedup_pairs would screen ~{est_pairs} "
+            f"batch-vs-state pairs (> max_candidate_pairs="
+            f"{max_candidate_pairs}); most-loaded clusters {biggest}"
+        )
+    c_state = (
+        corpus_index.filter(F.col("cluster").isin(touched))
+        .join(
+            corpus_emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            "vec_id",
+        )
+        .select("vec_id", "cluster", "v")
+    )
+
+    def _sided(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            "cluster",
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        )
+
+    sb, sc = _sided(b_asg), _sided(c_state)
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+
+    def _verified(a: DataFrame, b: DataFrame, strict: bool) -> DataFrame:
+        on = F.col("a.cluster") == F.col("b.cluster")
+        on = (
+            on & (F.col("a.vec_id") > F.col("b.vec_id"))
+            if strict
+            else on & (F.col("a.vec_id") != F.col("b.vec_id"))
+        )
+        return (
+            a.alias("a")
+            .join(b.alias("b"), on)
+            .filter(cos >= threshold)
+            .select(
+                F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias(
+                    "vec_a"
+                ),
+                F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias(
+                    "vec_b"
+                ),
+                cos.alias("cosine"),
+            )
+        )
+
+    return (
+        _verified(sb, sc, strict=False)
+        .unionByName(_verified(sb, sb, strict=True))
+        .distinct()
+    )
+
+
 def semantic_dedup_delete_oracle_sql(
     k: int = 8,
     iters: int = 3,

@@ -95,24 +95,30 @@ from . import queries_ext8  # noqa: F401,E402
 #       hop_engagement_sum stays the single multi-million-row output
 #       in-window (CORRECTNESS_r10.json: 48 hash + 2 rows-only by
 #       design, 0 err);
-#   round 11 (this list): sentinels + [b] = the 4 round-11 additions
-#       (embedding_semdedup_ingest + embedding_semdedup_delete — the
-#       semantic family's daily-batch ingest and takedown under the
-#       pinned quantizer, completing its lifecycle row —
-#       docs_hybrid_retrieval — RRF fusion of the oracled BM25 +
-#       dense top-k stages — corpus_manifest_multimodal — media
-#       survivors + video drops gating the training manifest) +
+#   round 11 (this list): sentinels + [b] = the 5 round-11 additions
+#       (embedding_semdedup_ingest + embedding_semdedup_delete +
+#       stream_semdedup_index_replay — the semantic family's
+#       daily-batch ingest, takedown, and streaming maintenance under
+#       the pinned quantizer, completing it as the SEVENTH full
+#       lifecycle row — docs_hybrid_retrieval — RRF fusion of the
+#       oracled BM25 + dense top-k stages — corpus_manifest_multimodal
+#       — media survivors + video drops gating the training
+#       manifest) +
 #       [c] = the two round-5-checked replays the r10 policy text
 #       explicitly deferred here (stream_stateful_replay,
 #       stream_retract_replay — honouring that promise closes all
 #       pre-r6 staleness), then the FULL round-6-checked remainder
 #       (conversion_funnel through embedding_neardup_ingest, all 34
-#       in registry order), then the 4 oldest round-7-checked
-#       queries (tumbling_stats through events_asof_orders).
-#       STREAMING BUDGET: 4 replays in-window — the two returning r5
-#       veterans plus the r6 block's stream_cep_replay and
-#       stream_sketch_replay — matching the measured r10 slate of 4;
-#       no new streaming query was added this round.
+#       in registry order), then the 3 oldest round-7-checked
+#       queries (tumbling_stats through session_windows).
+#       STREAMING BUDGET: 5 replays in-window — the NEW
+#       stream_semdedup_index_replay (in-window by the
+#       must-enter-on-birth rule) plus the two returning r5 veterans
+#       plus the r6 block's stream_cep_replay and
+#       stream_sketch_replay — one above the r10 slate of 4 (~10 s
+#       on a ~110 s window; r9 carried 8 replays), a deliberate
+#       one-round cost to land the seventh lifecycle family complete
+#       in its birth round.
 #       hop_engagement_sum stays the single multi-million-row output
 #       in-window.
 #
@@ -132,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     # (each addition displaces one backfill entry from the tail of [c])
     "embedding_semdedup_ingest",
     "embedding_semdedup_delete",
+    "stream_semdedup_index_replay",
     "docs_hybrid_retrieval",
     "corpus_manifest_multimodal",
     # -- [c] backfill: oldest driver coverage first — the two
@@ -178,7 +185,6 @@ _PRIORITY: tuple[str, ...] = (
     "tumbling_stats",
     "leaderboard_topk",
     "session_windows",
-    "events_asof_orders",
 )
 
 

@@ -16,6 +16,9 @@ integer until a single final division.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,6 +26,8 @@ from ..llm import cluster as lc
 from ..llm import multimodal as lm
 from ..llm import similarity as ls
 from ..sources.tables import load_table
+from ..streaming.sinks import IdempotentParquetSink
+from .queries_ext6 import _EMB_STREAM_SCHEMA, _parity_replay
 from .queries_ext7 import _SEMDEDUP_THRESHOLD
 from .registry import register
 
@@ -116,6 +121,110 @@ def q_embedding_semdedup_delete(
     return lc.semantic_dedup_delete(
         emb, del_ids, threshold=_SEMDEDUP_THRESHOLD
     )
+
+
+def run_semdedup_index_replay(
+    spark: SparkSession, sf_dir: str, tmp: str
+) -> DataFrame:
+    """Core of stream_semdedup_index_replay: streaming maintenance of
+    the semantic family's persisted state under the PINNED quantizer
+    (train_kmeans on the corpus — the one-time offline stage;
+    maintenance NEVER retrains, the contract every lifecycle cell of
+    this family pins). Two parity micro-batches each commit their own
+    (vec_id, cluster) assignment delta and their own verified
+    drop-PAIR delta to batchId-keyed exactly-once sinks; the
+    arrival-order-agnostic screen (streaming_semdedup_pairs) reads
+    persisted state below its own batch id, pruned to the batch's
+    touched clusters, with corpus vectors id-keyed through that
+    slice. Policy-triggered compaction (max_live_deltas=1) folds the
+    assignment deltas mid-stream, so batch 1 reads the compact=
+    snapshot. Final decisions = committed codes LEFT JOIN the
+    committed pairs' higher-id side (lowest-id-wins), which
+    hash-match the whole-corpus semantic_dedup rebuild oracle — the
+    screen is exact (every same-cluster pair is a candidate), so
+    unlike the LSH replay there is no recall caveat to document."""
+    codes_sink = IdempotentParquetSink(os.path.join(tmp, "codes"))
+    pairs_sink = IdempotentParquetSink(os.path.join(tmp, "pairs"))
+    emb_tbl = load_table(spark, sf_dir, "embeddings")
+    cents = lc.train_kmeans(emb_tbl, 8, 3)  # offline-pinned + memoized
+
+    def apply(df, bid):
+        half = df.filter((F.col("vec_id") % 2) == F.lit(bid % 2)).select(
+            "vec_id", "embedding"
+        )
+        codes_sink.maybe_compact(spark, upto=bid, max_live_deltas=1)
+        prev = codes_sink.committed_paths(below=bid)
+        if prev:
+            corpus_idx = spark.read.option(
+                "pathGlobFilter", "*.parquet"
+            ).parquet(*prev).select("vec_id", "cluster")
+            corpus_emb = emb_tbl.join(
+                corpus_idx.select("vec_id").distinct(), "vec_id", "leftsemi"
+            ).select("vec_id", "embedding")
+        else:
+            corpus_idx = spark.range(0).select(
+                F.col("id").alias("vec_id"),
+                F.lit(0).alias("cluster"),
+            )
+            corpus_emb = emb_tbl.limit(0).select("vec_id", "embedding")
+        new_pairs = lc.streaming_semdedup_pairs(
+            half, corpus_idx, corpus_emb, cents,
+            threshold=_SEMDEDUP_THRESHOLD,
+        )
+        batch_codes = lc.assign_clusters(
+            half.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            cents,
+        ).select("vec_id", "cluster")
+        codes_sink.write_batch(batch_codes, bid)
+        pairs_sink.write_batch(new_pairs, bid)
+
+    _parity_replay(spark, sf_dir, tmp, apply, "embeddings", _EMB_STREAM_SCHEMA)
+    codes = codes_sink.read_committed(spark).select("vec_id", "cluster")
+    dropped = (
+        pairs_sink.read_committed(spark)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return codes.join(F.broadcast(dropped), "vec_id", "left").select(
+        "vec_id", "cluster", F.col("__dropped").isNull().alias("is_kept")
+    )
+
+
+@register(
+    "stream_semdedup_index_replay",
+    oracle=lc.semantic_dedup_oracle_sql(threshold=_SEMDEDUP_THRESHOLD),
+    doc=(
+        "Streaming semantic-dedup state maintenance — the "
+        "stream-maintain cell that makes the SemDeDup family the "
+        "SEVENTH complete index-lifecycle row (build "
+        "embedding_semdedup / ingest embedding_semdedup_ingest / "
+        "takedown embedding_semdedup_delete all pre-exist this "
+        "round). The embeddings fixture replays as two parity "
+        "micro-batches; each assigns its vectors against the PINNED "
+        "offline-trained quantizer (zero-shuffle projection, never "
+        "retrained — the family contract), screens them "
+        "ARRIVAL-ORDER AGNOSTICALLY against persisted state pruned "
+        "to its touched clusters (each same-cluster pair forms "
+        "exactly once, in the later member's batch), and commits its "
+        "own (vec_id, cluster) delta + verified drop-pair delta to "
+        "batchId-keyed exactly-once sinks, with policy-triggered "
+        "compaction folding the codes deltas mid-stream. Final "
+        "keep/drop decisions (codes minus pair higher-ids) "
+        "hash-match the whole-corpus semantic_dedup rebuild oracle "
+        "EXACTLY — the within-cluster screen enumerates every "
+        "candidate, so stream == batch with no recall caveat."
+    ),
+    tags=("streaming", "embedding", "dedup", "semdedup", "exactly-once"),
+)
+def q_stream_semdedup_index_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_semdedup_idx_")
+    return run_semdedup_index_replay(spark, sf_dir, tmp)
 
 
 # ---------------------------------------------------------------------------

@@ -179,6 +179,72 @@ def test_semdedup_ingest_plan_shape(spark, sf_dir):
     assert "cluster#" in opt and " IN " in opt.replace("IN (", " IN (")
 
 
+def test_streaming_semdedup_pairs_arrival_order(spark, sf_dir):
+    """The streaming screen must produce the SAME pair union whichever
+    half of the corpus arrives first (arrival-order agnosticism — the
+    clause the batch ingest's append-only-id contract does not give),
+    each pair exactly once (delta disjointness), and the union must
+    equal an independent python replication of the whole-corpus
+    within-cluster screen under the pinned quantizer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = lc.train_kmeans(emb, 8, 3)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = lc.assign_clusters(e, cents).collect()
+    by_cluster: dict[int, list] = {}
+    for r in assigned:
+        by_cluster.setdefault(r["cluster"], []).append(
+            (r["vec_id"], list(r["v"]))
+        )
+
+    def cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return d / (math.sqrt(n1) * math.sqrt(n2))
+
+    want = set()
+    for members in by_cluster.values():
+        members.sort()
+        for i, (v_id, v) in enumerate(members):
+            for u_id, u in members[:i]:
+                if cos(u, v) >= 0.35:
+                    want.add((u_id, v_id))
+    assert want  # non-vacuous
+
+    h0 = emb.filter(F.col("vec_id") % 2 == 0)
+    h1 = emb.filter(F.col("vec_id") % 2 == 1)
+    empty_idx = emb.limit(0).select(
+        F.col("vec_id"), F.lit(0).alias("cluster")
+    )
+    empty_emb = emb.limit(0).select("vec_id", "embedding")
+    for first, second in ((h0, h1), (h1, h0)):
+        p1 = {
+            (r["vec_a"], r["vec_b"])
+            for r in lc.streaming_semdedup_pairs(
+                first, empty_idx, empty_emb, cents, threshold=0.35
+            ).collect()
+        }
+        idx = lc.assign_clusters(
+            first.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            cents,
+        ).select("vec_id", "cluster")
+        p2 = {
+            (r["vec_a"], r["vec_b"])
+            for r in lc.streaming_semdedup_pairs(
+                second, idx, first, cents, threshold=0.35
+            ).collect()
+        }
+        assert not (p1 & p2)  # each pair forms exactly once
+        assert p1 | p2 == want
+
+
 def test_hybrid_retrieval_rrf_invariants(spark, sf_dir):
     """RRF fusion properties: scores equal the python recomputation
     from the ranks; a doc ranked by BOTH stages outranks every

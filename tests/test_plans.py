@@ -424,17 +424,20 @@ def test_gate_priority_window_covers_graded_surface():
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
     plans/__init__.py). This pins the round-11 rotation: beyond the
-    sentinels, [b] holds the 4 round-11 additions (the semantic
-    family's incremental ingest AND takedown — completing its
-    lifecycle row — the RRF hybrid-retrieval fusion,
+    sentinels, [b] holds the 5 round-11 additions (the semantic
+    family's incremental ingest, takedown, AND streaming
+    maintenance — completing it as the seventh full lifecycle row —
+    the RRF hybrid-retrieval fusion,
     and the multimodal training manifest), and [c] is the staleness
     re-proof pass — the two round-5-checked replays the r10 policy
     text explicitly deferred here, then the FULL round-6-checked
-    remainder (34 queries, registry order), then the 5 oldest
+    remainder (34 queries, registry order), then the 3 oldest
     round-7-checked. After this window no query's last driver row is
-    older than round 7. Streaming budget: 4 replays in-window (the
-    two returning r5 veterans + the r6 block's CEP and sketch
-    replays), matching the measured r10 slate of 4. Window budget:
+    older than round 7. Streaming budget: 5 replays in-window (the
+    new semdedup replay by the must-enter-on-birth rule + the two
+    returning r5 veterans + the r6 block's CEP and sketch replays) —
+    one above the r10 slate, the documented birth-round cost of the
+    seventh lifecycle family. Window budget:
     hop_engagement_sum stays the single multi-million-row output."""
     names = list(REGISTRY)
     window = names[:50]
@@ -449,6 +452,7 @@ def test_gate_priority_window_covers_graded_surface():
         # streaming queries re-enter here too (policy class [b])
         "embedding_semdedup_ingest",
         "embedding_semdedup_delete",
+        "stream_semdedup_index_replay",
         "docs_hybrid_retrieval",
         "corpus_manifest_multimodal",
     ]
@@ -480,10 +484,9 @@ def test_gate_priority_window_covers_graded_surface():
     r7_backfill = [
         # last driver row: CORRECTNESS_r07.json — oldest-coverage
         # block after the r6 remainder, registry order; the tail
-        # (events_dim_asof onward, whatever does not fit) re-enters
-        # next round
+        # (events_asof_orders onward, whatever does not fit)
+        # re-enters next round
         "tumbling_stats", "leaderboard_topk", "session_windows",
-        "events_asof_orders",
     ]
     expected = (
         sentinels + new_in_r11 + r5_backfill + r6_backfill
@@ -495,11 +498,13 @@ def test_gate_priority_window_covers_graded_surface():
         [n for n in expected if n not in window],
         [n for n in window if n not in expected],
     )
-    # streaming budget: 4 replays in-window — the two deferred r5
-    # veterans (the policy promise) plus the two riding inside the
-    # r6 backfill block; matches the r10 slate measured at ~110 s
+    # streaming budget: 5 replays in-window — the new semdedup
+    # maintenance replay (must enter on birth) + the two deferred r5
+    # veterans (the policy promise) + the two riding inside the
+    # r6 backfill block; one above the r10 slate measured at ~110 s
     streaming = [n for n in window if n.startswith("stream_")]
     assert streaming == [
+        "stream_semdedup_index_replay",
         "stream_stateful_replay", "stream_retract_replay",
         "stream_cep_replay", "stream_sketch_replay",
     ], streaming
