@@ -95,22 +95,23 @@ from . import queries_ext8  # noqa: F401,E402
 #       hop_engagement_sum stays the single multi-million-row output
 #       in-window (CORRECTNESS_r10.json: 48 hash + 2 rows-only by
 #       design, 0 err);
-#   round 11 (this list): sentinels + [b] = the 5 round-11 additions
+#   round 11 (this list): sentinels + [b] = the 6 round-11 additions
 #       (embedding_semdedup_ingest + embedding_semdedup_delete +
 #       stream_semdedup_index_replay — the semantic family's
 #       daily-batch ingest, takedown, and streaming maintenance under
 #       the pinned quantizer, completing it as the SEVENTH full
-#       lifecycle row — docs_hybrid_retrieval — RRF fusion of the
-#       oracled BM25 + dense top-k stages — corpus_manifest_multimodal
-#       — media survivors + video drops gating the training
-#       manifest) +
+#       lifecycle row — docs_hybrid_retrieval +
+#       docs_hybrid_retrieval_batch — RRF fusion of the oracled BM25
+#       + dense top-k stages, single-query and per-broadcast-batch —
+#       corpus_manifest_multimodal — media survivors + video drops
+#       gating the training manifest) +
 #       [c] = the two round-5-checked replays the r10 policy text
 #       explicitly deferred here (stream_stateful_replay,
 #       stream_retract_replay — honouring that promise closes all
 #       pre-r6 staleness), then the FULL round-6-checked remainder
 #       (conversion_funnel through embedding_neardup_ingest, all 34
-#       in registry order), then the 3 oldest round-7-checked
-#       queries (tumbling_stats through session_windows).
+#       in registry order), then the 2 oldest round-7-checked
+#       queries (tumbling_stats, leaderboard_topk).
 #       STREAMING BUDGET: 5 replays in-window — the NEW
 #       stream_semdedup_index_replay (in-window by the
 #       must-enter-on-birth rule) plus the two returning r5 veterans
@@ -140,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_semdedup_delete",
     "stream_semdedup_index_replay",
     "docs_hybrid_retrieval",
+    "docs_hybrid_retrieval_batch",
     "corpus_manifest_multimodal",
     # -- [c] backfill: oldest driver coverage first — the two
     # round-5-checked replays deferred from r10 (the policy promise),
@@ -184,7 +186,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_neardup_ingest",
     "tumbling_stats",
     "leaderboard_topk",
-    "session_windows",
 )
 
 

@@ -336,6 +336,257 @@ def q_docs_hybrid_retrieval(
 
 
 # ---------------------------------------------------------------------------
+# batched hybrid retrieval (Q queries per broadcast batch)
+# ---------------------------------------------------------------------------
+
+# One (dense query vec_id == batch position, lexical term pair) per
+# batch member; terms chosen from the fixture vocabulary so every
+# stage discriminates.
+_HYBRID_BATCH_TERMS: tuple[tuple[str, str], ...] = (
+    ("spark", "query"),
+    ("stream", "join"),
+    ("window", "agg"),
+    ("hash", "merge"),
+)
+_HYBRID_TERMS: tuple[str, ...] = tuple(
+    dict.fromkeys(t for pair in _HYBRID_BATCH_TERMS for t in pair)
+)
+_HYBRID_TOPK = 20  # per-stage depth per query
+_HYBRID_OUT = 10  # fused results served per query
+
+
+def _hybrid_batch_oracle() -> str:
+    from .queries_ml import _BM25_B, _BM25_K1, _WORDS
+
+    nq, k = len(_HYBRID_BATCH_TERMS), _RRF_K
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(_HYBRID_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_HYBRID_TERMS))
+    )
+
+    def term(i: int) -> str:
+        return (
+            f"(floor(ln((n_docs - df{i} + CAST(0.5 AS DOUBLE))"
+            f" / (df{i} + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+            f" * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9)"
+            f" * (tf{i} * CAST({_BM25_K1 + 1} AS DOUBLE))"
+            f" / (tf{i} + CAST({_BM25_K1} AS DOUBLE)"
+            f" * (CAST({1 - _BM25_B} AS DOUBLE)"
+            f" + CAST({_BM25_B} AS DOUBLE) * (dl / avgdl)))"
+        )
+
+    score_cases = "\n           ".join(
+        f"WHEN {q} THEN {term(_HYBRID_TERMS.index(a))}"
+        f"\n           + {term(_HYBRID_TERMS.index(b))}"
+        for q, (a, b) in enumerate(_HYBRID_BATCH_TERMS)
+    )
+    return f"""
+WITH feat AS (
+  SELECT doc_id, len(ws) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {_WORDS} AS ws FROM documents) b
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {df_cols}
+  FROM feat
+),
+lexs AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id ASC
+         ) AS r
+  FROM (
+    SELECT f.doc_id AS doc_id, u.qid AS qid,
+           CASE u.qid
+           {score_cases}
+           END AS score
+    FROM feat f CROSS JOIN stats
+    CROSS JOIN (SELECT CAST(unnest(range({nq})) AS INT) AS qid) u
+  )
+),
+lex AS (SELECT qid, doc_id, r FROM lexs WHERE r <= {_HYBRID_TOPK}),
+dense AS (
+  SELECT CAST(query_id AS INT) AS qid, vec_id AS doc_id, rn AS r
+  FROM ({ls.knn_join_oracle_sql(num_queries=nq, k=_HYBRID_TOPK)}) t
+),
+f AS (
+  SELECT coalesce(l.qid, d.qid) AS qid,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         CAST(coalesce(l.r, 0) AS INT) AS lex_rank,
+         CAST(coalesce(d.r, 0) AS INT) AS dense_rank
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.qid = d.qid AND l.doc_id = d.doc_id
+),
+scored AS (
+  SELECT qid, doc_id, lex_rank, dense_rank,
+         CAST(CASE WHEN lex_rank > 0 AND dense_rank > 0
+                   THEN ({k} + lex_rank) + ({k} + dense_rank)
+                   ELSE 1 END AS DOUBLE)
+         / ((CASE WHEN lex_rank > 0 THEN {k} + lex_rank ELSE 1 END)
+            * (CASE WHEN dense_rank > 0 THEN {k} + dense_rank ELSE 1 END))
+             AS rrf_score
+  FROM f
+)
+SELECT qid, doc_id, lex_rank, dense_rank, rrf_score
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY rrf_score DESC, doc_id ASC
+  ) AS fr
+  FROM scored
+)
+WHERE fr <= {_HYBRID_OUT}
+"""
+
+
+@register(
+    "docs_hybrid_retrieval_batch",
+    oracle=_hybrid_batch_oracle(),
+    doc=(
+        "BATCHED hybrid retrieval — the per-broadcast-query-batch "
+        "generalization of docs_hybrid_retrieval (the shape a RAG "
+        "serving job actually runs): 4 queries, each a (dense corpus "
+        "query vector, lexical term pair), fused per query by "
+        "reciprocal-rank fusion. Dense ranks come from ONE corpus "
+        "scan computing Q cosines per row (the embedding_knn_join "
+        "device: broadcast Q-row query side, per-qid row_number "
+        "heap); lexical ranks from ONE document scan computing the "
+        "term-union tf projection, a metadata-sized (N, avgdl, df) "
+        "broadcast, and a per-qid score explode (array-of-structs, "
+        "partition-preserving) ranked by the same WindowGroupLimit-"
+        "pruned per-qid window. Fusion is a (qid, doc_id)-keyed "
+        "full-outer join of two 20-row-per-qid frames; the RRF score "
+        "keeps integer rank arithmetic until ONE final division "
+        "(absent stages encode as rank 0), and the served top-10 per "
+        "qid cuts on (score desc, doc_id) — deterministic, "
+        "engine-exact, hash-matched. idf is 1e-9-quantized exactly "
+        "as docs_bm25 (the libm ln ulp)."
+    ),
+    tags=("llm", "text", "retrieval", "hybrid", "rrf", "batch"),
+)
+def q_docs_hybrid_retrieval_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .queries_ml import _BM25_B, _BM25_K1
+
+    from ..llm import text as lt
+
+    nq = len(_HYBRID_BATCH_TERMS)
+    docs = load_table(spark, sf_dir, "documents")
+    ws = lt.words("text")
+
+    def _tf(term: str):
+        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+
+    feat = docs.select(
+        "doc_id",
+        F.size(ws).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_HYBRID_TERMS)],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(_HYBRID_TERMS))
+        ],
+    )
+
+    def term(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        )
+        return (
+            idf
+            * (tf * F.lit(_BM25_K1 + 1))
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1 - _BM25_B)
+                    + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl"))
+                )
+            )
+        )
+
+    per_q = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("qid"),
+                    (
+                        term(_HYBRID_TERMS.index(a))
+                        + term(_HYBRID_TERMS.index(b))
+                    ).alias("score"),
+                )
+                for q, (a, b) in enumerate(_HYBRID_BATCH_TERMS)
+            ]
+        )
+    )
+    lexs = feat.crossJoin(F.broadcast(stats)).select(
+        "doc_id", per_q.alias("s")
+    ).select("doc_id", F.col("s.qid").alias("qid"), F.col("s.score").alias("score"))
+    wl = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        lexs.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= _HYBRID_TOPK)
+        .select("qid", "doc_id", "r")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = ls.knn_join(emb, num_queries=nq, k=_HYBRID_TOPK).select(
+        F.col("query_id").cast("int").alias("qid"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rn").alias("r"),
+    )
+    f = lex.join(dense, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        F.coalesce(lex["r"], F.lit(0)).alias("lex_rank"),
+        F.coalesce(dense["r"], F.lit(0)).alias("dense_rank"),
+    )
+    lr, dr = F.col("lex_rank"), F.col("dense_rank")
+    a = F.when(lr > 0, F.lit(_RRF_K) + lr).otherwise(F.lit(1))
+    b = F.when(dr > 0, F.lit(_RRF_K) + dr).otherwise(F.lit(1))
+    num = F.when(
+        (lr > 0) & (dr > 0),
+        (F.lit(_RRF_K) + lr) + (F.lit(_RRF_K) + dr),
+    ).otherwise(F.lit(1))
+    scored = f.select(
+        "qid",
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (num.cast("double") / (a * b)).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("fr", F.row_number().over(wf))
+        .filter(F.col("fr") <= _HYBRID_OUT)
+        .select("qid", "doc_id", "lex_rank", "dense_rank", "rrf_score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal training manifest (text prep + media survivors + video gate)
 # ---------------------------------------------------------------------------
 

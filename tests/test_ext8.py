@@ -274,6 +274,44 @@ def test_hybrid_retrieval_rrf_invariants(spark, sf_dir):
         assert min(r["rrf_score"] for r in both) > max(singles)
 
 
+def test_hybrid_batch_consistent_with_single_stages(spark, sf_dir):
+    """The batched fusion must agree with independent per-qid
+    recomputation: every served row's rrf_score re-derives from its
+    ranks; per qid exactly _HYBRID_OUT rows; and qid 0's dense ranks
+    agree with the registered knn_join stage at the same depth."""
+    from flink_engagement_pipeline_spark.llm import similarity as ls
+    from flink_engagement_pipeline_spark.plans.queries_ext8 import (
+        _HYBRID_BATCH_TERMS,
+        _HYBRID_OUT,
+        _HYBRID_TOPK,
+    )
+
+    rows = (
+        REGISTRY["docs_hybrid_retrieval_batch"].spark(spark, sf_dir).collect()
+    )
+    by_qid: dict[int, list] = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert sorted(by_qid) == list(range(len(_HYBRID_BATCH_TERMS)))
+    for qid, group in by_qid.items():
+        assert len(group) == _HYBRID_OUT
+        for r in group:
+            a = 60 + r["lex_rank"] if r["lex_rank"] > 0 else None
+            b = 60 + r["dense_rank"] if r["dense_rank"] > 0 else None
+            num, den = (a + b, a * b) if a and b else (1, a or b)
+            assert r["rrf_score"] == num / den
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = {
+        (r["query_id"], r["vec_id"]): r["rn"]
+        for r in ls.knn_join(
+            emb, num_queries=len(_HYBRID_BATCH_TERMS), k=_HYBRID_TOPK
+        ).collect()
+    }
+    for r in rows:
+        if r["dense_rank"] > 0:
+            assert knn[(r["qid"], r["doc_id"])] == r["dense_rank"]
+
+
 def test_manifest_multimodal_gates(spark, sf_dir):
     """The multimodal manifest must be exactly the text manifest
     minus media non-survivors and video near-dup drops, with

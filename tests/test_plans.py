@@ -424,14 +424,14 @@ def test_gate_priority_window_covers_graded_surface():
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
     plans/__init__.py). This pins the round-11 rotation: beyond the
-    sentinels, [b] holds the 5 round-11 additions (the semantic
+    sentinels, [b] holds the 6 round-11 additions (the semantic
     family's incremental ingest, takedown, AND streaming
     maintenance — completing it as the seventh full lifecycle row —
-    the RRF hybrid-retrieval fusion,
+    the RRF hybrid-retrieval fusion (single-query and batched),
     and the multimodal training manifest), and [c] is the staleness
     re-proof pass — the two round-5-checked replays the r10 policy
     text explicitly deferred here, then the FULL round-6-checked
-    remainder (34 queries, registry order), then the 3 oldest
+    remainder (34 queries, registry order), then the 2 oldest
     round-7-checked. After this window no query's last driver row is
     older than round 7. Streaming budget: 5 replays in-window (the
     new semdedup replay by the must-enter-on-birth rule + the two
@@ -454,6 +454,7 @@ def test_gate_priority_window_covers_graded_surface():
         "embedding_semdedup_delete",
         "stream_semdedup_index_replay",
         "docs_hybrid_retrieval",
+        "docs_hybrid_retrieval_batch",
         "corpus_manifest_multimodal",
     ]
     r5_backfill = [
@@ -484,9 +485,9 @@ def test_gate_priority_window_covers_graded_surface():
     r7_backfill = [
         # last driver row: CORRECTNESS_r07.json — oldest-coverage
         # block after the r6 remainder, registry order; the tail
-        # (events_asof_orders onward, whatever does not fit)
+        # (session_windows onward, whatever does not fit)
         # re-enters next round
-        "tumbling_stats", "leaderboard_topk", "session_windows",
+        "tumbling_stats", "leaderboard_topk",
     ]
     expected = (
         sentinels + new_in_r11 + r5_backfill + r6_backfill
@@ -988,6 +989,10 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "audience_overlap",         # 1-row sketch-estimates x 1-row exacts
         "embedding_mmr_rerank",     # single probe row x corpus (pool build)
         "embedding_mmr_batch",      # broadcast 4-row probe batch x corpus
+        "docs_hybrid_retrieval",    # composes docs_bm25's 1-row stats
+                                    # broadcast (allowlisted above)
+        "docs_hybrid_retrieval_batch",  # same stats broadcast + the
+                                    # knn_join probe-batch pattern
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):
