@@ -695,6 +695,7 @@ def semantic_dedup_delete(
     max_candidate_pairs: int = SEMDEDUP_MAX_CANDIDATE_PAIRS,
     impl: str = "catalyst",
     prior: DataFrame | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic-dedup TAKEDOWN — the delete cell of the family's
     lifecycle row (the ivf_index_delete contract on the semantic
@@ -719,29 +720,39 @@ def semantic_dedup_delete(
     touched-only == full rebuild-without-X.
 
     ``prior`` is the persisted keep/drop decision table ((vec_id,
-    cluster, is_kept) — what a production takedown reads for the
-    untouched clusters); when None (the registered query), it is
-    rebuilt in-plan by :func:`semantic_dedup` — the same
+    cluster, is_kept)) and ``index`` the persisted assignment table
+    ((vec_id, cluster)) — what a production takedown reads; when None
+    (the registered query), both are rebuilt in-plan — the same
     serve-the-index-the-ingest-left device the other delete twins
     use, so the ORACLE is one SQL text, while the scaling probe
-    passes a materialized prior to measure the takedown's own
-    (touched-cluster-bounded) cost.
+    passes the materialized tables to measure the takedown's own
+    (touched-cluster-bounded) cost. The probe FOUND the hazard the
+    ``index`` param fixes: without it, every driver job in here
+    (touched collect, size guard, rescreen) recomputes the full
+    corpus assignment — 3 x 60 s at 1M x k=20k, making the
+    "bounded" takedown COST MORE than a rebuild (164 s vs 138 s
+    measured). With the persisted index it is narrow-table reads +
+    a ~100-cluster rescreen. Vectors are read id-keyed through the
+    touched-cluster index slice only.
 
     Returns (vec_id, cluster, is_kept) for every REMAINING vector."""
     e = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = train_kmeans(emb, k, iters, impl=impl)  # pinned
-    assigned = assign_clusters(e, cents, impl=impl)
+    if index is None:
+        cents = train_kmeans(emb, k, iters, impl=impl)  # pinned
+        index = assign_clusters(e, cents, impl=impl).select(
+            "vec_id", "cluster"
+        )
     dset = del_ids.select("vec_id").distinct()
     touched = sorted(
         r["cluster"]
-        for r in assigned.join(F.broadcast(dset), "vec_id", "leftsemi")
+        for r in index.join(F.broadcast(dset), "vec_id", "leftsemi")
         .select("cluster")
         .distinct()
         .collect()
     )
-    remaining = assigned.join(F.broadcast(dset), "vec_id", "left_anti")
+    remaining = index.join(F.broadcast(dset), "vec_id", "left_anti")
     # untouched clusters: the persisted decisions are unchanged —
     # served here by the same plan that built them (the registered
     # delete queries rebuild the served state in-plan; in production
@@ -771,9 +782,22 @@ def semantic_dedup_delete(
             f"pairs in the touched clusters (> max_candidate_pairs="
             f"{max_candidate_pairs}); largest {biggest}"
         )
-    from .dedup import _BROADCAST_ID_LIMIT
+    from .dedup import _BROADCAST_ID_LIMIT, _semi_prune
 
-    dropped = _within_cluster_drops(re_members, threshold)
+    # vectors join the rescreen id-keyed through the narrow index
+    # slice, SEMI-PRUNED to the touched members' id set first — the
+    # 1M probe measured the unpruned form shuffling the entire
+    # corpus vector table (~786 MB at 1M) for a ~5k-row rescreen:
+    # the planner sizes the payload side before the index slice's
+    # cardinality is known (the round-7 verify-join lesson, applied
+    # to the takedown). The id-set bound is the size guard's own
+    # metadata (sum of touched remaining members), so the gate is
+    # free.
+    re_vec = _semi_prune(
+        e, re_members.select("vec_id"), "vec_id",
+        n_ids=sum(sizes.values()),
+    ).join(re_members, "vec_id").select("vec_id", "cluster", "v")
+    dropped = _within_cluster_drops(re_vec, threshold)
     n_drop_upper = min(est_pairs, sum(sizes.values()))
     drop_side = (
         F.broadcast(dropped) if n_drop_upper <= _BROADCAST_ID_LIMIT else dropped

@@ -138,6 +138,42 @@ def test_semdedup_delete_equals_rebuild_and_resurrects(spark, sf_dir):
     assert resurrected, "fixture takedown should resurrect a vector"
 
 
+def test_semdedup_delete_persisted_state_path(spark, sf_dir):
+    """The production takedown path (persisted `prior` decisions +
+    persisted `index` assignments passed in) must return exactly the
+    in-plan-rebuild path's answer — the 1M probe found that WITHOUT
+    the index param every driver job recomputed the full corpus
+    assignment, making the 'bounded' takedown cost more than a
+    rebuild; this pins the equivalence the fix relies on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    del_ids = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    inplan = sorted(
+        map(
+            tuple,
+            lc.semantic_dedup_delete(emb, del_ids, threshold=0.35).collect(),
+        )
+    )
+    cents = lc.train_kmeans(emb, 8, 3)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    index = (
+        lc.assign_clusters(e, cents)
+        .select("vec_id", "cluster")
+        .localCheckpoint()
+    )
+    prior = lc.semantic_dedup(emb, threshold=0.35).localCheckpoint()
+    stateful = sorted(
+        map(
+            tuple,
+            lc.semantic_dedup_delete(
+                emb, del_ids, threshold=0.35, prior=prior, index=index
+            ).collect(),
+        )
+    )
+    assert inplan == stateful
+
+
 def test_semdedup_ingest_pair_budget_guard(spark, sf_dir):
     """A batch whose cluster-load (in-batch pairs + batch-vs-state
     cross terms) exceeds the budget must refuse loudly, naming the

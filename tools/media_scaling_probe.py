@@ -183,12 +183,18 @@ for n in SIZES:
     prior = lc.semantic_dedup(
         emb, k=k, iters=iters, impl=impl
     ).localCheckpoint()
+    full_idx = lc.assign_clusters(
+        emb.selectExpr("vec_id", "cast(embedding as array<double>) as v"),
+        lc.train_kmeans(emb, k=k, iters=iters, impl=impl),
+        impl=impl,
+    ).select("vec_id", "cluster").localCheckpoint()
     del_ids = emb.filter(
         F.col("vec_id") % max(1, n // 100) == 0
     ).select("vec_id")
     run(
         lambda: lc.semantic_dedup_delete(
-            emb, del_ids, k=k, iters=iters, impl=impl, prior=prior
+            emb, del_ids, k=k, iters=iters, impl=impl,
+            prior=prior, index=full_idx,
         ),
         "semdedup_delete",
         n,
@@ -222,3 +228,29 @@ spark.stop()
 #      ~422M pairs) crashed into exactly as designed. The k=20k
 #      assignment also exposed the (rows x k) matmul-intermediate OOM
 #      fixed by row-chunking in _assign_clusters_pandas.
+#
+# Round-11 quiet-host run (PROBE_SKIP_DOCS=1; semantic lifecycle
+# stages; BASELINE.md round-11 section has the analysis):
+#
+# -- embeddings (SemDeDup ingest/delete; k per SEM_CONF; 80/20 split;
+#    delete = 100 ids against MATERIALIZED prior+index state) --
+# n=   10,000  ingest  2.50s (0.1 MB shuf) | delete  9.30s (k=8: ALL clusters touched -> rescreen == e2e, expected at fixture k)
+# n=  100,000  ingest  8.95s (0.9 MB shuf) | delete  9.64s (~100 of 200 clusters touched)
+# n=1,000,000  ingest 60.27s (794 MB shuf) | delete  5.55s (5.5 MB shuf; <=100 of 20k clusters touched)
+#   -> ingest is batch-bound (60s for a 200k batch vs 138s whole-corpus
+#      e2e this run); its 794 MB shuffle is the honest same-cluster
+#      corpus-vector read for a 20% batch that touches ALL clusters —
+#      a real daily batch touches |batch| clusters of 20k and the
+#      touched-cluster isin prunes the state scan proportionally.
+#   -> delete: the probe FOUND two scale bugs fixed this round:
+#      (a) without a persisted-index param every driver job recomputed
+#          the full 1M x 20k assignment (3 x ~60s: 164.5s total — MORE
+#          than a rebuild); fixed by the `index` param (production
+#          reads the persisted assignment table) -> 5.48s;
+#      (b) the rescreen's vector join shuffled the ENTIRE corpus
+#          vector table (785.6 MB for a ~5k-row rescreen — the
+#          round-7 verify-join hazard); fixed by _semi_prune on the
+#          touched-member id set (bound = the size guard's own
+#          metadata) -> 5.5 MB.
+#      Final: a fixed-size takedown is ~flat in n (9.3s/9.6s/5.6s at
+#      10k/100k/1M) once k scales with the corpus.
