@@ -95,7 +95,7 @@ from . import queries_ext8  # noqa: F401,E402
 #       hop_engagement_sum stays the single multi-million-row output
 #       in-window (CORRECTNESS_r10.json: 48 hash + 2 rows-only by
 #       design, 0 err);
-#   round 11 (this list): sentinels + [b] = the 6 round-11 additions
+#   round 11 (this list): sentinels + [b] = the 7 round-11 additions
 #       (embedding_semdedup_ingest + embedding_semdedup_delete +
 #       stream_semdedup_index_replay — the semantic family's
 #       daily-batch ingest, takedown, and streaming maintenance under
@@ -104,14 +104,16 @@ from . import queries_ext8  # noqa: F401,E402
 #       docs_hybrid_retrieval_batch — RRF fusion of the oracled BM25
 #       + dense top-k stages, single-query and per-broadcast-batch —
 #       corpus_manifest_multimodal — media survivors + video drops
-#       gating the training manifest) +
+#       gating the training manifest — docs_manifest_ingest — the
+#       manifest's own daily-batch append path, served positions
+#       stable) +
 #       [c] = the two round-5-checked replays the r10 policy text
 #       explicitly deferred here (stream_stateful_replay,
 #       stream_retract_replay — honouring that promise closes all
 #       pre-r6 staleness), then the FULL round-6-checked remainder
 #       (conversion_funnel through embedding_neardup_ingest, all 34
-#       in registry order), then the 2 oldest round-7-checked
-#       queries (tumbling_stats, leaderboard_topk).
+#       in registry order), then the oldest round-7-checked
+#       query (tumbling_stats).
 #       STREAMING BUDGET: 5 replays in-window — the NEW
 #       stream_semdedup_index_replay (in-window by the
 #       must-enter-on-birth rule) plus the two returning r5 veterans
@@ -143,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "docs_hybrid_retrieval",
     "docs_hybrid_retrieval_batch",
     "corpus_manifest_multimodal",
+    "docs_manifest_ingest",
     # -- [c] backfill: oldest driver coverage first — the two
     # round-5-checked replays deferred from r10 (the policy promise),
     # then ALL 34 round-6-checked queries in registry order, then the
@@ -185,7 +188,6 @@ _PRIORITY: tuple[str, ...] = (
     "docs_simhash_ingest",
     "embedding_neardup_ingest",
     "tumbling_stats",
-    "leaderboard_topk",
 )
 
 

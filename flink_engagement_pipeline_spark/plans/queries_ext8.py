@@ -591,6 +591,155 @@ def q_docs_hybrid_retrieval_batch(
 # ---------------------------------------------------------------------------
 
 
+_SPLIT_CASE = """CASE WHEN h < 'cc' THEN 'train'
+                WHEN h < 'e6' THEN 'val'
+                ELSE 'test' END"""
+
+
+def _prep_scored_sql(pred: str) -> str:
+    """The corpus-prep scoring CTE body (identical expressions to
+    queries_llm.CORPUS_PREP_ORACLE) over the rows matching ``pred`` —
+    parameterized so the ingest oracle can score corpus and batch
+    sides separately."""
+    from .queries_llm import _NORM, _WORDS, _hits
+
+    return f"""
+  SELECT doc_id,
+         md5({_NORM}) AS fp_md5,
+         len({_WORDS}) AS n_tokens,
+         floor((
+             least(CAST(len({_WORDS}) AS DOUBLE) / 200.0, 1.0) * 0.4
+             + (CAST({_hits('en')} AS DOUBLE) / len({_WORDS})) * 0.3
+             + least((CAST(length(regexp_replace({_NORM}, ' ', '', 'g')) AS DOUBLE)
+                      / len({_WORDS})) / 8.0, 1.0) * 0.3
+         ) * 1000000 + 0.5) / 1000000 AS quality_score,
+         CASE WHEN {_hits('en')} >= {_hits('de')} AND {_hits('en')} >= {_hits('es')}
+                   AND {_hits('en')} >= {_hits('fr')} AND {_hits('en')} > 0 THEN 'en'
+              WHEN {_hits('de')} >= {_hits('es')} AND {_hits('de')} >= {_hits('fr')}
+                   AND {_hits('de')} > 0 THEN 'de'
+              WHEN {_hits('es')} >= {_hits('fr')} AND {_hits('es')} > 0 THEN 'es'
+              WHEN {_hits('fr')} > 0 THEN 'fr'
+              ELSE 'und' END AS lang_pred
+  FROM documents, cutt WHERE {pred}"""
+
+
+def _manifest_ingest_oracle() -> str:
+    filt = "lang_pred = 'en' AND quality_score >= 0.3"
+    return f"""
+WITH cutt AS (SELECT (max(doc_id) * 4) // 5 AS cut FROM documents),
+cscored AS ({_prep_scored_sql("doc_id < cut")}),
+state AS (
+  SELECT doc_id, n_tokens, fp_md5 FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn
+    FROM cscored WHERE {filt}
+  ) WHERE rn = 1
+),
+stagged AS (
+  SELECT doc_id, {_SPLIT_CASE} AS split
+  FROM (SELECT *, substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        FROM state)
+),
+base AS (SELECT split, count(*) AS c FROM stagged GROUP BY split),
+bscored AS ({_prep_scored_sql("doc_id >= cut")}),
+bd AS (
+  SELECT doc_id, n_tokens, fp_md5 FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn
+    FROM bscored WHERE {filt}
+  ) WHERE rn = 1
+),
+bnew AS (
+  SELECT * FROM bd WHERE fp_md5 NOT IN (SELECT fp_md5 FROM state)
+),
+btagged AS (
+  SELECT doc_id, n_tokens, fp_md5, {_SPLIT_CASE} AS split
+  FROM (SELECT *, substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        FROM bnew)
+)
+SELECT t.doc_id AS doc_id, t.split AS split, t.n_tokens AS n_tokens,
+       CAST(coalesce(b.c, 0)
+            + row_number() OVER (PARTITION BY t.split
+                                 ORDER BY t.fp_md5, t.doc_id)
+            AS BIGINT) AS sample_idx
+FROM btagged t LEFT JOIN base b ON t.split = b.split
+"""
+
+
+@register(
+    "docs_manifest_ingest",
+    oracle=_manifest_ingest_oracle(),
+    doc=(
+        "Training-manifest INGEST — the daily-batch shape for the "
+        "curation manifest itself (the lifecycle principle applied "
+        "to docs_training_manifest): a new document batch (doc_id "
+        "above 80% of max id) is scored and filtered by the "
+        "IDENTICAL prep pipeline, deduped in-batch, screened against "
+        "the persisted manifest state by fingerprint anti-join (a "
+        "batch doc duplicating any served fp is dropped — the "
+        "incremental exact-dedup contract, and because batch ids "
+        "exceed corpus ids the kept set provably equals a full "
+        "rebuild's), split by the same salted hash (split assignment "
+        "is per-doc_id, so it never shifts), and APPENDED: new "
+        "sample indices start after each split's served count, "
+        "ordered by (fp_md5, doc_id) within the batch. The deliberate "
+        "deviation from rebuild semantics — a rebuild re-sorts "
+        "sample_idx globally by content hash, reshuffling every "
+        "served position — is the point: append-ordered epochs keep "
+        "existing training positions STABLE, which is what lets a "
+        "data loader resume mid-epoch after an ingest (kept-id-set "
+        "equality with the rebuild and served-position stability are "
+        "both pytest-pinned). State reads: one fp column of the "
+        "persisted prep table (anti-join) + 3 per-split counts — "
+        "batch-sized work, never a corpus rescan."
+    ),
+    tags=("llm", "pipeline", "manifest", "incremental"),
+)
+def q_docs_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.util import fan_out
+    from .queries_llm import corpus_prep_of
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = int(
+        docs.agg(F.expr("max(doc_id) * 4 div 5").alias("c")).first()["c"]
+    )
+    state = corpus_prep_of(fan_out(docs.filter(F.col("doc_id") < cut)))
+    bprep = corpus_prep_of(fan_out(docs.filter(F.col("doc_id") >= cut)))
+
+    def split_tag(df: DataFrame) -> DataFrame:
+        h = F.substring(
+            F.md5(
+                F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))
+            ),
+            1,
+            2,
+        )
+        return df.withColumn(
+            "split",
+            F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test"),
+        )
+
+    base = (
+        split_tag(state.select("doc_id"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bnew = bprep.join(state.select("fp_md5"), "fp_md5", "left_anti")
+    w = Window.partitionBy("split").orderBy("fp_md5", "doc_id")
+    return (
+        split_tag(bnew)
+        .join(F.broadcast(base), "split", "left")
+        .select(
+            "doc_id",
+            "split",
+            "n_tokens",
+            (F.coalesce(F.col("c"), F.lit(0)) + F.row_number().over(w))
+            .cast("long")
+            .alias("sample_idx"),
+        )
+    )
+
+
 def _manifest_multimodal_oracle() -> str:
     from .queries_ext7 import MEDIA_SURVIVORS_ORACLE
     from .queries_llm import CORPUS_PREP_ORACLE

@@ -810,14 +810,21 @@ def corpus_prep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection shared by docs_corpus_prep and
     docs_training_manifest: score -> en-filter -> quality-filter ->
     exact-dedup (min doc_id per normalized-text md5)."""
-    from pyspark.sql import Window
-
     from ..operators.util import fan_out
 
     # fan_out BEFORE scoring: the fixture parquet is one split, and
     # md5 + quality + lang-id per row on a single core was this
     # query's dominant cost (same lesson as ngram_jaccard_pairs).
-    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return corpus_prep_of(
+        fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+
+
+def corpus_prep_of(docs: DataFrame) -> DataFrame:
+    """corpus_prep_frame over an arbitrary (doc_id, text) frame —
+    factored out so the manifest INGEST path (queries_ext8) can score
+    a batch subset with the identical pipeline."""
+    from pyspark.sql import Window
     qs = lt.quality_score("text")
     scored = docs.select(
         "doc_id",

@@ -348,6 +348,60 @@ def test_hybrid_batch_consistent_with_single_stages(spark, sf_dir):
             assert knn[(r["qid"], r["doc_id"])] == r["dense_rank"]
 
 
+def test_manifest_ingest_append_stability(spark, sf_dir):
+    """The manifest ingest's contract: (a) served ∪ ingested doc ids
+    EQUAL a full rebuild's kept set (the append-only id space makes
+    cross-set dedup keep the same survivors); (b) every ingested
+    sample_idx lands AFTER its split's served count (served training
+    positions never shift — the reason append-epochs deviate from
+    rebuild index order); (c) served + ingested indices are contiguous
+    1..n per split."""
+    from flink_engagement_pipeline_spark.plans.queries_llm import (
+        corpus_prep_of,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = int(
+        docs.agg(F.expr("max(doc_id) * 4 div 5").alias("c")).first()["c"]
+    )
+    ingested = (
+        REGISTRY["docs_manifest_ingest"].spark(spark, sf_dir).collect()
+    )
+    assert ingested  # non-vacuous
+    # served manifest over the corpus side only
+    state = corpus_prep_of(docs.filter(F.col("doc_id") < cut))
+    h = F.substring(
+        F.md5(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))),
+        1,
+        2,
+    )
+    served = (
+        state.withColumn(
+            "split",
+            F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test"),
+        )
+        .select("doc_id", "split")
+        .collect()
+    )
+    served_counts: dict[str, int] = {}
+    for r in served:
+        served_counts[r["split"]] = served_counts.get(r["split"], 0) + 1
+    rebuild = {
+        r["doc_id"]
+        for r in REGISTRY["docs_training_manifest"].spark(spark, sf_dir).collect()
+    }
+    assert {r["doc_id"] for r in served} | {
+        r["doc_id"] for r in ingested
+    } == rebuild
+    by_split: dict[str, list[int]] = {}
+    for r in ingested:
+        assert r["sample_idx"] > served_counts.get(r["split"], 0)
+        by_split.setdefault(r["split"], []).append(r["sample_idx"])
+    for sp, idxs in by_split.items():
+        lo = served_counts.get(sp, 0)
+        assert sorted(idxs) == list(range(lo + 1, lo + len(idxs) + 1))
+
+
 def test_manifest_multimodal_gates(spark, sf_dir):
     """The multimodal manifest must be exactly the text manifest
     minus media non-survivors and video near-dup drops, with

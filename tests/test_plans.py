@@ -424,14 +424,15 @@ def test_gate_priority_window_covers_graded_surface():
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
     plans/__init__.py). This pins the round-11 rotation: beyond the
-    sentinels, [b] holds the 6 round-11 additions (the semantic
+    sentinels, [b] holds the 7 round-11 additions (the semantic
     family's incremental ingest, takedown, AND streaming
     maintenance — completing it as the seventh full lifecycle row —
     the RRF hybrid-retrieval fusion (single-query and batched),
-    and the multimodal training manifest), and [c] is the staleness
+    the multimodal training manifest, and the manifest's own
+    append-path ingest), and [c] is the staleness
     re-proof pass — the two round-5-checked replays the r10 policy
     text explicitly deferred here, then the FULL round-6-checked
-    remainder (34 queries, registry order), then the 2 oldest
+    remainder (34 queries, registry order), then the oldest
     round-7-checked. After this window no query's last driver row is
     older than round 7. Streaming budget: 5 replays in-window (the
     new semdedup replay by the must-enter-on-birth rule + the two
@@ -456,6 +457,7 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_hybrid_retrieval",
         "docs_hybrid_retrieval_batch",
         "corpus_manifest_multimodal",
+        "docs_manifest_ingest",
     ]
     r5_backfill = [
         # last driver row: CORRECTNESS_r05.json — the two replays the
@@ -485,9 +487,9 @@ def test_gate_priority_window_covers_graded_surface():
     r7_backfill = [
         # last driver row: CORRECTNESS_r07.json — oldest-coverage
         # block after the r6 remainder, registry order; the tail
-        # (session_windows onward, whatever does not fit)
+        # (leaderboard_topk onward, whatever does not fit)
         # re-enters next round
-        "tumbling_stats", "leaderboard_topk",
+        "tumbling_stats",
     ]
     expected = (
         sentinels + new_in_r11 + r5_backfill + r6_backfill
