@@ -75,6 +75,9 @@ FLAGSHIP_NAMES = [
     "embedding_semdedup_ingest",
     "corpus_manifest_multimodal",
     "docs_hybrid_retrieval",
+    # the manifest's own append-path ingest (late round-11): one
+    # scored scan per side + fp anti-join + 3-row base counts
+    "docs_manifest_ingest",
 ]
 
 
