@@ -45,22 +45,15 @@ _SAMPLES_PER_PART = 20
 _SEED = 42
 
 
-def global_row_number(
-    df: DataFrame,
-    order_cols: list[Column | str],
-    out: str = "row_num",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Exact global 1-based row numbers under a TOTAL order, with no
-    single-partition exchange and no persisted relation. Triggers two
-    metadata-sized driver jobs (boundary sample, per-range counts)
-    before returning the lazy numbered plan."""
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    # Field names are part of a struct's type: alias both the key and
-    # the boundary literals identically so the comparison resolves.
+def _literal_range_pid(
+    df: DataFrame, cols: list[Column], n_parts: int
+) -> Column:
+    """Steps 1-2 of the module device, factored so the grouped variant
+    shares them: sample the order key, freeze p-1 boundaries as plan
+    LITERALS, and return the range id as a pure per-row projection.
+    Triggers two metadata-sized driver jobs (count, boundary sample)."""
     names = [f"f{i}" for i in range(len(cols))]
     key = F.struct(*[c.alias(a) for c, a in zip(cols, names)])
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
 
     n = df.count()
     boundaries: list = []
@@ -76,28 +69,44 @@ def global_row_number(
             picked = {sample[int(i * step)] for i in range(1, n_parts)}
             boundaries = sorted(picked)
 
-    if boundaries:
-        # __pid = number of boundaries strictly below the key. NULL
-        # struct comparisons coalesce to 0, so null-keyed rows land in
-        # range 0 — consistent with Spark's nulls-first ascending sort.
-        pid = sum(
-            (
-                F.coalesce(
-                    (
-                        key
-                        > F.struct(
-                            *[F.lit(v).alias(a) for v, a in zip(b, names)]
-                        )
-                    ).cast("int"),
-                    F.lit(0),
-                )
-                for b in boundaries
-            ),
-            F.lit(0),
-        )
-    else:
-        pid = F.lit(0)
-    parted = df.withColumn("__pid", pid)
+    if not boundaries:
+        return F.lit(0)
+    # __pid = number of boundaries strictly below the key. NULL
+    # struct comparisons coalesce to 0, so null-keyed rows land in
+    # range 0 — consistent with Spark's nulls-first ascending sort.
+    return sum(
+        (
+            F.coalesce(
+                (
+                    key
+                    > F.struct(
+                        *[F.lit(v).alias(a) for v, a in zip(b, names)]
+                    )
+                ).cast("int"),
+                F.lit(0),
+            )
+            for b in boundaries
+        ),
+        F.lit(0),
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based row numbers under a TOTAL order, with no
+    single-partition exchange and no persisted relation. Triggers two
+    metadata-sized driver jobs (boundary sample, per-range counts)
+    before returning the lazy numbered plan."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Field names are part of a struct's type: _literal_range_pid
+    # aliases both the key and the boundary literals identically so
+    # the comparison resolves.
+    parted = df.withColumn("__pid", _literal_range_pid(df, cols, n_parts))
 
     counts = dict(
         (r["__pid"], r["cnt"])
@@ -116,4 +125,78 @@ def global_row_number(
         parted.join(F.broadcast(off_df), "__pid")
         .withColumn(out, F.row_number().over(w) + F.col("__off"))
         .drop("__pid", "__off")
+    )
+
+
+def grouped_global_row_number(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column | str],
+    out: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY ...)`` for a
+    LOW-CARDINALITY group column, with no group-sized sort task — the
+    per-group extension of :func:`global_row_number` (the r11 verdict's
+    weak finding: a 3-split manifest window sorts the whole corpus
+    through 3 tasks, and WindowGroupLimit cannot prune a numbering that
+    every row needs).
+
+    Same literal-boundary device, one twist: boundaries are sampled
+    over the WHOLE frame (they only steer balance), while counts and
+    offsets are keyed by (group, range id). Correctness per group is
+    unconditional — within a group, every key in range p compares above
+    every key in range p-1 against the SAME literals, and ties land in
+    the same range — so partition-local numbering plus the group's
+    cumulative offsets is exactly the per-group row number. Parallelism
+    is groups x ranges instead of groups; the offsets table
+    (groups x ranges rows — metadata) rides a broadcast join.
+
+    The order must be TOTAL within each group (include a tiebreak
+    column). As with the global form, range assignment is a pure
+    function of the row: no cached relation, every pass recomputes
+    identical ranges. Callers whose input is an expensive DERIVED
+    subtree (not a parquet scan) should cut lineage first — the device
+    scans its input three times (count, boundary sample + per-group
+    counts, numbering), which is the right trade for a re-scannable
+    source and the wrong one for a 12-second join tree."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.withColumn("__pid", _literal_range_pid(df, cols, n_parts))
+
+    counts = (
+        parted.groupBy(group_col, "__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in counts:
+        per_group.setdefault(r[group_col], {})[r["__pid"]] = r["cnt"]
+    rows = []
+    for g, pids in per_group.items():
+        acc = 0
+        for p in sorted(pids):
+            rows.append((g, p, acc))
+            acc += pids[p]
+    spark = df.sparkSession
+    from pyspark.sql.types import LongType, IntegerType, StructField, StructType
+
+    off_schema = StructType(
+        [
+            StructField("__grp", df.schema[group_col].dataType),
+            StructField("__pid", IntegerType()),
+            StructField("__off", LongType()),
+        ]
+    )
+    off_df = spark.createDataFrame(rows or [(None, 0, 0)], off_schema)
+    w = Window.partitionBy(group_col, "__pid").orderBy(*cols)
+    return (
+        parted.join(
+            F.broadcast(off_df),
+            (F.col(group_col) == F.col("__grp"))
+            & (parted["__pid"] == off_df["__pid"]),
+        )
+        .drop(off_df["__pid"])
+        .withColumn(out, F.row_number().over(w) + F.col("__off"))
+        .drop("__pid", "__off", "__grp")
     )

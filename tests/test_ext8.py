@@ -6,6 +6,7 @@
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -279,6 +280,44 @@ def test_streaming_semdedup_pairs_arrival_order(spark, sf_dir):
         }
         assert not (p1 & p2)  # each pair forms exactly once
         assert p1 | p2 == want
+
+
+def test_semdedup_replay_serve_join_broadcast_gate(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The replay's final keep/drop serve join carries the same
+    _BROADCAST_ID_LIMIT degrade as the three llm.cluster keep/drop
+    joins (r11 ADVICE: the committed higher-id set scales with the
+    corpus duplicate count, so an unconditional hint is the
+    O(corpus)-ids broadcast hazard). The bound is the committed
+    pair-row count — sink metadata, no extra scan. Hint below the
+    limit, planner-chosen above, rows identical on both paths."""
+    from flink_engagement_pipeline_spark.llm import dedup as ldd
+    from flink_engagement_pipeline_spark.plans.queries_ext8 import (
+        run_semdedup_index_replay,
+        serve_semdedup_keepdrop,
+    )
+    from flink_engagement_pipeline_spark.streaming.sinks import (
+        IdempotentParquetSink,
+    )
+
+    tmp = str(tmp_path / "replay")
+    os.makedirs(tmp)
+    run_semdedup_index_replay(spark, sf_dir, tmp)
+    codes_sink = IdempotentParquetSink(os.path.join(tmp, "codes"))
+    pairs_sink = IdempotentParquetSink(os.path.join(tmp, "pairs"))
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    small = serve_semdedup_keepdrop(spark, codes_sink, pairs_sink)
+    assert "hint" in optimized(small).lower()
+    monkeypatch.setattr(ldd, "_BROADCAST_ID_LIMIT", 0)
+    big = serve_semdedup_keepdrop(spark, codes_sink, pairs_sink)
+    assert "hint" not in optimized(big).lower()
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, big.collect())
+    )
 
 
 def test_hybrid_retrieval_rrf_invariants(spark, sf_dir):

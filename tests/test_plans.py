@@ -583,6 +583,69 @@ def test_global_row_number_leaves_no_cached_relation(spark, sf_dir):
     assert _ids() - before == set()
 
 
+def test_grouped_global_row_number_matches_window(spark, sf_dir):
+    """The grouped device must reproduce ``row_number() OVER
+    (PARTITION BY group ORDER BY ...)`` exactly — boundaries are
+    sampled globally but counts/offsets are (group, range)-keyed, so
+    per-group numbering is unconditional (see operators/rank.py)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.operators.rank import (
+        grouped_global_row_number,
+    )
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    out = grouped_global_row_number(
+        ev, "event_type", ["ts", "event_id"], out="rn"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    expect = sorted(
+        map(tuple, ev.withColumn("rn", F.row_number().over(w)).collect())
+    )
+    got = sorted(
+        map(tuple, out.select("event_id", "event_type", "ts", "rn").collect())
+    )
+    assert got == expect
+
+
+def test_manifest_sample_idx_no_split_sized_window(spark, sf_dir):
+    """The r11 verdict's weak finding, pinned fixed: the manifest
+    family's per-split sample index must NOT ride a Window whose only
+    partition keys are the 3 split values (a fixed-parallelism sort of
+    the whole post-dedup corpus that WindowGroupLimit cannot prune —
+    every row needs a number). Both rebuild-shaped manifest queries
+    must number via the grouped global_row_number device: the
+    numbering exchange hashes on (split, __pid) and no stage is
+    single-partition. The ingest/replay queries are exempt by design —
+    their windows cover only the incoming batch."""
+    import re
+
+    from flink_engagement_pipeline_spark.plans import REGISTRY
+
+    for name in ("docs_training_manifest", "corpus_manifest_multimodal"):
+        plan = (
+            REGISTRY[name]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SinglePartition" not in plan, (name, plan[:1500])
+        assert re.search(r"hashpartitioning\(split#\d+, __pid#", plan), (
+            name,
+            plan[:1500],
+        )
+        # the old 3-key shape: a window partitioned by split alone,
+        # ordering directly on (fp_md5, doc_id)
+        assert not re.search(
+            r"windowspecdefinition\(split#\d+, fp_md5#", plan
+        ), (name, plan[:1500])
+
+
 def test_lsh_candidate_pairs_single_corpus_pass(spark, sf_dir):
     """lsh_candidate_pairs computes MinHash signatures ONCE: pair
     generation is in-bucket (groupBy band key + sorted collect_list +
