@@ -78,6 +78,15 @@ FLAGSHIP_NAMES = [
     # the manifest's own append-path ingest (late round-11): one
     # scored scan per side + fp anti-join + 3-row base counts
     "docs_manifest_ingest",
+    # round 12: the persisted-state multimodal composition (media/
+    # video state memoized after run 1 — the semdedup_ingest
+    # convention — so min-of-N times the production SERVE path and
+    # the delta vs corpus_manifest_multimodal is the measured cost of
+    # inline recompute) and the BM25 index serve (postings state
+    # memoized after run 1; term-pruned scan + broadcast stats +
+    # TakeOrdered — the lexical-retrieval serving path)
+    "corpus_manifest_from_state",
+    "docs_bm25_from_index",
 ]
 
 

@@ -1,0 +1,161 @@
+"""Persisted lexical (BM25) index — postings + corpus statistics as a
+maintained state family, so retrieval serves from state instead of
+rescanning the corpus per query batch (the r11 verdict's "What's
+missing" item on hybrid retrieval).
+
+Index layout, chosen for the associativity that makes every lifecycle
+cell EXACT (no recall caveat anywhere in this family):
+
+* ``postings``: one row per (term, doc_id) with the term frequency and
+  the document length — the classic inverted index, denormalized with
+  ``dl`` so scoring never joins a separate doc-length table. Serving
+  prunes it with a literal ``term IN (...)`` that pushes into the
+  parquet scan of the persisted state (PushedFilters), so a query
+  touches only its own terms' postings — the 100 TB contract of an
+  inverted index.
+* ``stats``: (n_docs, sum_dl) DELTA rows. Ingest appends a positive
+  delta, takedown a negative one; serving sums the deltas and performs
+  ONE integer->double division for avgdl. Document frequency is never
+  materialized: df(t) = the live posting count of t, derived from the
+  pruned slice at serve time (each doc contributes <= 1 posting per
+  term), so it is automatically consistent under ingest AND takedown.
+* takedown writes TOMBSTONES, not in-place deletes: the delta-append
+  discipline cannot rewrite committed files, so a removed document
+  commits its own postings with NEGATED tf (plus the negative stats
+  row), and serving folds sum(tf) per (term, doc_id) and keeps rows
+  with a positive live count — the LSM convention. The serve-side
+  fold keeps the sink's compaction semantics-free: a snapshot is just
+  the concatenated deltas, tombstones included.
+
+Everything is integer counts until the single avgdl division and the
+1e-9-quantized idf (the docs_bm25 libm-ln discipline), which is what
+makes append == rebuild and delete == rebuild-without-X hold EXACTLY:
+counts are associative and commutative, so the committed union of
+batch deltas reproduces the full rebuild bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import text as lt
+
+
+def postings_of(docs: DataFrame) -> DataFrame:
+    """Inverted-index postings (term, doc_id, tf, dl) of a (doc_id,
+    text) frame. One token explode feeding one map-side-combinable
+    aggregation — the only corpus-sized shuffle in the family's build
+    path, keyed by (term, doc_id) so no key is hotter than a term's
+    per-doc row set."""
+    ws = lt.words("text")
+    return (
+        docs.select(
+            "doc_id", F.size(ws).alias("dl"), F.explode(ws).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+def stats_delta_of(docs: DataFrame, sign: int = 1) -> DataFrame:
+    """One (n_docs, sum_dl) delta row for a document batch; ``sign=-1``
+    builds a takedown's negative delta. Integer counts only — summing
+    committed deltas reproduces the rebuild's statistics exactly."""
+    ws = lt.words("text")
+    return docs.select(F.size(ws).alias("dl")).agg(
+        (F.count(F.lit(1)) * F.lit(sign)).cast("long").alias("n_docs"),
+        (F.coalesce(F.sum("dl"), F.lit(0)) * F.lit(sign))
+        .cast("long")
+        .alias("sum_dl"),
+    )
+
+
+def bm25_serve(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` BM25 (doc_id, n_tokens, score) among documents
+    containing >= 1 query term, served from the persisted index.
+
+    Plan shape: literal isin prunes the postings scan to the query
+    terms (parquet pushdown); per-term df is a metadata-sized
+    aggregate of the pruned slice; (n_docs, avgdl) comes from summing
+    the stats delta rows; both broadcast back over the per-doc tf
+    pivot, the score is a pure expression, and the top-k is
+    TakeOrderedAndProject. The matched-docs-only contract is the
+    honest index semantics (an inverted index never sees a document
+    with zero query terms — such docs score exactly 0 under BM25);
+    on corpora where >= k documents match some term, the result is
+    identical to the full-scan docs_bm25 form.
+
+    idf is 1e-9-quantized exactly as docs_bm25 (the libm ln ulp), and
+    every other input is an integer until the avgdl division, so
+    scores are engine-exact against the SQL twin."""
+    pruned = postings.filter(F.col("term").isin(*terms))
+    # tombstone fold: sum tf per (term, doc_id) and keep live rows —
+    # a no-op when no takedown delta exists, and the fold runs on the
+    # term-pruned slice only, never the whole index
+    live = (
+        pruned.groupBy("term", "doc_id")
+        .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
+        .filter(F.col("tf") > 0)
+    )
+    dfs = live.groupBy().agg(
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    gstats = stats.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (
+            F.sum("sum_dl").cast("double") / F.sum("n_docs")
+        ).alias("avgdl"),
+    )
+    per_doc = live.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        *[
+            F.max(
+                F.when(F.col("term") == t, F.col("tf")).otherwise(F.lit(0))
+            ).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    score = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        )
+        term = (
+            idf
+            * (tf * F.lit(k1 + 1))
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        per_doc.crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(gstats))
+        .select(
+            "doc_id", F.col("dl").alias("n_tokens"), score.alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -16,6 +16,7 @@ from . import queries_ext5  # noqa: F401,E402
 from . import queries_ext6  # noqa: F401,E402
 from . import queries_ext7  # noqa: F401,E402
 from . import queries_ext8  # noqa: F401,E402
+from . import queries_ext9  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order is part of the driver contract: the correctness gate
@@ -95,7 +96,7 @@ from . import queries_ext8  # noqa: F401,E402
 #       hop_engagement_sum stays the single multi-million-row output
 #       in-window (CORRECTNESS_r10.json: 48 hash + 2 rows-only by
 #       design, 0 err);
-#   round 11 (this list): sentinels + [b] = the 7 round-11 additions
+#   round 11: sentinels + [b] = the 7 round-11 additions
 #       (embedding_semdedup_ingest + embedding_semdedup_delete +
 #       stream_semdedup_index_replay — the semantic family's
 #       daily-batch ingest, takedown, and streaming maintenance under
@@ -123,7 +124,37 @@ from . import queries_ext8  # noqa: F401,E402
 #       one-round cost to land the seventh lifecycle family complete
 #       in its birth round.
 #       hop_engagement_sum stays the single multi-million-row output
-#       in-window.
+#       in-window (CORRECTNESS_r11.json: 48 hash + 2 rows-only by
+#       design, 0 err — after that round no last driver row predates
+#       round 7);
+#   round 12 (this list): sentinels + [b] = the 7 round-12 additions
+#       (docs_manifest_delete + stream_manifest_replay — the manifest
+#       family's takedown (tombstone positions, touched-fp
+#       resurrection) and streaming maintenance, completing it as the
+#       EIGHTH full lifecycle row — corpus_manifest_from_state — the
+#       multimodal manifest composed from the media/video families'
+#       persisted state instead of inline recompute —
+#       docs_bm25_from_index + docs_bm25_ingest + docs_bm25_delete +
+#       stream_bm25_index_replay — the persisted BM25 index, the
+#       NINTH lifecycle row complete in its birth round) plus the 3
+#       MATERIALLY CHANGED queries re-entering by the [b] rule
+#       (docs_training_manifest + corpus_manifest_multimodal — the
+#       r11 weak finding's numbering device swap, values pinned
+#       identical — and docs_hybrid_retrieval — its lexical stage now
+#       serves from the persisted BM25 index) + [c] = the 34 oldest
+#       round-7-checked queries in registry order (leaderboard_topk
+#       through docs_substring_dedup; the tail — docs_repeated_spans
+#       onward, 8 queries — re-enters next round).
+#       STREAMING BUDGET: 4 replays in-window — the two NEW replays
+#       (manifest + BM25 maintenance, in-window by the
+#       must-enter-on-birth rule) plus the r7 backfill block's
+#       stream_outer_join_replay and stream_full_outer_join_replay —
+#       back to the r10 slate of 4 after r11's deliberate 5.
+#       hop_engagement_sum stays the single multi-million-row output
+#       in-window. The unchanged-and-green stream_semdedup_index_
+#       replay's serve join gained a size-gated broadcast hint this
+#       round; the gate is pin-tested result-identical on both paths,
+#       so it does NOT re-enter as materially changed.
 #
 # Everything not listed keeps module import order after the priority block
 # and remains covered by tests/test_registry_oracle.py locally.
@@ -137,57 +168,56 @@ _PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_minhash_pairs",
-    # -- [b] new in round 11 --
+    # -- [b] new in round 12 --
     # (each addition displaces one backfill entry from the tail of [c])
-    "embedding_semdedup_ingest",
-    "embedding_semdedup_delete",
-    "stream_semdedup_index_replay",
-    "docs_hybrid_retrieval",
-    "docs_hybrid_retrieval_batch",
+    "docs_manifest_delete",
+    "stream_manifest_replay",
+    "corpus_manifest_from_state",
+    "docs_bm25_from_index",
+    "docs_bm25_ingest",
+    "docs_bm25_delete",
+    "stream_bm25_index_replay",
+    # materially changed this round (the [b] re-entry rule):
+    "docs_training_manifest",
     "corpus_manifest_multimodal",
-    "docs_manifest_ingest",
-    # -- [c] backfill: oldest driver coverage first — the two
-    # round-5-checked replays deferred from r10 (the policy promise),
-    # then ALL 34 round-6-checked queries in registry order, then the
-    # 5 oldest round-7-checked (cdc_materialize onward of the r7
-    # block re-enter next round) --
-    "stream_stateful_replay",
-    "stream_retract_replay",
-    "conversion_funnel",
-    "events_profile",
-    "part_string_functions",
-    "orders_by_month",
-    "embedding_array_ops",
-    "clickers_also_purchasing",
-    "clickers_never_erroring",
-    "user_running_totals",
-    "value_percentiles_exact",
-    "activity_union_all",
-    "grouping_sets_engagement",
-    "minute_rollup",
-    "hll_user_reach",
-    "user_value_ranking",
-    "minute_rollup_gapfill",
-    "event_stats_unpivot",
-    "user_first_last_event",
-    "value_histogram",
-    "value_moments_by_type",
-    "user_trailing_7d_value",
-    "cep_direct_purchase",
-    "cep_session_conversion",
-    "stream_cep_replay",
-    "cep_engaged_conversion",
-    "embedding_mmr_rerank",
-    "embedding_mmr_batch",
-    "cumulate_engagement",
-    "window_topn",
-    "window_dedup",
-    "window_join",
-    "docs_bpe_merges",
-    "stream_sketch_replay",
-    "docs_simhash_ingest",
-    "embedding_neardup_ingest",
-    "tumbling_stats",
+    "docs_hybrid_retrieval",
+    # -- [c] backfill: oldest driver coverage first — the 34 oldest
+    # round-7-checked queries in registry order (the tail,
+    # docs_repeated_spans onward, re-enters next round) --
+    "leaderboard_topk",
+    "session_windows",
+    "events_asof_orders",
+    "events_dim_asof",
+    "cdc_materialize",
+    "user_event_type_sets",
+    "lateral_top_users",
+    "docs_token_stats",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_fingerprint",
+    "docs_simhash",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+    "media_features",
+    "media_frame_sample",
+    "embedding_norms_pandas",
+    "docs_clean",
+    "docs_dedup_clusters",
+    "docs_word_positions",
+    "docs_corpus_prep",
+    "docs_bigram_freq",
+    "docs_train_split",
+    "docs_chunks",
+    "docs_lang_downsample",
+    "docs_contamination",
+    "docs_pack_sequences",
+    "pricing_summary",
+    "forecast_revenue_change",
+    "stream_outer_join_replay",
+    "stream_full_outer_join_replay",
+    "docs_bpe_encode",
+    "embedding_ivf_ingest",
+    "docs_substring_dedup",
 )
 
 

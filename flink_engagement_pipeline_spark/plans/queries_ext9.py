@@ -1,0 +1,688 @@
+"""Round-12 extension batch — the r11 verdict's "Next round" list:
+
+* the manifest family's missing lifecycle cells — TAKEDOWN
+  (docs_manifest_delete: tombstone positions, never renumber, with the
+  semdedup-style touched-fp resurrection re-screen) and STREAMING
+  MAINTENANCE (stream_manifest_replay: the identical prep +
+  fp-anti-join + append path through batchId-keyed exactly-once sinks
+  with in-loop compaction) — making the training manifest the EIGHTH
+  complete index-lifecycle row;
+* the persisted-state multimodal manifest composition
+  (corpus_manifest_from_state): the SAME manifest oracle served by
+  reading the media/video dedup families' persisted lifecycle outputs
+  instead of recomputing them inline — the production shape
+  BASELINE.md round 11 named;
+* the persisted BM25 index family (llm/lexical.py) — build+serve
+  (docs_bm25_from_index), incremental ingest (docs_bm25_ingest),
+  tombstone takedown (docs_bm25_delete), streaming maintenance
+  (stream_bm25_index_replay) — the NINTH lifecycle row, exact in
+  every cell because the index is integer counts (associative, so
+  append == rebuild and delete == rebuild-without-X bit-for-bit); the
+  hybrid-retrieval serving path (queries_ext8) re-points its lexical
+  stage at this state.
+
+House rules as ever: JVM-side expressions only, each oracle generated
+from the same constants as the Spark plan, corpus-derived strings
+never spliced into SQL text, every cross-engine float hazard kept
+integer until a single final division.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import lexical as lx
+from ..llm import multimodal as lm
+from ..sources.tables import load_table
+from ..streaming.sinks import IdempotentParquetSink
+from .queries_ext6 import _parity_replay
+from .queries_ext8 import (
+    _SPLIT_CASE,
+    _manifest_multimodal_oracle,
+    _prep_scored_sql,
+    manifest_index_of,
+    split_tag,
+)
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# manifest TAKEDOWN (tombstone positions + touched-fp resurrection)
+# ---------------------------------------------------------------------------
+
+# 1-in-3 of served doc_ids: large enough to exercise tombstones across
+# every split, and the one modulus whose removed survivors leave
+# filter-surviving duplicates behind on the sf0.1 fixture (the
+# resurrection pin needs a non-vacuous case; the smaller fixtures have
+# zero exact-duplicate groups at all — measured round 12).
+_MANIFEST_TAKEDOWN_MOD = 3
+
+_PREP_FILT = "lang_pred = 'en' AND quality_score >= 0.3"
+
+
+def _manifest_delete_oracle() -> str:
+    mod = _MANIFEST_TAKEDOWN_MOD
+    return f"""
+WITH cutt AS (SELECT 1 AS cut),
+scored AS ({_prep_scored_sql("TRUE")}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn
+  FROM scored WHERE {_PREP_FILT}
+),
+tagged AS (
+  SELECT doc_id, n_tokens, fp_md5, {_SPLIT_CASE} AS split
+  FROM (SELECT *, substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        FROM ranked WHERE rn = 1)
+),
+manifest AS (
+  SELECT doc_id, split, n_tokens, fp_md5,
+         CAST(row_number() OVER (PARTITION BY split ORDER BY fp_md5, doc_id)
+              AS BIGINT) AS sample_idx
+  FROM tagged
+),
+kept AS (
+  SELECT doc_id, split, n_tokens, sample_idx, FALSE AS is_appended
+  FROM manifest WHERE doc_id % {mod} <> 0
+),
+touched AS (SELECT fp_md5 FROM manifest WHERE doc_id % {mod} = 0),
+counts AS (SELECT split, count(*) AS c FROM manifest GROUP BY split),
+resurrect AS (
+  SELECT doc_id, n_tokens, fp_md5 FROM (
+    SELECT r.doc_id AS doc_id, r.n_tokens AS n_tokens, r.fp_md5 AS fp_md5,
+           row_number() OVER (PARTITION BY r.fp_md5 ORDER BY r.doc_id) AS rr
+    FROM ranked r
+    WHERE r.rn > 1 AND r.doc_id % {mod} <> 0
+      AND r.fp_md5 IN (SELECT fp_md5 FROM touched)
+  ) WHERE rr = 1
+),
+rtagged AS (
+  SELECT doc_id, n_tokens, fp_md5, {_SPLIT_CASE} AS split
+  FROM (SELECT *, substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        FROM resurrect)
+)
+SELECT doc_id, split, n_tokens, sample_idx, is_appended FROM kept
+UNION ALL
+SELECT t.doc_id AS doc_id, t.split AS split, t.n_tokens AS n_tokens,
+       CAST(coalesce(c.c, 0)
+            + row_number() OVER (PARTITION BY t.split
+                                 ORDER BY t.fp_md5, t.doc_id) AS BIGINT)
+           AS sample_idx,
+       TRUE AS is_appended
+FROM rtagged t LEFT JOIN counts c ON t.split = c.split
+"""
+
+
+@register(
+    "docs_manifest_delete",
+    oracle=_manifest_delete_oracle(),
+    doc=(
+        "Training-manifest TAKEDOWN (r11 verdict ask #3 — the "
+        "lifecycle principle applied to the manifest's missing cell): "
+        "remove doc_id % 3 == 0 from the served manifest with the "
+        "position contract made EXPLICIT — kept rows keep their exact "
+        "served sample_idx (tombstoned gaps, never renumbered — the "
+        "resume-mid-epoch property docs_manifest_ingest established; "
+        "a rebuild-without-X would reshuffle every surviving "
+        "position), and positions are never reused. Resurrection is "
+        "handled the embedding_semdedup_delete way, bounded to "
+        "TOUCHED fingerprints: a removed doc was its fp's exact-dedup "
+        "survivor, so the lowest-id remaining duplicate of each "
+        "touched fp (itself not taken down, passing the same "
+        "filters) re-enters — APPENDED after its split's served "
+        "count via the ingest contract, flagged is_appended. The "
+        "re-screen joins the duplicate-rank frame leftsemi against "
+        "the takedown-sized touched-fp set — takedown-sized work, "
+        "never a corpus re-sort; the appended window covers only the "
+        "resurrection set (the batch-window exemption)."
+    ),
+    tags=("llm", "pipeline", "manifest", "deletion"),
+)
+def q_docs_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.util import fan_out
+    from .queries_llm import corpus_ranked_of
+
+    mod = _MANIFEST_TAKEDOWN_MOD
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ranked = corpus_ranked_of(fan_out(docs))
+    prep = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "n_tokens", "fp_md5"
+    )
+    m = manifest_index_of(prep, keep_fp=True)
+    is_td = F.col("doc_id") % mod == 0
+    kept = m.filter(~is_td).select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        F.col("sample_idx").cast("long").alias("sample_idx"),
+        F.lit(False).alias("is_appended"),
+    )
+    touched = m.filter(is_td).select("fp_md5")
+    counts = m.groupBy("split").agg(F.count(F.lit(1)).alias("c"))
+    cand = ranked.filter(
+        (F.col("rn") > 1) & (F.col("doc_id") % mod != 0)
+    ).join(touched, "fp_md5", "leftsemi")
+    wr = Window.partitionBy("fp_md5").orderBy("doc_id")
+    res = (
+        cand.withColumn("rr", F.row_number().over(wr))
+        .filter(F.col("rr") == 1)
+        .select("doc_id", "n_tokens", "fp_md5")
+    )
+    wb = Window.partitionBy("split").orderBy("fp_md5", "doc_id")
+    appended = (
+        split_tag(res)
+        .join(F.broadcast(counts), "split", "left")
+        .select(
+            "doc_id",
+            "split",
+            "n_tokens",
+            (F.coalesce(F.col("c"), F.lit(0)) + F.row_number().over(wb))
+            .cast("long")
+            .alias("sample_idx"),
+            F.lit(True).alias("is_appended"),
+        )
+    )
+    return kept.unionByName(appended)
+
+
+# ---------------------------------------------------------------------------
+# streaming manifest maintenance (the EIGHTH complete lifecycle row)
+# ---------------------------------------------------------------------------
+
+
+def _manifest_replay_oracle() -> str:
+    def batch_cte(i: int) -> str:
+        return f"""
+b{i} AS (
+  SELECT doc_id, n_tokens, fp_md5 FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn
+    FROM f WHERE doc_id % 2 = {i}
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH cutt AS (SELECT 1 AS cut),
+scored AS ({_prep_scored_sql("TRUE")}),
+f AS (SELECT * FROM scored WHERE {_PREP_FILT}),
+{batch_cte(0)},
+i0 AS (
+  SELECT doc_id, split, n_tokens,
+         CAST(row_number() OVER (PARTITION BY split ORDER BY fp_md5, doc_id)
+              AS BIGINT) AS sample_idx,
+         fp_md5
+  FROM (SELECT doc_id, n_tokens, fp_md5, {_SPLIT_CASE} AS split
+        FROM (SELECT *, substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+              FROM b0))
+),
+c0 AS (SELECT split, count(*) AS c FROM i0 GROUP BY split),
+{batch_cte(1)},
+b1n AS (SELECT * FROM b1 WHERE fp_md5 NOT IN (SELECT fp_md5 FROM i0)),
+i1 AS (
+  SELECT t.doc_id AS doc_id, t.split AS split, t.n_tokens AS n_tokens,
+         CAST(coalesce(c.c, 0)
+              + row_number() OVER (PARTITION BY t.split
+                                   ORDER BY t.fp_md5, t.doc_id) AS BIGINT)
+             AS sample_idx
+  FROM (SELECT doc_id, n_tokens, fp_md5, {_SPLIT_CASE} AS split
+        FROM (SELECT *, substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+              FROM b1n)) t
+  LEFT JOIN c0 c ON t.split = c.split
+)
+SELECT doc_id, split, n_tokens, sample_idx FROM i0
+UNION ALL
+SELECT doc_id, split, n_tokens, sample_idx FROM i1
+"""
+
+
+def run_manifest_replay(
+    spark: SparkSession, sf_dir: str, tmp: str
+) -> DataFrame:
+    """Core of stream_manifest_replay: each parity micro-batch runs
+    the IDENTICAL prep pipeline over its own documents, dedups
+    in-batch, anti-joins its fingerprints against the persisted
+    manifest state below its batch id, split-tags, numbers after each
+    split's served count (batch-sized window — the ingest exemption),
+    and commits its own manifest delta to a batchId-keyed exactly-once
+    sink; policy compaction (max_live_deltas=1) folds deltas
+    mid-stream so batch 1 reads the compact= snapshot. State reads per
+    batch: one fp column + 3 per-split counts — the docs_manifest_
+    ingest contract, replayed."""
+    from ..operators.util import fan_out
+    from .queries_llm import corpus_prep_of
+
+    sink = IdempotentParquetSink(os.path.join(tmp, "manifest"))
+
+    def apply(df, bid):
+        half = df.filter((F.col("doc_id") % 2) == F.lit(bid % 2)).select(
+            "doc_id", "text"
+        )
+        sink.maybe_compact(spark, upto=bid, max_live_deltas=1)
+        prev = sink.committed_paths(below=bid)
+        bprep = corpus_prep_of(fan_out(half))
+        if prev:
+            state = spark.read.option("pathGlobFilter", "*.parquet").parquet(
+                *prev
+            )
+            bnew = bprep.join(state.select("fp_md5"), "fp_md5", "left_anti")
+            counts = state.groupBy("split").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+        else:
+            bnew = bprep
+            counts = spark.range(0).select(
+                F.col("id").cast("string").alias("split"),
+                F.col("id").alias("c"),
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("split").orderBy("fp_md5", "doc_id")
+        out = (
+            split_tag(bnew)
+            .join(F.broadcast(counts), "split", "left")
+            .select(
+                "doc_id",
+                "split",
+                "n_tokens",
+                (F.coalesce(F.col("c"), F.lit(0)) + F.row_number().over(w))
+                .cast("long")
+                .alias("sample_idx"),
+                "fp_md5",
+            )
+        )
+        sink.write_batch(out, bid)
+
+    _parity_replay(spark, sf_dir, tmp, apply)
+    return sink.read_committed(spark).select(
+        "doc_id", "split", "n_tokens", "sample_idx"
+    )
+
+
+@register(
+    "stream_manifest_replay",
+    oracle=_manifest_replay_oracle(),
+    doc=(
+        "Streaming manifest maintenance — the stream-maintain cell "
+        "that makes the training manifest the EIGHTH complete "
+        "index-lifecycle row (build docs_training_manifest / ingest "
+        "docs_manifest_ingest / takedown docs_manifest_delete all "
+        "pre-exist or land this round). The documents fixture "
+        "replays as two parity micro-batches through the IDENTICAL "
+        "prep + in-batch dedup + fingerprint-anti-join + append path "
+        "the daily-batch ingest runs, committing batchId-keyed "
+        "manifest deltas to an exactly-once sink with "
+        "policy-triggered mid-stream compaction. Served positions "
+        "are append-ordered per batch — earlier batches' positions "
+        "NEVER shift (the resume-mid-epoch contract, pytest-pinned) "
+        "— and the final committed manifest hash-matches the two-"
+        "batch append oracle exactly: every stage is deterministic, "
+        "so stream == daily-batch with no caveat."
+    ),
+    tags=("streaming", "llm", "pipeline", "manifest", "exactly-once"),
+)
+def q_stream_manifest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_manifest_")
+    return run_manifest_replay(spark, sf_dir, tmp)
+
+
+# ---------------------------------------------------------------------------
+# multimodal manifest composed from PERSISTED lifecycle state
+# ---------------------------------------------------------------------------
+
+_MEDIA_STATE_MEMO: dict[str, str] = {}
+
+
+def media_state_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per process per fixture) the media/video
+    dedup families' persisted outputs: the pHash survivor id set and
+    the video near-dup drop set, committed through the same
+    IdempotentParquetSink the streaming maintenance replays use. In
+    production these ARE the live state those replays maintain
+    (stream_media_phash_index_replay / stream_media_video_index_
+    replay); memoizing the one-time build here makes repeated serves
+    measure the production READ path, not the rebuild."""
+    key = os.path.abspath(sf_dir)
+    if key not in _MEDIA_STATE_MEMO:
+        from .queries_ext7 import media_survivors_frame
+
+        tmp = tempfile.mkdtemp(prefix="media_state_")
+        surv_sink = IdempotentParquetSink(os.path.join(tmp, "survivors"))
+        vdrop_sink = IdempotentParquetSink(os.path.join(tmp, "vdrops"))
+        docs = load_table(spark, sf_dir, "documents")
+        surv_sink.write_batch(
+            media_survivors_frame(spark, sf_dir)
+            .filter(F.col("is_survivor"))
+            .select("doc_id"),
+            0,
+        )
+        vdrop_sink.write_batch(
+            lm.media_video_neardup(lm.docs_as_media(docs))
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct(),
+            0,
+        )
+        _MEDIA_STATE_MEMO[key] = tmp
+    return _MEDIA_STATE_MEMO[key]
+
+
+@register(
+    "corpus_manifest_from_state",
+    oracle=_manifest_multimodal_oracle(),
+    doc=(
+        "The multimodal training manifest composed from PERSISTED "
+        "lifecycle state (r11 verdict ask #2): the SAME manifest "
+        "oracle as corpus_manifest_multimodal, but the media-survivor "
+        "and video-drop gates are id sets READ from the dedup "
+        "families' committed sink state instead of recomputed inline "
+        "— the production shape BASELINE.md round 11 named (a "
+        "pipeline composes from the state its maintenance loops keep "
+        "current; ~12 s of the inline form's cost is re-deriving "
+        "media_video_neardup). Serve cost is text prep + two id-keyed "
+        "gates + the distributed numbering — the video pair subtree "
+        "never runs (plan-pinned: no pHash/frame machinery in the "
+        "serve plan). Hash-matched against the identical multimodal "
+        "manifest oracle, state materialized first."
+    ),
+    tags=("llm", "multimodal", "pipeline", "manifest", "state"),
+)
+def q_corpus_manifest_from_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .queries_llm import corpus_prep_frame
+
+    tmp = media_state_dir(spark, sf_dir)
+    surv = (
+        IdempotentParquetSink(os.path.join(tmp, "survivors"))
+        .read_committed(spark)
+        .select("doc_id")
+    )
+    vdrop = (
+        IdempotentParquetSink(os.path.join(tmp, "vdrops"))
+        .read_committed(spark)
+        .select("doc_id")
+    )
+    prep = corpus_prep_frame(spark, sf_dir)
+    gated = prep.join(surv, "doc_id", "leftsemi").join(
+        vdrop, "doc_id", "left_anti"
+    )
+    return manifest_index_of(gated)
+
+
+# ---------------------------------------------------------------------------
+# persisted BM25 index family (the NINTH lifecycle row)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_served_oracle(where: str = "TRUE", k: int | None = None) -> str:
+    """DuckDB twin of lexical.bm25_serve over the live documents
+    matching ``where``: identical scoring chain to docs_bm25 (same
+    constants, same 1e-9 idf quantization, same fixed term-order
+    sum), restricted to documents containing >= 1 query term — the
+    matched-docs-only contract of an inverted index (a zero-term doc
+    scores exactly 0 and an index never enumerates it)."""
+    from .queries_llm import _WORDS
+    from .queries_ml import _BM25_B, _BM25_K1, _BM25_TERMS, _BM25_TOPK
+
+    k = k or _BM25_TOPK
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = "\n       + ".join(
+        f"(floor(ln((n_docs - df{i} + CAST(0.5 AS DOUBLE))"
+        f" / (df{i} + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+        f" * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9)"
+        f" * (tf{i} * CAST({_BM25_K1 + 1} AS DOUBLE))"
+        f" / (tf{i} + CAST({_BM25_K1} AS DOUBLE)"
+        f" * (CAST({1 - _BM25_B} AS DOUBLE)"
+        f" + CAST({_BM25_B} AS DOUBLE) * (dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    matched = " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH feat AS (
+  SELECT doc_id, len(ws) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {_WORDS} AS ws FROM documents WHERE {where}) b
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {df_cols}
+  FROM feat
+)
+SELECT doc_id, dl AS n_tokens,
+       {terms} AS score
+FROM feat CROSS JOIN stats
+WHERE {matched}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+_BM25_STATE_MEMO: dict[str, str] = {}
+
+
+def bm25_state_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per process per fixture) the persisted BM25
+    index — postings + stats deltas through the exactly-once sink —
+    so every serve (docs_bm25_from_index, the hybrid-retrieval
+    lexical stage) reads committed state instead of rescanning the
+    corpus: the r11 'What's missing' item, closed."""
+    key = os.path.abspath(sf_dir)
+    if key not in _BM25_STATE_MEMO:
+        tmp = tempfile.mkdtemp(prefix="bm25_state_")
+        post_sink = IdempotentParquetSink(os.path.join(tmp, "postings"))
+        stats_sink = IdempotentParquetSink(os.path.join(tmp, "stats"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        post_sink.write_batch(lx.postings_of(docs), 0)
+        stats_sink.write_batch(lx.stats_delta_of(docs), 0)
+        _BM25_STATE_MEMO[key] = tmp
+    return _BM25_STATE_MEMO[key]
+
+
+def _bm25_index_frames(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    return (
+        IdempotentParquetSink(
+            os.path.join(state_dir, "postings")
+        ).read_committed(spark),
+        IdempotentParquetSink(
+            os.path.join(state_dir, "stats")
+        ).read_committed(spark),
+    )
+
+
+def bm25_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The docs_bm25 lexical top-k served from the persisted index —
+    drop-in for bm25_topk_frame wherever >= k documents match some
+    query term (true at every fixture SF: >= 493 of 500 docs match —
+    measured round 12; below that threshold the full-scan form also
+    returns zero-score filler docs, which an index by contract does
+    not enumerate)."""
+    from .queries_ml import _BM25_B, _BM25_K1, _BM25_TERMS, _BM25_TOPK
+
+    postings, stats = _bm25_index_frames(
+        spark, bm25_state_dir(spark, sf_dir)
+    )
+    return lx.bm25_serve(
+        postings, stats, _BM25_TERMS, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@register(
+    "docs_bm25_from_index",
+    oracle=_bm25_served_oracle(),
+    doc=(
+        "BM25 served from the PERSISTED index (r11 verdict ask #6 — "
+        "the build+serve cell of the ninth lifecycle row): postings "
+        "(term, doc_id, tf, dl) and (n_docs, sum_dl) stats deltas "
+        "are committed once through the exactly-once sink, and the "
+        "query reads state — a literal term-isin pushed into the "
+        "postings parquet scan, a tombstone fold + per-term df "
+        "aggregate on the pruned slice, a broadcast stats sum with "
+        "ONE integer->double division for avgdl, and a TakeOrdered "
+        "top-20. The corpus text is never rescanned at serve time. "
+        "Matched-docs-only contract (the honest index semantics); "
+        "scoring is the docs_bm25 chain exactly (1e-9-quantized idf, "
+        "fixed term-order sum), hash-matched against the matched-"
+        "only SQL twin."
+    ),
+    tags=("llm", "text", "retrieval", "bm25", "index"),
+)
+def q_docs_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk_from_index(spark, sf_dir)
+
+
+@register(
+    "docs_bm25_ingest",
+    oracle=_bm25_served_oracle(),
+    doc=(
+        "BM25 index INGEST (r11 verdict ask #6): the corpus index "
+        "(doc_id below 80% of max id) is built and committed as "
+        "batch 0; the daily batch appends ONLY its own postings and "
+        "its own (n_docs, sum_dl) delta as batch 1 — no corpus "
+        "rescan, no df recomputation (df is derived from live "
+        "postings at serve, so it is consistent by construction). "
+        "Because every index component is an integer count, append "
+        "is ASSOCIATIVE: the committed union equals the full rebuild "
+        "bit-for-bit (state-level rebuild equivalence pytest-pinned, "
+        "not just top-k equality), and the served top-20 over the "
+        "merged state hash-matches the whole-corpus matched-only "
+        "oracle exactly — no recall caveat anywhere in this family."
+    ),
+    tags=("llm", "text", "retrieval", "bm25", "incremental"),
+)
+def q_docs_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_ml import _BM25_B, _BM25_K1, _BM25_TERMS, _BM25_TOPK
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = int(
+        docs.agg(F.expr("max(doc_id) * 4 div 5").alias("c")).first()["c"]
+    )
+    corpus = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    tmp = tempfile.mkdtemp(prefix="bm25_ingest_")
+    post_sink = IdempotentParquetSink(os.path.join(tmp, "postings"))
+    stats_sink = IdempotentParquetSink(os.path.join(tmp, "stats"))
+    post_sink.write_batch(lx.postings_of(corpus), 0)
+    stats_sink.write_batch(lx.stats_delta_of(corpus), 0)
+    post_sink.write_batch(lx.postings_of(batch), 1)
+    stats_sink.write_batch(lx.stats_delta_of(batch), 1)
+    postings, stats = _bm25_index_frames(spark, tmp)
+    return lx.bm25_serve(
+        postings, stats, _BM25_TERMS, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+_BM25_TAKEDOWN_MOD = 9
+
+
+@register(
+    "docs_bm25_delete",
+    oracle=_bm25_served_oracle(
+        where=f"doc_id % {_BM25_TAKEDOWN_MOD} <> 0"
+    ),
+    doc=(
+        "BM25 index TAKEDOWN: remove doc_id % 9 == 0 by committing "
+        "TOMBSTONES — the removed docs' own postings with negated tf "
+        "plus a negative (n_docs, sum_dl) stats delta — because the "
+        "delta-append discipline never rewrites committed files (the "
+        "LSM convention). Serving folds sum(tf) per (term, doc_id) "
+        "on the term-pruned slice and keeps positive live counts, so "
+        "df, n_docs and avgdl all shrink consistently and the served "
+        "top-20 equals rebuild-without-X EXACTLY (integer counts are "
+        "reversible: delete is the inverse delta of ingest). "
+        "Takedown cost is takedown-sized: tombstones are postings of "
+        "the deleted docs only, and the fold rides the serve path's "
+        "pruned aggregation."
+    ),
+    tags=("llm", "text", "retrieval", "bm25", "deletion"),
+)
+def q_docs_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_ml import _BM25_B, _BM25_K1, _BM25_TERMS, _BM25_TOPK
+
+    mod = _BM25_TAKEDOWN_MOD
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    deleted = docs.filter(F.col("doc_id") % mod == 0)
+    tmp = tempfile.mkdtemp(prefix="bm25_delete_")
+    post_sink = IdempotentParquetSink(os.path.join(tmp, "postings"))
+    stats_sink = IdempotentParquetSink(os.path.join(tmp, "stats"))
+    post_sink.write_batch(lx.postings_of(docs), 0)
+    stats_sink.write_batch(lx.stats_delta_of(docs), 0)
+    post_sink.write_batch(
+        lx.postings_of(deleted).withColumn("tf", -F.col("tf")), 1
+    )
+    stats_sink.write_batch(lx.stats_delta_of(deleted, sign=-1), 1)
+    postings, stats = _bm25_index_frames(spark, tmp)
+    return lx.bm25_serve(
+        postings, stats, _BM25_TERMS, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def run_bm25_index_replay(
+    spark: SparkSession, sf_dir: str, tmp: str
+) -> DataFrame:
+    """Core of stream_bm25_index_replay: each parity micro-batch
+    commits ONLY its own postings and its own stats delta (batch-
+    sized work — a token explode and one count row), with policy
+    compaction folding deltas mid-stream. No batch ever reads prior
+    state: the index is a pure associative accumulation, so arrival
+    order is irrelevant by construction and the final committed state
+    equals the full rebuild bit-for-bit."""
+    from .queries_ml import _BM25_B, _BM25_K1, _BM25_TERMS, _BM25_TOPK
+
+    post_sink = IdempotentParquetSink(os.path.join(tmp, "postings"))
+    stats_sink = IdempotentParquetSink(os.path.join(tmp, "stats"))
+
+    def apply(df, bid):
+        half = df.filter((F.col("doc_id") % 2) == F.lit(bid % 2)).select(
+            "doc_id", "text"
+        )
+        post_sink.maybe_compact(spark, upto=bid, max_live_deltas=1)
+        stats_sink.maybe_compact(spark, upto=bid, max_live_deltas=1)
+        post_sink.write_batch(lx.postings_of(half), bid)
+        stats_sink.write_batch(lx.stats_delta_of(half), bid)
+
+    _parity_replay(spark, sf_dir, tmp, apply)
+    postings, stats = _bm25_index_frames(spark, tmp)
+    return lx.bm25_serve(
+        postings, stats, _BM25_TERMS, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@register(
+    "stream_bm25_index_replay",
+    oracle=_bm25_served_oracle(),
+    doc=(
+        "Streaming BM25 index maintenance — the stream-maintain cell "
+        "completing the lexical family as the NINTH full lifecycle "
+        "row IN ITS BIRTH ROUND (build docs_bm25_from_index / ingest "
+        "docs_bm25_ingest / takedown docs_bm25_delete, all this "
+        "round). Two parity micro-batches each commit their own "
+        "postings + stats deltas to batchId-keyed exactly-once sinks "
+        "with policy-triggered mid-stream compaction; the index is "
+        "an associative integer accumulation, so batches never read "
+        "prior state, arrival order cannot matter, and the served "
+        "top-20 from the final committed state hash-matches the "
+        "whole-corpus matched-only oracle EXACTLY — stream == batch "
+        "with no recall caveat, the strongest form of the family "
+        "contract."
+    ),
+    tags=("streaming", "llm", "retrieval", "bm25", "exactly-once"),
+)
+def q_stream_bm25_index_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="stream_bm25_idx_")
+    return run_bm25_index_replay(spark, sf_dir, tmp)

@@ -423,102 +423,83 @@ def test_gate_priority_window_covers_graded_surface():
     """The driver's correctness gate evaluates only the FIRST 50
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
-    plans/__init__.py). This pins the round-11 rotation: beyond the
-    sentinels, [b] holds the 7 round-11 additions (the semantic
-    family's incremental ingest, takedown, AND streaming
-    maintenance — completing it as the seventh full lifecycle row —
-    the RRF hybrid-retrieval fusion (single-query and batched),
-    the multimodal training manifest, and the manifest's own
-    append-path ingest), and [c] is the staleness
-    re-proof pass — the two round-5-checked replays the r10 policy
-    text explicitly deferred here, then the FULL round-6-checked
-    remainder (34 queries, registry order), then the oldest
-    round-7-checked. After this window no query's last driver row is
-    older than round 7. Streaming budget: 5 replays in-window (the
-    new semdedup replay by the must-enter-on-birth rule + the two
-    returning r5 veterans + the r6 block's CEP and sketch replays) —
-    one above the r10 slate, the documented birth-round cost of the
-    seventh lifecycle family. Window budget:
-    hop_engagement_sum stays the single multi-million-row output."""
+    plans/__init__.py). This pins the round-12 rotation: beyond the
+    sentinels, [b] holds the 7 round-12 additions (the manifest
+    family's takedown and streaming maintenance — completing it as
+    the EIGHTH full lifecycle row — the persisted-state multimodal
+    composition, and the persisted BM25 index's four cells — the
+    NINTH lifecycle row, complete in its birth round) plus the 3
+    materially-changed re-entries (the two rebuild-shaped manifest
+    queries whose numbering device changed, and the hybrid retrieval
+    whose lexical stage now serves from the BM25 index), and [c] is
+    the oldest-coverage re-proof pass — the 34 oldest
+    round-7-checked queries in registry order (the 8-query tail
+    re-enters next round). Streaming budget: 4 replays in-window
+    (the two NEW replays by the must-enter-on-birth rule + the r7
+    block's outer/full-outer join replays) — back to the r10 slate
+    after r11's deliberate 5. Window budget: hop_engagement_sum
+    stays the single multi-million-row output."""
     names = list(REGISTRY)
     window = names[:50]
     sentinels = [
         "enrich_events", "latest_per_key", "hop_engagement_sum",
         "docs_exact_dedup", "docs_jaccard_pairs", "docs_minhash_pairs",
     ]
-    new_in_r11: list[str] = [
-        # every query registered during round 11 MUST be appended here
+    new_in_r12: list[str] = [
+        # every query registered during round 12 MUST be appended here
         # (and to _PRIORITY) the round it is added, displacing one
         # backfill entry from the tail each; materially-changed
-        # streaming queries re-enter here too (policy class [b])
-        "embedding_semdedup_ingest",
-        "embedding_semdedup_delete",
-        "stream_semdedup_index_replay",
-        "docs_hybrid_retrieval",
-        "docs_hybrid_retrieval_batch",
+        # queries re-enter here too (policy class [b])
+        "docs_manifest_delete",
+        "stream_manifest_replay",
+        "corpus_manifest_from_state",
+        "docs_bm25_from_index",
+        "docs_bm25_ingest",
+        "docs_bm25_delete",
+        "stream_bm25_index_replay",
+        "docs_training_manifest",
         "corpus_manifest_multimodal",
-        "docs_manifest_ingest",
-    ]
-    r5_backfill = [
-        # last driver row: CORRECTNESS_r05.json — the two replays the
-        # r10 policy text deferred to this round (its explicit
-        # promise); with them re-proven, no last-row predates r6
-        "stream_stateful_replay", "stream_retract_replay",
-    ]
-    r6_backfill = [
-        # last driver row: CORRECTNESS_r06.json — the full r6-checked
-        # remainder, registry order (all 34 fit this round)
-        "conversion_funnel", "events_profile", "part_string_functions",
-        "orders_by_month", "embedding_array_ops",
-        "clickers_also_purchasing", "clickers_never_erroring",
-        "user_running_totals", "value_percentiles_exact",
-        "activity_union_all", "grouping_sets_engagement",
-        "minute_rollup", "hll_user_reach", "user_value_ranking",
-        "minute_rollup_gapfill", "event_stats_unpivot",
-        "user_first_last_event", "value_histogram",
-        "value_moments_by_type", "user_trailing_7d_value",
-        "cep_direct_purchase", "cep_session_conversion",
-        "stream_cep_replay", "cep_engaged_conversion",
-        "embedding_mmr_rerank", "embedding_mmr_batch",
-        "cumulate_engagement", "window_topn", "window_dedup",
-        "window_join", "docs_bpe_merges", "stream_sketch_replay",
-        "docs_simhash_ingest", "embedding_neardup_ingest",
+        "docs_hybrid_retrieval",
     ]
     r7_backfill = [
         # last driver row: CORRECTNESS_r07.json — oldest-coverage
-        # block after the r6 remainder, registry order; the tail
-        # (leaderboard_topk onward, whatever does not fit)
-        # re-enters next round
-        "tumbling_stats",
+        # block, registry order; the tail (docs_repeated_spans
+        # onward, 8 queries) re-enters next round
+        "leaderboard_topk", "session_windows", "events_asof_orders",
+        "events_dim_asof", "cdc_materialize", "user_event_type_sets",
+        "lateral_top_users", "docs_token_stats", "docs_quality",
+        "docs_lang_id", "docs_fingerprint", "docs_simhash",
+        "embedding_cosine_topk", "embedding_near_dup",
+        "media_features", "media_frame_sample",
+        "embedding_norms_pandas", "docs_clean", "docs_dedup_clusters",
+        "docs_word_positions", "docs_corpus_prep", "docs_bigram_freq",
+        "docs_train_split", "docs_chunks", "docs_lang_downsample",
+        "docs_contamination", "docs_pack_sequences", "pricing_summary",
+        "forecast_revenue_change", "stream_outer_join_replay",
+        "stream_full_outer_join_replay", "docs_bpe_encode",
+        "embedding_ivf_ingest", "docs_substring_dedup",
     ]
     expected = (
-        sentinels + new_in_r11 + r5_backfill + r6_backfill
-        + r7_backfill[
-            : 50 - 6 - len(new_in_r11) - len(r5_backfill) - len(r6_backfill)
-        ]
+        sentinels + new_in_r12
+        + r7_backfill[: 50 - 6 - len(new_in_r12)]
     )
     assert window == expected, (
         [n for n in expected if n not in window],
         [n for n in window if n not in expected],
     )
-    # streaming budget: 5 replays in-window — the new semdedup
-    # maintenance replay (must enter on birth) + the two deferred r5
-    # veterans (the policy promise) + the two riding inside the
-    # r6 backfill block; one above the r10 slate measured at ~110 s
+    # streaming budget: 4 replays in-window — the two NEW maintenance
+    # replays (must enter on birth) + the two riding inside the r7
+    # backfill block; back to the r10 slate of 4
     streaming = [n for n in window if n.startswith("stream_")]
     assert streaming == [
-        "stream_semdedup_index_replay",
-        "stream_stateful_replay", "stream_retract_replay",
-        "stream_cep_replay", "stream_sketch_replay",
+        "stream_manifest_replay", "stream_bm25_index_replay",
+        "stream_outer_join_replay", "stream_full_outer_join_replay",
     ], streaming
     rows_only = sorted(n for n in window if REGISTRY[n].oracle is None)
     assert rows_only == [
         "docs_minhash_pairs",          # xxhash64 MinHash (no SQL
                                        # oracle); recall-tested,
                                        # portable twin oracled
-        "hll_user_reach",              # HyperLogLog reach: approx by
-                                       # design; error-bound pytest
-                                       # vs exact distinct
     ], rows_only
 
 
@@ -1054,10 +1035,18 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "audience_overlap",         # 1-row sketch-estimates x 1-row exacts
         "embedding_mmr_rerank",     # single probe row x corpus (pool build)
         "embedding_mmr_batch",      # broadcast 4-row probe batch x corpus
-        "docs_hybrid_retrieval",    # composes docs_bm25's 1-row stats
-                                    # broadcast (allowlisted above)
+        "docs_hybrid_retrieval",    # composes the BM25 index serve's
+                                    # 1-row broadcasts (below)
         "docs_hybrid_retrieval_batch",  # same stats broadcast + the
                                     # knn_join probe-batch pattern
+        # the BM25 index serve (lexical.bm25_serve): TWO 1-row
+        # broadcasts — per-term df aggregate of the term-pruned
+        # postings slice, and the summed (n_docs, avgdl) stats row —
+        # the docs_bm25 pattern served from persisted state
+        "docs_bm25_from_index",
+        "docs_bm25_ingest",
+        "docs_bm25_delete",
+        "stream_bm25_index_replay",
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):

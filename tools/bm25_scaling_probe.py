@@ -1,0 +1,160 @@
+"""Scaling probe for the round-12 families: the persisted BM25 index
+(build / serve-from-state / ingest-delta) and the manifest family's
+grouped sample-index device, at 10k / 100k / 1M synthetic documents
+(sources/datagen.py:gen_documents — planted-duplicate generator).
+
+Questions this answers (asked the way the media/dedup/ANN probes
+were):
+- bm25 build (postings_of): one explode + one map-side-combinable
+  (term, doc_id) aggregation — is wall-clock ~linear in docs and the
+  exchange bounded by distinct (term, doc) cells?
+- bm25 serve (bm25_serve over PERSISTED parquet state): the literal
+  term-isin prunes the postings scan to the query terms — does serve
+  time grow only with the matching-posting count (far sublinear in
+  index size), and is the shuffle metadata-sized (two 1-row
+  broadcasts + a per-doc pivot on the pruned slice)?
+- bm25 ingest delta (postings_of on the 20% batch): batch-sized,
+  never a corpus rescan.
+- manifest numbering: grouped_global_row_number (range buckets within
+  split + broadcast offsets) vs the old 3-partition-key Window — the
+  r11 weak finding. The window form sorts the whole corpus through 3
+  tasks; the grouped form spreads it across buckets. The probe times
+  both on the same (doc_id, fp, split) frame.
+
+Methodology identical to tools/media_scaling_probe.py: Spark UI REST
+enabled, shuffle bytes attributed by diffing completed-stage totals
+around each sequential run, generation cached and counted before
+timing.
+
+Findings are appended at the bottom after each quiet-host run and
+summarized in BASELINE.md.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_engagement_pipeline_spark.llm import lexical as lx  # noqa: E402
+from flink_engagement_pipeline_spark.operators.rank import (  # noqa: E402
+    grouped_global_row_number,
+)
+from flink_engagement_pipeline_spark.session import get_spark  # noqa: E402
+from flink_engagement_pipeline_spark.sources.datagen import (  # noqa: E402
+    gen_documents,
+)
+
+TERMS = ("spark", "query", "stream", "join")
+
+spark = get_spark(
+    "bm25-scaling-probe",
+    extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
+)
+spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+    "overwrite"
+).save()
+
+_APP = None
+
+
+def _stage_totals():
+    global _APP
+    base = "http://localhost:4049/api/v1"
+    if _APP is None:
+        apps = json.load(urllib.request.urlopen(f"{base}/applications"))
+        _APP = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{base}/applications/{_APP}/stages?status=complete"
+        )
+    )
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def run(df_or_fn, label, n):
+    r0, w0 = _stage_totals()
+    t0 = time.perf_counter()
+    df = df_or_fn() if callable(df_or_fn) else df_or_fn
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    r1, w1 = _stage_totals()
+    print(
+        f"n={n:>9,} {label:>18}: {dt:7.2f}s  "
+        f"shuffleR {(r1 - r0) / 1e6:9.1f} MB  "
+        f"shuffleW {(w1 - w0) / 1e6:9.1f} MB",
+        flush=True,
+    )
+    return dt
+
+
+SIZES = [int(x) for x in os.environ.get(
+    "PROBE_SIZES", "10000,100000,1000000"
+).split(",")]
+
+for n in SIZES:
+    docs = gen_documents(spark, n).select("doc_id", "text").cache()
+    assert docs.count() == n
+    print(f"-- documents n={n:,} generated+cached --", flush=True)
+
+    # build: the one corpus-sized stage of the family
+    run(lambda: lx.postings_of(docs), "bm25_build", n)
+
+    # persist state, then time the SERVE path (production shape)
+    state = tempfile.mkdtemp(prefix=f"bm25_probe_{n}_")
+    lx.postings_of(docs).write.parquet(os.path.join(state, "postings"))
+    lx.stats_delta_of(docs).write.parquet(os.path.join(state, "stats"))
+    postings = spark.read.parquet(os.path.join(state, "postings"))
+    stats = spark.read.parquet(os.path.join(state, "stats"))
+    run(lambda: lx.bm25_serve(postings, stats, TERMS), "bm25_serve", n)
+
+    # ingest delta: the 20% batch's postings (batch-sized by claim)
+    cut = int(n * 4 // 5)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    run(lambda: lx.postings_of(batch), "bm25_ingest_delta", n)
+    shutil.rmtree(state, ignore_errors=True)
+
+    # manifest numbering: grouped device vs the old 3-key window on
+    # the same id frame (fp stands in for fp_md5; split is the same
+    # salted 3-way case the manifest uses)
+    h = F.substring(
+        F.md5(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))),
+        1,
+        2,
+    )
+    ids = docs.select(
+        "doc_id", F.md5("text").alias("fp")
+    ).withColumn(
+        "split",
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test"),
+    ).cache()
+    assert ids.count() == n
+    run(
+        lambda: grouped_global_row_number(
+            ids, "split", ["fp", "doc_id"], out="sample_idx"
+        ),
+        "manifest_idx_grouped",
+        n,
+    )
+    w = Window.partitionBy("split").orderBy("fp", "doc_id")
+    run(
+        ids.withColumn("sample_idx", F.row_number().over(w)),
+        "manifest_idx_window",
+        n,
+    )
+    ids.unpersist()
+    docs.unpersist()
+
+# ---------------------------------------------------------------------------
+# Findings (quiet-host runs; appended per round)
+# ---------------------------------------------------------------------------
