@@ -83,11 +83,14 @@ def _stage_totals():
 
 
 def run(df_or_fn, label, n):
+    time.sleep(1.0)  # let the UI mark prior stages complete (the
+    # first probe run attributed a big build's bytes to the NEXT row)
     r0, w0 = _stage_totals()
     t0 = time.perf_counter()
     df = df_or_fn() if callable(df_or_fn) else df_or_fn
     df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
+    time.sleep(1.0)
     r1, w1 = _stage_totals()
     print(
         f"n={n:>9,} {label:>18}: {dt:7.2f}s  "
@@ -158,3 +161,32 @@ for n in SIZES:
 # ---------------------------------------------------------------------------
 # Findings (quiet-host runs; appended per round)
 # ---------------------------------------------------------------------------
+#
+# Round 12 (two runs, drifty afternoon host — min per row per the
+# min-of-N methodology; times in s, bytes from the stage-diff):
+#
+#   n         bm25_build  bm25_serve  ingest_delta  idx_grouped  idx_window
+#   100k      9.93        0.58        6.82          1.79 / 4.2MB 0.26 / 3.8MB
+#   1M        158.37      0.50        64.47         2.86 / 40MB  1.69 / 38MB
+#
+# - bm25_serve is FLAT in corpus size (0.58 -> 0.50 s from 100k to
+#   1M): the term-isin prunes the persisted postings scan to the 4
+#   query terms' rows, so serve cost tracks matching postings, not
+#   index size — the inverted-index contract, measured.
+# - bm25_build reports ZERO shuffle bytes on this generator, and
+#   that is REAL, not a metrics bug: gen_documents descends from
+#   spark.range, whose range partitioning clusters equal doc_ids in
+#   one partition, so ClusteredDistribution(term, doc_id) is already
+#   satisfied and Catalyst elides the aggregation Exchange entirely
+#   (executedPlan shows 0 Exchange nodes). On the parquet fixtures
+#   (unknown partitioning) the one corpus-sized exchange appears as
+#   designed. Build wall-clock is tokenize+explode CPU —
+#   embarrassingly parallel, no cliff.
+# - manifest numbering: at 1M the WINDOW form ran THREE tasks (the
+#   split cardinality — visible in the stage progress: (2+1)/3)
+#   versus 32 for the grouped device; wall-clock is comparable
+#   locally (1.69 vs 2.86 s — a 1M-row sort is cheap and the grouped
+#   form pays ~1.2 s of metadata passes), but per-task sort volume
+#   is n/3 for the window vs n/buckets for the device, which is the
+#   100 TB difference the plan pin guards. Shuffle bytes equal
+#   (38 vs 40 MB — the 2 MB delta is the __pid column + offsets).
