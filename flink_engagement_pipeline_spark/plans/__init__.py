@@ -136,15 +136,16 @@ from . import queries_ext9  # noqa: F401,E402
 #       persisted state instead of inline recompute —
 #       docs_bm25_from_index + docs_bm25_ingest + docs_bm25_delete +
 #       stream_bm25_index_replay — the persisted BM25 index, the
-#       NINTH lifecycle row complete in its birth round) plus the 3
+#       NINTH lifecycle row complete in its birth round) plus the 4
 #       MATERIALLY CHANGED queries re-entering by the [b] rule
 #       (docs_training_manifest + corpus_manifest_multimodal — the
 #       r11 weak finding's numbering device swap, values pinned
-#       identical — and docs_hybrid_retrieval — its lexical stage now
-#       serves from the persisted BM25 index) + [c] = the 34 oldest
+#       identical — and docs_hybrid_retrieval +
+#       docs_hybrid_retrieval_batch — both lexical stages now serve
+#       from the persisted BM25 index) + [c] = the 33 oldest
 #       round-7-checked queries in registry order (leaderboard_topk
-#       through docs_substring_dedup; the tail — docs_repeated_spans
-#       onward, 8 queries — re-enters next round).
+#       through embedding_ivf_ingest; the tail — docs_substring_dedup
+#       onward, 9 queries — re-enters next round).
 #       STREAMING BUDGET: 4 replays in-window — the two NEW replays
 #       (manifest + BM25 maintenance, in-window by the
 #       must-enter-on-birth rule) plus the r7 backfill block's
@@ -181,6 +182,7 @@ _PRIORITY: tuple[str, ...] = (
     "docs_training_manifest",
     "corpus_manifest_multimodal",
     "docs_hybrid_retrieval",
+    "docs_hybrid_retrieval_batch",
     # -- [c] backfill: oldest driver coverage first — the 34 oldest
     # round-7-checked queries in registry order (the tail,
     # docs_repeated_spans onward, re-enters next round) --
@@ -217,7 +219,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_full_outer_join_replay",
     "docs_bpe_encode",
     "embedding_ivf_ingest",
-    "docs_substring_dedup",
 )
 
 

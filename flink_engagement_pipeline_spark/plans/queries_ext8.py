@@ -485,11 +485,18 @@ WHERE fr <= {_HYBRID_OUT}
         "reciprocal-rank fusion. Dense ranks come from ONE corpus "
         "scan computing Q cosines per row (the embedding_knn_join "
         "device: broadcast Q-row query side, per-qid row_number "
-        "heap); lexical ranks from ONE document scan computing the "
-        "term-union tf projection, a metadata-sized (N, avgdl, df) "
-        "broadcast, and a per-qid score explode (array-of-structs, "
-        "partition-preserving) ranked by the same WindowGroupLimit-"
-        "pruned per-qid window. Fusion is a (qid, doc_id)-keyed "
+        "heap); lexical ranks (round 12, r11 ask #6 extended to the "
+        "batch path) from ONE scan of the PERSISTED BM25 index "
+        "pruned to the batch's term union — tombstone fold + "
+        "per-term df on that slice, (n_docs, avgdl) summed from the "
+        "stats deltas, the corpus text never rescanned — then a "
+        "metadata-sized (N, avgdl, df) broadcast and a per-qid score "
+        "explode (array-of-structs, partition-preserving, kept only "
+        "where the doc matches >= 1 of THAT query's terms — the "
+        "matched-docs index contract, hash-preserving because >= 456 "
+        "of 500 fixture docs match every pair) ranked by the same "
+        "WindowGroupLimit-pruned per-qid window. Fusion is a "
+        "(qid, doc_id)-keyed "
         "full-outer join of two 20-row-per-qid frames; the RRF score "
         "keeps integer rank arithmetic until ONE final division "
         "(absent stages encode as rank 0), and the served top-10 per "
@@ -505,29 +512,47 @@ def q_docs_hybrid_retrieval_batch(
     from pyspark.sql import Window
 
     from .queries_ml import _BM25_B, _BM25_K1
-
-    from ..llm import text as lt
+    from .queries_ext9 import _bm25_index_frames, bm25_state_dir
 
     nq = len(_HYBRID_BATCH_TERMS)
-    docs = load_table(spark, sf_dir, "documents")
-    ws = lt.words("text")
-
-    def _tf(term: str):
-        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
-
-    feat = docs.select(
-        "doc_id",
-        F.size(ws).alias("dl"),
-        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_HYBRID_TERMS)],
+    # Round 12: the batch lexical stage serves from the persisted BM25
+    # index too — the pruned postings slice covers the UNION of the
+    # batch's terms (one state scan for the whole query batch), the
+    # tombstone fold + per-term df run on that slice, and (n_docs,
+    # avgdl) comes from the summed stats deltas. Per qid, only docs
+    # matching >= 1 of ITS terms are ranked (the matched-docs index
+    # contract; >= 456 of 500 fixture docs match every pair — far
+    # above the 20-row per-qid cut, so hashes are unchanged). The
+    # document corpus is never rescanned at serve time.
+    postings, stats_deltas = _bm25_index_frames(
+        spark, bm25_state_dir(spark, sf_dir)
     )
-    stats = feat.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    pruned = postings.filter(F.col("term").isin(*_HYBRID_TERMS))
+    live = (
+        pruned.groupBy("term", "doc_id")
+        .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
+        .filter(F.col("tf") > 0)
+    )
+    feat = live.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
         *[
-            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
-            for i in range(len(_HYBRID_TERMS))
+            F.max(
+                F.when(F.col("term") == t, F.col("tf")).otherwise(F.lit(0))
+            ).alias(f"tf{i}")
+            for i, t in enumerate(_HYBRID_TERMS)
         ],
     )
+    dfs = live.groupBy().agg(
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(_HYBRID_TERMS)
+        ]
+    )
+    gstats = stats_deltas.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl").cast("double") / F.sum("n_docs")).alias("avgdl"),
+    )
+    stats = dfs.crossJoin(F.broadcast(gstats))
 
     def term(i: int):
         tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
@@ -555,6 +580,10 @@ def q_docs_hybrid_retrieval_batch(
             )
         )
 
+    def _matched(a: str, b: str):
+        ia, ib = _HYBRID_TERMS.index(a), _HYBRID_TERMS.index(b)
+        return (F.col(f"tf{ia}") > 0) | (F.col(f"tf{ib}") > 0)
+
     per_q = F.explode(
         F.array(
             *[
@@ -564,14 +593,22 @@ def q_docs_hybrid_retrieval_batch(
                         term(_HYBRID_TERMS.index(a))
                         + term(_HYBRID_TERMS.index(b))
                     ).alias("score"),
+                    _matched(a, b).alias("matched"),
                 )
                 for q, (a, b) in enumerate(_HYBRID_BATCH_TERMS)
             ]
         )
     )
-    lexs = feat.crossJoin(F.broadcast(stats)).select(
-        "doc_id", per_q.alias("s")
-    ).select("doc_id", F.col("s.qid").alias("qid"), F.col("s.score").alias("score"))
+    lexs = (
+        feat.crossJoin(F.broadcast(stats))
+        .select("doc_id", per_q.alias("s"))
+        .filter(F.col("s.matched"))
+        .select(
+            "doc_id",
+            F.col("s.qid").alias("qid"),
+            F.col("s.score").alias("score"),
+        )
+    )
     wl = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -242,15 +242,16 @@ def test_bm25_serve_plan_prunes_and_never_rescans_corpus(spark, sf_dir):
     )
     assert "bm25_state_" in plan
     assert "documents.parquet" not in plan
-    hplan = (
-        REGISTRY["docs_hybrid_retrieval"]
-        .spark(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "documents.parquet" not in hplan
-    assert "bm25_state_" in hplan
+    for hybrid in ("docs_hybrid_retrieval", "docs_hybrid_retrieval_batch"):
+        hplan = (
+            REGISTRY[hybrid]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "documents.parquet" not in hplan, hybrid
+        assert "bm25_state_" in hplan, hybrid
 
 
 def test_bm25_from_index_equals_full_scan(spark, sf_dir):

@@ -428,12 +428,12 @@ def test_gate_priority_window_covers_graded_surface():
     family's takedown and streaming maintenance — completing it as
     the EIGHTH full lifecycle row — the persisted-state multimodal
     composition, and the persisted BM25 index's four cells — the
-    NINTH lifecycle row, complete in its birth round) plus the 3
+    NINTH lifecycle row, complete in its birth round) plus the 4
     materially-changed re-entries (the two rebuild-shaped manifest
-    queries whose numbering device changed, and the hybrid retrieval
-    whose lexical stage now serves from the BM25 index), and [c] is
-    the oldest-coverage re-proof pass — the 34 oldest
-    round-7-checked queries in registry order (the 8-query tail
+    queries whose numbering device changed, and both hybrid
+    retrievals whose lexical stages now serve from the BM25 index),
+    and [c] is the oldest-coverage re-proof pass — the 33 oldest
+    round-7-checked queries in registry order (the 9-query tail
     re-enters next round). Streaming budget: 4 replays in-window
     (the two NEW replays by the must-enter-on-birth rule + the r7
     block's outer/full-outer join replays) — back to the r10 slate
@@ -460,11 +460,12 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_training_manifest",
         "corpus_manifest_multimodal",
         "docs_hybrid_retrieval",
+        "docs_hybrid_retrieval_batch",
     ]
     r7_backfill = [
         # last driver row: CORRECTNESS_r07.json — oldest-coverage
-        # block, registry order; the tail (docs_repeated_spans
-        # onward, 8 queries) re-enters next round
+        # block, registry order; the tail (docs_substring_dedup
+        # onward, 9 queries) re-enters next round
         "leaderboard_topk", "session_windows", "events_asof_orders",
         "events_dim_asof", "cdc_materialize", "user_event_type_sets",
         "lateral_top_users", "docs_token_stats", "docs_quality",
@@ -477,7 +478,7 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_contamination", "docs_pack_sequences", "pricing_summary",
         "forecast_revenue_change", "stream_outer_join_replay",
         "stream_full_outer_join_replay", "docs_bpe_encode",
-        "embedding_ivf_ingest", "docs_substring_dedup",
+        "embedding_ivf_ingest",
     ]
     expected = (
         sentinels + new_in_r12
