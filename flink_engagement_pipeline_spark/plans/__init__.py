@@ -136,16 +136,19 @@ from . import queries_ext9  # noqa: F401,E402
 #       persisted state instead of inline recompute —
 #       docs_bm25_from_index + docs_bm25_ingest + docs_bm25_delete +
 #       stream_bm25_index_replay — the persisted BM25 index, the
-#       NINTH lifecycle row complete in its birth round) plus the 4
-#       MATERIALLY CHANGED queries re-entering by the [b] rule
+#       NINTH lifecycle row complete in its birth round —
+#       docs_hybrid_retrieval_ivf — the FULLY index-served hybrid:
+#       lexical from BM25 postings, dense from persisted IVF codes,
+#       no corpus-sized scan in the serve plan) plus the 4 MATERIALLY
+#       CHANGED queries re-entering by the [b] rule
 #       (docs_training_manifest + corpus_manifest_multimodal — the
 #       r11 weak finding's numbering device swap, values pinned
 #       identical — and docs_hybrid_retrieval +
 #       docs_hybrid_retrieval_batch — both lexical stages now serve
-#       from the persisted BM25 index) + [c] = the 33 oldest
+#       from the persisted BM25 index) + [c] = the 32 oldest
 #       round-7-checked queries in registry order (leaderboard_topk
-#       through embedding_ivf_ingest; the tail — docs_substring_dedup
-#       onward, 9 queries — re-enters next round).
+#       through docs_bpe_encode; the tail — embedding_ivf_ingest
+#       onward, 10 queries — re-enters next round).
 #       STREAMING BUDGET: 4 replays in-window — the two NEW replays
 #       (manifest + BM25 maintenance, in-window by the
 #       must-enter-on-birth rule) plus the r7 backfill block's
@@ -178,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     "docs_bm25_ingest",
     "docs_bm25_delete",
     "stream_bm25_index_replay",
+    "docs_hybrid_retrieval_ivf",
     # materially changed this round (the [b] re-entry rule):
     "docs_training_manifest",
     "corpus_manifest_multimodal",
@@ -218,7 +222,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_outer_join_replay",
     "stream_full_outer_join_replay",
     "docs_bpe_encode",
-    "embedding_ivf_ingest",
 )
 
 

@@ -326,16 +326,30 @@ LIMIT 20
 def q_docs_hybrid_retrieval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     from .queries_ext9 import bm25_topk_from_index
 
     lex = bm25_topk_from_index(spark, sf_dir)
+    dense = ls.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+    return rrf_fuse_topk(lex, dense)
+
+
+def rrf_fuse_topk(
+    lex: DataFrame, dense: DataFrame, out_k: int = 20
+) -> DataFrame:
+    """The single-query RRF fusion tail shared by docs_hybrid_retrieval
+    and its index-served-dense variant (queries_ext9): integer-rank the
+    two already-LIMITed stage frames (``lex``: doc_id + score;
+    ``dense``: vec_id + cosine — both metadata-sized, so the
+    single-partition rank windows are free), full-outer join on the
+    doc key, and compute the RRF score as ONE division of integer
+    terms (absent stages encode as rank 0) — engine-exact, no
+    float-sum ordering hazard."""
+    from pyspark.sql import Window
+
     wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     lex_r = lex.select(
         "doc_id", F.row_number().over(wl).alias("lex_rank")
     )
-    dense = ls.cosine_topk(load_table(spark, sf_dir, "embeddings"))
     wd = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     dense_r = dense.select(
         F.col("vec_id").alias("doc_id"),
@@ -361,7 +375,7 @@ def q_docs_hybrid_retrieval(
             (num.cast("double") / (a * b)).alias("rrf_score"),
         )
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
-        .limit(20)
+        .limit(out_k)
     )
 
 

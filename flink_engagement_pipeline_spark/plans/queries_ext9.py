@@ -630,6 +630,151 @@ def q_docs_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# fully index-served hybrid retrieval (BM25 postings + IVF codes)
+# ---------------------------------------------------------------------------
+
+_IVF_STATE_MEMO: dict[str, str] = {}
+
+
+def ivf_state_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per process per fixture) the IVF codes table
+    (vec_id, cluster) under the memoized trained quantizer, committed
+    through the exactly-once sink — the state the embedding_ivf_ingest
+    / _delete / stream_ivf_index_replay lifecycle cells maintain
+    incrementally in production."""
+    from ..llm import cluster as lc
+    from ..llm import similarity as ls
+
+    key = os.path.abspath(sf_dir)
+    if key not in _IVF_STATE_MEMO:
+        tmp = tempfile.mkdtemp(prefix="ivf_state_")
+        sink = IdempotentParquetSink(os.path.join(tmp, "codes"))
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        sink.write_batch(
+            lc.assign_clusters(e, ls._centroids(emb)).select(
+                "vec_id", "cluster"
+            ),
+            0,
+        )
+        _IVF_STATE_MEMO[key] = tmp
+    return _IVF_STATE_MEMO[key]
+
+
+def ivf_topk_from_state(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """ivf_topk served from the PERSISTED codes table: probe selection
+    is driver metadata (the memoized k x dim centroids vs the id-keyed
+    query vector), the probed clusters prune the CODES scan (literal
+    isin pushdown — only probes/lists of the index is read), and
+    corpus vectors are read id-keyed through the candidate set for the
+    exact cosine. Unlike llm.similarity.ivf_topk — which re-assigns
+    the whole corpus per query as an in-plan projection — no stage
+    here touches more than the probed lists: the serve path a 100 TB
+    ANN index actually runs. Result-identical (assignment is
+    deterministic, codes == assignment), same SQL oracle."""
+    from ..llm.cluster import _dot_py
+    from ..llm.similarity import IVF_PROBES, _centroids, _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _centroids(emb)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
+    dists = [
+        (_dot_py(qvec, qvec) - 2 * _dot_py(qvec, c) + _dot_py(c, c), i)
+        for i, c in enumerate(cents)
+    ]
+    probes = [i for _, i in sorted(dists)[:IVF_PROBES]]
+    codes = IdempotentParquetSink(
+        os.path.join(ivf_state_dir(spark, sf_dir), "codes")
+    ).read_committed(spark)
+    cand_ids = codes.filter(F.col("cluster").isin(probes)).select("vec_id")
+    cand = e.join(cand_ids, "vec_id", "leftsemi")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    v, q = F.col("v"), F.col("q")
+    cos = _dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q)))
+    return (
+        cand.crossJoin(F.broadcast(query))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _hybrid_ivf_oracle() -> str:
+    from .queries_ext8 import _RRF_K
+    from .queries_llm import _ivf_oracle
+    from .queries_ml import _bm25_oracle
+
+    k = _RRF_K
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS r
+  FROM ({_bm25_oracle()}) t
+),
+dense AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS r
+  FROM ({_ivf_oracle(topk=20)}) t
+),
+f AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         CAST(coalesce(l.r, 0) AS INT) AS lex_rank,
+         CAST(coalesce(d.r, 0) AS INT) AS dense_rank
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank,
+       CAST(CASE WHEN lex_rank > 0 AND dense_rank > 0
+                 THEN ({k} + lex_rank) + ({k} + dense_rank)
+                 ELSE 1 END AS DOUBLE)
+       / ((CASE WHEN lex_rank > 0 THEN {k} + lex_rank ELSE 1 END)
+          * (CASE WHEN dense_rank > 0 THEN {k} + dense_rank ELSE 1 END))
+           AS rrf_score
+FROM f
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@register(
+    "docs_hybrid_retrieval_ivf",
+    oracle=_hybrid_ivf_oracle(),
+    doc=(
+        "FULLY index-served hybrid retrieval — the 100 TB serving "
+        "shape, with NO corpus-sized scan anywhere in the plan: the "
+        "lexical top-20 reads the persisted BM25 postings pruned to "
+        "the query terms, and the dense top-20 reads the persisted "
+        "IVF codes pruned to the 2 probed lists (literal cluster-isin "
+        "pushdown) with corpus vectors read id-keyed through the "
+        "candidate set — versus docs_hybrid_retrieval, whose dense "
+        "stage still computes an exact brute-force cosine over every "
+        "vector (kept registered as the exact baseline; this variant "
+        "is what a RAG service runs, trading IVF probe recall for "
+        "probed-lists-only reads). Still FULLY hash-oracled despite "
+        "being approximate: the quantized Lloyd trainer is "
+        "engine-exact, so train + assign + probe + rank unroll into "
+        "the embedding_ann_ivf SQL CTEs, and the RRF fusion keeps "
+        "integer rank arithmetic until ONE final division."
+    ),
+    tags=("llm", "retrieval", "hybrid", "ann", "ivf", "index"),
+)
+def q_docs_hybrid_retrieval_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .queries_ext8 import rrf_fuse_topk
+
+    lex = bm25_topk_from_index(spark, sf_dir)
+    dense = ivf_topk_from_state(spark, sf_dir, k=20)
+    return rrf_fuse_topk(lex, dense)
+
+
 def run_bm25_index_replay(
     spark: SparkSession, sf_dir: str, tmp: str
 ) -> DataFrame:

@@ -442,13 +442,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ls.ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(topk: int = 10) -> str:
     from ..llm.cluster import _km_dist, km_assign_cte, km_update_cte
 
-    k, probes, topk, dim = (
+    k, probes, dim = (
         ls.IVF_LISTS,
         ls.IVF_PROBES,
-        10,
         ls.DIM,
     )
     return f"""

@@ -254,6 +254,33 @@ def test_bm25_serve_plan_prunes_and_never_rescans_corpus(spark, sf_dir):
         assert "bm25_state_" in hplan, hybrid
 
 
+def test_hybrid_ivf_index_served_plan_and_equivalence(spark, sf_dir):
+    """The fully index-served hybrid's contract: the dense stage reads
+    the PERSISTED codes pruned to the probed clusters (literal isin on
+    the codes scan) and is result-identical to the in-plan ivf_topk
+    (assignment is deterministic, codes == assignment); the whole
+    hybrid plan touches neither documents.parquet nor a corpus-wide
+    re-assignment — both stages serve from state."""
+    from flink_engagement_pipeline_spark.llm import similarity as ls
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    served = sorted(
+        map(tuple, e9.ivf_topk_from_state(spark, sf_dir, k=20).collect())
+    )
+    inplan = sorted(map(tuple, ls.ivf_topk(emb, k=20).collect()))
+    assert served == inplan
+    plan = (
+        REGISTRY["docs_hybrid_retrieval_ivf"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"cluster#\d+ IN \(", plan), plan[:2000]
+    assert "ivf_state_" in plan and "bm25_state_" in plan
+    assert "documents.parquet" not in plan
+
+
 def test_bm25_from_index_equals_full_scan(spark, sf_dir):
     """On the fixtures (>= 493 of 500 docs match a query term — far
     above the 20-row cut) the index-served top-k must equal the

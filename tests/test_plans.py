@@ -432,8 +432,8 @@ def test_gate_priority_window_covers_graded_surface():
     materially-changed re-entries (the two rebuild-shaped manifest
     queries whose numbering device changed, and both hybrid
     retrievals whose lexical stages now serve from the BM25 index),
-    and [c] is the oldest-coverage re-proof pass — the 33 oldest
-    round-7-checked queries in registry order (the 9-query tail
+    and [c] is the oldest-coverage re-proof pass — the 32 oldest
+    round-7-checked queries in registry order (the 10-query tail
     re-enters next round). Streaming budget: 4 replays in-window
     (the two NEW replays by the must-enter-on-birth rule + the r7
     block's outer/full-outer join replays) — back to the r10 slate
@@ -457,6 +457,7 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_bm25_ingest",
         "docs_bm25_delete",
         "stream_bm25_index_replay",
+        "docs_hybrid_retrieval_ivf",
         "docs_training_manifest",
         "corpus_manifest_multimodal",
         "docs_hybrid_retrieval",
@@ -464,8 +465,8 @@ def test_gate_priority_window_covers_graded_surface():
     ]
     r7_backfill = [
         # last driver row: CORRECTNESS_r07.json — oldest-coverage
-        # block, registry order; the tail (docs_substring_dedup
-        # onward, 9 queries) re-enters next round
+        # block, registry order; the tail (embedding_ivf_ingest
+        # onward, 10 queries) re-enters next round
         "leaderboard_topk", "session_windows", "events_asof_orders",
         "events_dim_asof", "cdc_materialize", "user_event_type_sets",
         "lateral_top_users", "docs_token_stats", "docs_quality",
@@ -478,7 +479,6 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_contamination", "docs_pack_sequences", "pricing_summary",
         "forecast_revenue_change", "stream_outer_join_replay",
         "stream_full_outer_join_replay", "docs_bpe_encode",
-        "embedding_ivf_ingest",
     ]
     expected = (
         sentinels + new_in_r12
@@ -1048,6 +1048,9 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "docs_bm25_ingest",
         "docs_bm25_delete",
         "stream_bm25_index_replay",
+        "docs_hybrid_retrieval_ivf",  # BM25-index broadcasts + the
+                                      # single-probe-row query x
+                                      # probed-lists candidates
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):
