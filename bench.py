@@ -87,6 +87,10 @@ FLAGSHIP_NAMES = [
     # TakeOrdered — the lexical-retrieval serving path)
     "corpus_manifest_from_state",
     "docs_bm25_from_index",
+    # late round 12: the FULLY index-served hybrid (BM25 postings +
+    # persisted IVF codes, no corpus-sized scan at serve — both state
+    # dirs memoized after run 1, the established convention)
+    "docs_hybrid_retrieval_ivf",
 ]
 
 
