@@ -594,6 +594,45 @@ def test_grouped_global_row_number_matches_window(spark, sf_dir):
     assert got == expect
 
 
+def test_grouped_global_row_number_edge_cases(spark, sf_dir):
+    """Degenerate inputs the device must survive: an EMPTY frame (no
+    boundaries, no counts — must return empty, not fail on the offsets
+    join) and a SINGLE-group frame (the grouped form degenerates to
+    the global device's shape and must still number exactly)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_engagement_pipeline_spark.operators.rank import (
+        grouped_global_row_number,
+    )
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    empty = ev.filter(F.lit(False)).withColumn("g", F.lit("x"))
+    assert grouped_global_row_number(
+        empty, "g", ["ts", "event_id"], out="rn"
+    ).count() == 0
+    one = ev.withColumn("g", F.lit("only"))
+    got = sorted(
+        map(
+            tuple,
+            grouped_global_row_number(one, "g", ["ts", "event_id"], out="rn")
+            .select("event_id", "rn")
+            .collect(),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("ts", "event_id")
+    expect = sorted(
+        map(
+            tuple,
+            one.withColumn("rn", F.row_number().over(w))
+            .select("event_id", "rn")
+            .collect(),
+        )
+    )
+    assert got == expect
+
+
 def test_manifest_sample_idx_no_split_sized_window(spark, sf_dir):
     """The r11 verdict's weak finding, pinned fixed: the manifest
     family's per-split sample index must NOT ride a Window whose only
