@@ -91,6 +91,17 @@ FLAGSHIP_NAMES = [
     # persisted IVF codes, no corpus-sized scan at serve — both state
     # dirs memoized after run 1, the established convention)
     "docs_hybrid_retrieval_ivf",
+    # round 13: the BATCHED hybrids side by side — the brute-force
+    # dense scan (kept as the exact calibration baseline) vs the
+    # index-served form (per-qid probed-cluster reads of the
+    # persisted codes; state dirs memoized after run 1) — their delta
+    # IS the measured cost of the r12 weak finding; plus the PQ
+    # lifecycle's recurring ingest path (pinned quantizers memoized
+    # after run 1, the ivf_ingest convention: min-of-N times the
+    # encode+append work a nightly batch pays)
+    "docs_hybrid_retrieval_batch",
+    "docs_hybrid_retrieval_batch_ivf",
+    "embedding_pq_ingest",
 ]
 
 

@@ -333,22 +333,138 @@ def encoded_table(
         else:
             enc = e.select("vec_id", *cols)
         path = os.path.join(tempfile.mkdtemp(prefix="pq_index_"), "codes")
-        # the one-time index build runs with whole-stage codegen OFF:
-        # fusing the coarse assignment + 8 code argmins into a single
-        # generated method makes Janino compile one ~6000-node class
-        # (superlinear, ~20 s); per-expression codegen compiles nine
-        # small units instead and the build drops to a few seconds.
-        # Execution stays compiled either way — only the fusion differs.
-        ws_key = "spark.sql.codegen.wholeStage"
-        spark_ = emb.sparkSession
-        saved = spark_.conf.get(ws_key)
-        spark_.conf.set(ws_key, "false")
-        try:
+        # the one-time index build runs with whole-stage codegen OFF
+        # (see wholestage_off): fusing the coarse assignment + 8 code
+        # argmins into a single generated method makes Janino compile
+        # one ~6000-node class (superlinear, ~20 s); per-expression
+        # codegen compiles nine small units instead and the build
+        # drops to a few seconds. Execution stays compiled either way.
+        with wholestage_off(emb.sparkSession):
             enc.write.parquet(path)
-        finally:
-            spark_.conf.set(ws_key, saved)
         _memo_put(key, path)
     return emb.sparkSession.read.parquet(path), books, coarse
+
+
+def wholestage_off(spark):
+    """Context manager: run a one-time index build with whole-stage
+    codegen OFF (per-expression codegen still on). Fusing a coarse
+    assignment + 8 code argmins into one generated method makes Janino
+    compile a ~6000-node class (superlinear, ~20 s); nine small units
+    compile in seconds. Extracted from ``encoded_table`` so the
+    lifecycle cells (plans/queries_ext10) write their code deltas under
+    the same discipline."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        key = "spark.sql.codegen.wholeStage"
+        saved = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, saved)
+
+    return _ctx()
+
+
+def encode_codes(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    coarse: list[list[float]],
+) -> DataFrame:
+    """(vec_id, cluster, c0..c7) under PINNED quantizers — the
+    ingest-path encoder: both the coarse assignment and the 8 code
+    argmins are pure parsed-SQL projections of the input batch, so a
+    nightly ingest costs batch-sized work plus a metadata-sized
+    codebook read, never a corpus rescan or a retrain. Because the
+    quantizers are pinned, encoding is a pure function of the vector:
+    append == rebuild bit-for-bit (the lifecycle family's algebra)."""
+    from .cluster import assign_clusters
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cols = [
+        F.expr(_assign_code_sql("v", s, books[s])).alias(f"c{s}")
+        for s in range(PQ_M)
+    ]
+    return assign_clusters(e, coarse).select("vec_id", "cluster", *cols)
+
+
+def fold_codes(codes: DataFrame) -> DataFrame:
+    """Live code rows from op-signed deltas (op=+1 ingest, op=-1
+    takedown tombstone — the LSM convention the BM25 family set):
+    sum(op) per full code row, keep positive. Codes never change for
+    a vec_id under pinned quantizers, so the fold groups on the whole
+    row and the live set equals rebuild-without-X exactly. Run AFTER
+    any cluster-prune filter — cluster is a group key, so
+    filter-then-fold == fold-then-filter and the fold touches only
+    the probed lists."""
+    cols = [c for c in codes.columns if c != "op"]
+    return (
+        codes.groupBy(*cols)
+        .agg(F.sum("op").alias("op"))
+        .filter(F.col("op") > 0)
+        .select(*cols)
+    )
+
+
+def _adc_tables(
+    qvec: list[float], books: list[list[list[float]]]
+) -> list[list[float]]:
+    """The query's 8x16 asymmetric-distance table — driver metadata,
+    mirroring the oracle's vv - 2vc + cc fold exactly."""
+    return [
+        [
+            _dot_py(_sub_py(qvec, s), _sub_py(qvec, s))
+            - 2 * _dot_py(_sub_py(qvec, s), books[s][j])
+            + _dot_py(books[s][j], books[s][j])
+            for j in range(PQ_K)
+        ]
+        for s in range(PQ_M)
+    ]
+
+
+def _adc_est_col(tables: list[list[float]]) -> Column:
+    """Estimated squared L2 from the code columns: 8 literal-array
+    lookups + 7 adds — plain codegen'd arithmetic per row."""
+    est = None
+    for s in range(PQ_M):
+        lut = F.array(*[F.lit(float(d)) for d in tables[s]])
+        term = F.element_at(lut, F.col(f"c{s}") + 1)
+        est = term if est is None else est + term
+    return est
+
+
+def ivf_pq_serve(
+    codes: DataFrame,
+    qvec: list[float],
+    books: list[list[list[float]]],
+    coarse: list[list[float]],
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ top-k over an externally-provided codes frame (vec_id,
+    cluster, c0..c7) — the serve tail shared by the process-memoized
+    build artifact (:func:`ivf_pq_topk`) and the persisted lifecycle
+    state (plans/queries_ext10.pq_state_dir). Probe selection is
+    driver metadata; the probed clusters prune the codes scan (literal
+    isin pushdown); the ADC sum + TakeOrderedAndProject never touch a
+    raw vector."""
+    from .similarity import IVF_PROBES
+
+    dists = [
+        (_dot_py(qvec, qvec) - 2 * _dot_py(qvec, c) + _dot_py(c, c), i)
+        for i, c in enumerate(coarse)
+    ]
+    probes = [i for _, i in sorted(dists)[:IVF_PROBES]]
+    enc = codes.filter(F.col("cluster").isin(probes))
+    est = _adc_est_col(_adc_tables(qvec, books))
+    return (
+        enc.select("vec_id", est.alias("est_dist"))
+        .orderBy(F.col("est_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
 
 
 def ivf_pq_topk(
@@ -368,39 +484,13 @@ def ivf_pq_topk(
     metadata (16 coarse centroids + 8x16 codebooks + the 8x16 query
     table) leaves the driver. This is exactly FAISS's IVF-PQ layout
     expressed as DataFrame ops."""
-    from .similarity import IVF_PROBES
-
     codes, books, coarse = encoded_table(emb, with_cluster=True)
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     qvec = [
         float(x) for x in e.filter(F.col("vec_id") == query_vec_id).first()["v"]
     ]
-    dists = [
-        (_dot_py(qvec, qvec) - 2 * _dot_py(qvec, c) + _dot_py(c, c), i)
-        for i, c in enumerate(coarse)
-    ]
-    probes = [i for _, i in sorted(dists)[:IVF_PROBES]]
-    tables = [
-        [
-            _dot_py(_sub_py(qvec, s), _sub_py(qvec, s))
-            - 2 * _dot_py(_sub_py(qvec, s), books[s][j])
-            + _dot_py(books[s][j], books[s][j])
-            for j in range(PQ_K)
-        ]
-        for s in range(PQ_M)
-    ]
     # serving: tiny scan of the persisted codes, list-pruned, ADC sum
-    enc = codes.filter(F.col("cluster").isin(probes))
-    est = None
-    for s in range(PQ_M):
-        lut = F.array(*[F.lit(float(d)) for d in tables[s]])
-        term = F.element_at(lut, F.col(f"c{s}") + 1)
-        est = term if est is None else est + term
-    return (
-        enc.select("vec_id", est.alias("est_dist"))
-        .orderBy(F.col("est_dist").asc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return ivf_pq_serve(codes, qvec, books, coarse, k=k)
 
 
 def adc_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
@@ -417,20 +507,7 @@ def adc_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
         float(x) for x in e.filter(F.col("vec_id") == query_vec_id).first()["v"]
     ]
     # distance tables mirror the oracle's vv - 2vc + cc fold exactly
-    tables = [
-        [
-            _dot_py(_sub_py(qvec, s), _sub_py(qvec, s))
-            - 2 * _dot_py(_sub_py(qvec, s), books[s][j])
-            + _dot_py(books[s][j], books[s][j])
-            for j in range(PQ_K)
-        ]
-        for s in range(PQ_M)
-    ]
-    est = None
-    for s in range(PQ_M):
-        lut = F.array(*[F.lit(float(d)) for d in tables[s]])
-        term = F.element_at(lut, F.col(f"c{s}") + 1)
-        est = term if est is None else est + term
+    est = _adc_est_col(_adc_tables(qvec, books))
     return (
         enc.select(
             "vec_id",

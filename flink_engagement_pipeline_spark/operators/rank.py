@@ -31,6 +31,15 @@ identically against the literals so equal keys always land in the same
 range. The result is exactly ``row_number() OVER (ORDER BY ...)`` —
 verified against the SQL oracle in the registered query.
 
+One INTENTIONAL exception to the zero-persisted-relations claim lives
+in a caller, not here: ``plans/queries_ext8.manifest_index_of`` pins a
+lazy localCheckpoint of its narrow 4-column id frame before numbering,
+because its input is an expensive derived join tree (the grouped
+variant's docstring names that trade). Those pins are memoized per
+semantic input plan (bounded FIFO, one per fixture in practice), so
+repeated serves under the gate/bench reuse ONE checkpoint instead of
+accumulating them; the memo and its pin test live next to the caller.
+
 This is also the "assign stable sample indices to a corpus" primitive
 an LLM data pipeline needs after shuffling/filtering (e.g. to address
 training samples by position without a single-node sort).
@@ -153,7 +162,10 @@ def grouped_global_row_number(
     (groups x ranges rows — metadata) rides a broadcast join.
 
     The order must be TOTAL within each group (include a tiebreak
-    column). As with the global form, range assignment is a pure
+    column); the group column may be NULL — the offsets join compares
+    null-safely, so NULL is simply one more group (consistent with
+    ``PARTITION BY``, which puts all NULLs in one partition). As with
+    the global form, range assignment is a pure
     function of the row: no cached relation, every pass recomputes
     identical ranges. Callers whose input is an expensive DERIVED
     subtree (not a parquet scan) should cut lineage first — the device
@@ -193,7 +205,10 @@ def grouped_global_row_number(
     return (
         parted.join(
             F.broadcast(off_df),
-            (F.col(group_col) == F.col("__grp"))
+            # eqNullSafe: the counts pass collects NULL-group rows, so
+            # the offsets join must match them too (a plain equality
+            # would silently drop every NULL-group row — r12 ADVICE)
+            F.col(group_col).eqNullSafe(F.col("__grp"))
             & (parted["__pid"] == off_df["__pid"]),
         )
         .drop(off_df["__pid"])

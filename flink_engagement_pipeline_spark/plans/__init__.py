@@ -17,6 +17,7 @@ from . import queries_ext6  # noqa: F401,E402
 from . import queries_ext7  # noqa: F401,E402
 from . import queries_ext8  # noqa: F401,E402
 from . import queries_ext9  # noqa: F401,E402
+from . import queries_ext10  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order is part of the driver contract: the correctness gate
@@ -127,7 +128,7 @@ from . import queries_ext9  # noqa: F401,E402
 #       in-window (CORRECTNESS_r11.json: 48 hash + 2 rows-only by
 #       design, 0 err — after that round no last driver row predates
 #       round 7);
-#   round 12 (this list): sentinels + [b] = the 7 round-12 additions
+#   round 12: sentinels + [b] = the 8 round-12 additions
 #       (docs_manifest_delete + stream_manifest_replay — the manifest
 #       family's takedown (tombstone positions, touched-fp
 #       resurrection) and streaming maintenance, completing it as the
@@ -159,69 +160,114 @@ from . import queries_ext9  # noqa: F401,E402
 #       replay's serve join gained a size-gated broadcast hint this
 #       round; the gate is pin-tested result-identical on both paths,
 #       so it does NOT re-enter as materially changed.
+#   round 13 (this list): SENTINEL SWAP (r12 verdict ask #6 — by
+#       policy a sentinel leaves [a] only through this text):
+#       docs_minhash_pairs (the xxhash64 production path, permanently
+#       rows-only because xxhash64 has no DuckDB twin) hands its slot
+#       to docs_minhash_portable — the SAME MinHash capability with a
+#       full hash oracle — so every sentinel row is hash-green;
+#       docs_minhash_pairs stays registered, benched, and
+#       recall-tested, and re-enters backfill like any query. [b] =
+#       the 7 round-13 additions (docs_hybrid_retrieval_batch_ivf —
+#       the r12 weak finding closed: the batched hybrid's dense stage
+#       served from the persisted IVF codes, per-qid probe lists in
+#       ONE pruned codes scan — embedding_pq_ingest +
+#       embedding_pq_delete + stream_pq_index_replay — the PQ codes
+#       table as the TENTH complete lifecycle family in its birth
+#       round, op-signed deltas under PINNED corpus-trained
+#       quantizers — docs_bm25_compact — PHYSICAL tombstone
+#       compaction through the sink's semantic-transform hook, the
+#       ninth row's missing piece — embedding_ivf_recall +
+#       embedding_ivf_pq_recall — in-engine recall evals for the
+#       SERVED ANN paths) plus 1 materially-changed re-entry
+#       (embedding_ivf_pq — serve re-pointed at the persisted
+#       lifecycle state; hash unchanged, pin-tested identical, but
+#       the serve PLAN changed so it re-proves under the gate). The
+#       docs_hybrid_retrieval_batch / hybrid lexical/fusion stages
+#       were FACTORED (verbatim extraction, oracle text byte-
+#       identical — asserted during the refactor) and do NOT re-enter.
+#       [c] = the 10 deferred round-7-checked queries
+#       (embedding_ivf_ingest through session_windows_dynamic —
+#       honouring the r12 deferral), then the 26 oldest
+#       round-8-checked queries in registry order
+#       (value_hour_correlation through small_quantity_revenue,
+#       skipping docs_minhash_portable which now sits in [a], and
+#       DEFERRING docs_dedup_e2e — rows-only by design (xxhash64) —
+#       one round so the sentinel swap's effect is visible in the
+#       very record that motivated it: CORRECTNESS_r13 carries 50/50
+#       hash rows, the first fully hash-green gate. docs_dedup_e2e
+#       leads the r14 backfill with the rest of the r8 tail
+#       (large_volume_customers onward, 14 more). STREAMING BUDGET:
+#       1 replay in-window (stream_pq_index_replay, in-window by the
+#       must-enter-on-birth rule) — the lightest slate any round has
+#       carried. hop_engagement_sum stays the single
+#       multi-million-row output in-window.
 #
 # Everything not listed keeps module import order after the priority block
 # and remains covered by tests/test_registry_oracle.py locally.
 # ---------------------------------------------------------------------------
 
 _PRIORITY: tuple[str, ...] = (
-    # -- [a] stable sentinels --
+    # -- [a] stable sentinels (docs_minhash_portable replaced
+    # docs_minhash_pairs in round 13 — see the policy text) --
     "enrich_events",
     "latest_per_key",
     "hop_engagement_sum",
     "docs_exact_dedup",
     "docs_jaccard_pairs",
-    "docs_minhash_pairs",
-    # -- [b] new in round 12 --
+    "docs_minhash_portable",
+    # -- [b] new in round 13 --
     # (each addition displaces one backfill entry from the tail of [c])
-    "docs_manifest_delete",
-    "stream_manifest_replay",
-    "corpus_manifest_from_state",
-    "docs_bm25_from_index",
-    "docs_bm25_ingest",
-    "docs_bm25_delete",
-    "stream_bm25_index_replay",
-    "docs_hybrid_retrieval_ivf",
+    "docs_hybrid_retrieval_batch_ivf",
+    "embedding_pq_ingest",
+    "embedding_pq_delete",
+    "stream_pq_index_replay",
+    "docs_bm25_compact",
+    "embedding_ivf_recall",
+    "embedding_ivf_pq_recall",
     # materially changed this round (the [b] re-entry rule):
-    "docs_training_manifest",
-    "corpus_manifest_multimodal",
-    "docs_hybrid_retrieval",
-    "docs_hybrid_retrieval_batch",
-    # -- [c] backfill: oldest driver coverage first — the 34 oldest
-    # round-7-checked queries in registry order (the tail,
-    # docs_repeated_spans onward, re-enters next round) --
-    "leaderboard_topk",
-    "session_windows",
-    "events_asof_orders",
-    "events_dim_asof",
-    "cdc_materialize",
-    "user_event_type_sets",
-    "lateral_top_users",
-    "docs_token_stats",
-    "docs_quality",
-    "docs_lang_id",
-    "docs_fingerprint",
-    "docs_simhash",
-    "embedding_cosine_topk",
-    "embedding_near_dup",
-    "media_features",
-    "media_frame_sample",
-    "embedding_norms_pandas",
-    "docs_clean",
-    "docs_dedup_clusters",
-    "docs_word_positions",
-    "docs_corpus_prep",
-    "docs_bigram_freq",
-    "docs_train_split",
-    "docs_chunks",
-    "docs_lang_downsample",
-    "docs_contamination",
-    "docs_pack_sequences",
-    "pricing_summary",
-    "forecast_revenue_change",
-    "stream_outer_join_replay",
-    "stream_full_outer_join_replay",
-    "docs_bpe_encode",
+    "embedding_ivf_pq",
+    # -- [c] backfill: oldest driver coverage first — the 10
+    # round-7-checked queries deferred by the r12 policy text, then
+    # the 26 oldest round-8-checked queries in registry order
+    # (docs_dedup_e2e deferred one round per the policy text above;
+    # the r8 tail re-enters next round) --
+    "embedding_ivf_ingest",
+    "docs_substring_dedup",
+    "docs_repeated_spans",
+    "docs_substring_scrub",
+    "events_latency_quantiles",
+    "embedding_knn_graph",
+    "docs_cc_star",
+    "parts_triangles",
+    "docs_bpe_perplexity",
+    "session_windows_dynamic",
+    "value_hour_correlation",
+    "user_retention_cohort",
+    "events_global_seq",
+    "click_to_purchase_latency",
+    "events_anomaly_zscore",
+    "user_activity_reconciliation",
+    "value_trimmed_mean",
+    "events_salted_sum",
+    "user_rfm_scores",
+    "parts_bought_together",
+    "user_markov_transitions",
+    "events_salted_join",
+    "docs_repetition",
+    "docs_dedup_e2e_portable",
+    "embedding_knn_join",
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
+    "media_resize",
+    "docs_simhash_pairs",
+    "docs_mixture_sample",
+    "docs_pii_redact",
+    "docs_span_dedup",
+    "shipmode_priority_counts",
+    "top_orders_by_revenue",
+    "late_ship_priority_counts",
+    "small_quantity_revenue",
 )
 
 

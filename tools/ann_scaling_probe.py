@@ -90,6 +90,104 @@ def run(fn, label, n):
     return dt
 
 
+def nprobe_stage() -> None:
+    """Round-13 stage (PROBE_STAGE=nprobe; r12 verdict ask #7 —
+    'measure, don't guess' applied to the one tunable the index-served
+    hybrid exposes): the nprobe/recall/latency curve of the persisted
+    IVF serve at PROBE_NPROBE_N vectors (default 1M). For each probe
+    count, every query is served exactly as queries_ext9.
+    ivf_topk_from_state does it — probed clusters prune the persisted
+    codes scan, corpus vectors read id-keyed through the candidate
+    set — and recall@10 is scored against the exact brute-force
+    cosine baseline. Reports mean recall and min serve seconds over
+    PROBE_NPROBE_Q queries (min per the host-interference
+    methodology). Findings land in BASELINE.md."""
+    import tempfile
+
+    n = int(os.environ.get("PROBE_NPROBE_N", "1000000"))
+    n_q = int(os.environ.get("PROBE_NPROBE_Q", "8"))
+    k = 10
+    emb = gen_embeddings(spark, n).cache()
+    assert emb.count() == n
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    t0 = time.perf_counter()
+    cents = ls._centroids(emb)
+    print(f"n={n:>9,} {'ivf-train':>13}: {time.perf_counter() - t0:7.2f}s",
+          flush=True)
+    state = tempfile.mkdtemp(prefix=f"ivf_nprobe_{n}_")
+    ls.ivf_assignments(e.select("vec_id", "v"), cents).write.parquet(
+        os.path.join(state, "codes")
+    )
+    codes = spark.read.parquet(os.path.join(state, "codes"))
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["v"]]
+        for r in e.filter(F.col("vec_id") < n_q).collect()
+    }
+    from flink_engagement_pipeline_spark.llm.cluster import _dot_py
+    from flink_engagement_pipeline_spark.llm.similarity import _dot
+
+    # exact baseline ids per query (brute scan — the calibration cost)
+    exact: dict[int, list[int]] = {}
+    t0 = time.perf_counter()
+    for qid, qv in qvecs.items():
+        query = e.filter(F.col("vec_id") == qid).select(
+            F.col("v").alias("q")
+        )
+        v, q = F.col("v"), F.col("q")
+        cos = _dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q)))
+        exact[qid] = [
+            r["vec_id"]
+            for r in e.crossJoin(F.broadcast(query))
+            .select("vec_id", cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            .limit(k)
+            .collect()
+        ]
+    print(f"n={n:>9,} {'exact-base':>13}: {time.perf_counter() - t0:7.2f}s "
+          f"({n_q} queries)", flush=True)
+    for nprobe in (1, 2, 4, 8):
+        hits, t_min = 0, float("inf")
+        for qid, qv in qvecs.items():
+            dists = sorted(
+                (_dot_py(qv, qv) - 2 * _dot_py(qv, c) + _dot_py(c, c), i)
+                for i, c in enumerate(cents)
+            )
+            probes = [i for _, i in dists[:nprobe]]
+            t0 = time.perf_counter()
+            cand_ids = codes.filter(F.col("cluster").isin(probes)).select(
+                "vec_id"
+            )
+            cand = e.join(cand_ids, "vec_id", "leftsemi")
+            query = e.filter(F.col("vec_id") == qid).select(
+                F.col("v").alias("q")
+            )
+            v, q = F.col("v"), F.col("q")
+            cos = _dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q)))
+            got = [
+                r["vec_id"]
+                for r in cand.crossJoin(F.broadcast(query))
+                .select("vec_id", cos.alias("cosine"))
+                .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+                .limit(k)
+                .collect()
+            ]
+            t_min = min(t_min, time.perf_counter() - t0)
+            hits += len(set(got) & set(exact[qid]))
+        print(
+            f"n={n:>9,} nprobe={nprobe:>2}/{ls.IVF_LISTS}: "
+            f"recall@{k} {hits / (k * n_q):6.3f}  "
+            f"serve min {t_min:6.2f}s",
+            flush=True,
+        )
+    emb.unpersist()
+
+
+if os.environ.get("PROBE_STAGE") == "nprobe":
+    nprobe_stage()
+    sys.exit(0)
+
 GEOM = {10_000: (16, 8), 100_000: (16, 14), 1_000_000: (16, 20)}
 
 for n, (tables, planes) in GEOM.items():

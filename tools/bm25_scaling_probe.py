@@ -105,6 +105,84 @@ SIZES = [int(x) for x in os.environ.get(
     "PROBE_SIZES", "10000,100000,1000000"
 ).split(",")]
 
+
+def churn_stage() -> None:
+    """Round-13 stage (PROBE_STAGE=churn): sustained delete/re-ingest
+    cycles against the persisted postings sink — the monotonic-growth
+    hazard the r12 verdict named. Each cycle tombstones 1/9 of the
+    corpus (negated-tf postings) and re-ingests it; WITHOUT compaction
+    the stored state grows by two slices per cycle forever, WITH the
+    physical fold (lx.fold_postings through the sink's transform hook,
+    policy-triggered at max_live_deltas=2) it stays pinned at the net
+    base. Reports stored rows + serve seconds for both variants and
+    asserts the folded state equals the base bit-for-bit (the churned
+    docs all come back, so net == base)."""
+    from flink_engagement_pipeline_spark.streaming.sinks import (
+        IdempotentParquetSink,
+    )
+
+    n = int(os.environ.get("PROBE_CHURN_N", "100000"))
+    cycles = int(os.environ.get("PROBE_CHURN_CYCLES", "6"))
+    docs = gen_documents(spark, n).select("doc_id", "text").cache()
+    assert docs.count() == n
+    base = lx.postings_of(docs)
+    stats = lx.stats_delta_of(docs)
+    print(f"-- churn: n={n:,}, {cycles} delete/re-ingest cycles --",
+          flush=True)
+    for variant, compacting in (("no_compact", False), ("compact", True)):
+        tmp = tempfile.mkdtemp(prefix=f"bm25_churn_{variant}_")
+        sink = IdempotentParquetSink(os.path.join(tmp, "postings"))
+        sink.write_batch(base, 0)
+        bid = 1
+        t_churn0 = time.perf_counter()
+        for c in range(cycles):
+            sl = docs.filter(F.col("doc_id") % 9 == c % 9)
+            for delta in (
+                lx.postings_of(sl).withColumn("tf", -F.col("tf")),
+                lx.postings_of(sl),
+            ):
+                if compacting:
+                    sink.maybe_compact(
+                        spark, upto=bid, max_live_deltas=2,
+                        transform=lx.fold_postings,
+                    )
+                sink.write_batch(delta, bid)
+                bid += 1
+        t_churn = time.perf_counter() - t_churn0
+        state = sink.read_committed(spark)
+        rows = state.count()
+        run(
+            lambda: lx.bm25_serve(state, stats, TERMS),
+            f"serve_{variant}",
+            n,
+        )
+        print(
+            f"n={n:>9,} {variant:>18}: stored rows {rows:>12,}  "
+            f"churn wall {t_churn:6.1f}s",
+            flush=True,
+        )
+        if compacting:
+            # every churned doc came back: net state == base
+            final = sink.compact(spark, transform=lx.fold_postings)
+            folded = spark.read.option(
+                "pathGlobFilter", "*.parquet"
+            ).parquet(final)
+            n_base = base.count()
+            n_folded = folded.count()
+            assert n_folded == n_base, (n_folded, n_base)
+            print(
+                f"n={n:>9,} {'fold==base':>18}: {n_folded:,} rows "
+                f"(asserted equal)",
+                flush=True,
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+    docs.unpersist()
+
+
+if os.environ.get("PROBE_STAGE") == "churn":
+    churn_stage()
+    sys.exit(0)
+
 for n in SIZES:
     docs = gen_documents(spark, n).select("doc_id", "text").cache()
     assert docs.count() == n
