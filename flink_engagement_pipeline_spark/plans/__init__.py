@@ -197,7 +197,13 @@ from . import queries_ext10  # noqa: F401,E402
 #       very record that motivated it: CORRECTNESS_r13 carries 50/50
 #       hash rows, the first fully hash-green gate. docs_dedup_e2e
 #       leads the r14 backfill with the rest of the r8 tail
-#       (large_volume_customers onward, 14 more). STREAMING BUDGET:
+#       (large_volume_customers onward, 14 more). Arithmetic note on
+#       the r12 verdict's "no row older than round 9 after the
+#       round" target: the r8-checked block holds 42 queries, so
+#       even a zero-[b] window (50 - 6 sentinels - 10 r7 = 34 slots)
+#       cannot clear it in one round — this round retires 36 of the
+#       52 stale rows, r14 retires the remaining 16 r8 rows
+#       (+ docs_dedup_e2e). STREAMING BUDGET:
 #       1 replay in-window (stream_pq_index_replay, in-window by the
 #       must-enter-on-birth rule) — the lightest slate any round has
 #       carried. hop_engagement_sum stays the single

@@ -1160,6 +1160,20 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "docs_hybrid_retrieval_ivf",  # BM25-index broadcasts + the
                                       # single-probe-row query x
                                       # probed-lists candidates
+        # round-13 additions — each composes patterns already on this
+        # list; the batch-ivf plan pin additionally asserts NO BNLJ
+        # touches the embeddings scan (the brute-dense signature)
+        "docs_bm25_compact",          # the BM25 index serve's two
+                                      # 1-row broadcasts, over the
+                                      # compact= snapshot
+        "docs_hybrid_retrieval_batch_ivf",  # BM25-index stats
+                                      # broadcast (lexical stage only;
+                                      # dense side is all equi-joins)
+        "embedding_ivf_recall",       # composes embedding_cosine_topk
+                                      # + the state-served single-
+                                      # probe-row IVF serve
+        "embedding_ivf_pq_recall",    # composes embedding_cosine_topk
+                                      # + the probed ADC serve
     }
     cartesian, stray_bnlj = [], []
     for name, spec in sorted(REGISTRY.items()):

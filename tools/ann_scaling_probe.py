@@ -117,7 +117,7 @@ def nprobe_stage() -> None:
     print(f"n={n:>9,} {'ivf-train':>13}: {time.perf_counter() - t0:7.2f}s",
           flush=True)
     state = tempfile.mkdtemp(prefix=f"ivf_nprobe_{n}_")
-    ls.ivf_assignments(e.select("vec_id", "v"), cents).write.parquet(
+    ls.ivf_assignments(emb, cents).write.parquet(
         os.path.join(state, "codes")
     )
     codes = spark.read.parquet(os.path.join(state, "codes"))
