@@ -168,7 +168,7 @@ from . import queries_ext10  # noqa: F401,E402
 #       full hash oracle — so every sentinel row is hash-green;
 #       docs_minhash_pairs stays registered, benched, and
 #       recall-tested, and re-enters backfill like any query. [b] =
-#       the 7 round-13 additions (docs_hybrid_retrieval_batch_ivf —
+#       the 8 round-13 additions (docs_hybrid_retrieval_batch_ivf —
 #       the r12 weak finding closed: the batched hybrid's dense stage
 #       served from the persisted IVF codes, per-qid probe lists in
 #       ONE pruned codes scan — embedding_pq_ingest +
@@ -179,7 +179,11 @@ from . import queries_ext10  # noqa: F401,E402
 #       compaction through the sink's semantic-transform hook, the
 #       ninth row's missing piece — embedding_ivf_recall +
 #       embedding_ivf_pq_recall — in-engine recall evals for the
-#       SERVED ANN paths) plus 1 materially-changed re-entry
+#       SERVED ANN paths — docs_quality_calibration — Platt scaling
+#       fitted by EXACT Newton iterations, the first in-engine model
+#       TRAINER with a full value-level oracle, [b]'s late-round
+#       EIGHTH addition, displacing small_quantity_revenue back to
+#       the r14 tail) plus 1 materially-changed re-entry
 #       (embedding_ivf_pq — serve re-pointed at the persisted
 #       lifecycle state; hash unchanged, pin-tested identical, but
 #       the serve PLAN changed so it re-proves under the gate). The
@@ -188,21 +192,21 @@ from . import queries_ext10  # noqa: F401,E402
 #       identical — asserted during the refactor) and do NOT re-enter.
 #       [c] = the 10 deferred round-7-checked queries
 #       (embedding_ivf_ingest through session_windows_dynamic —
-#       honouring the r12 deferral), then the 26 oldest
+#       honouring the r12 deferral), then the 25 oldest
 #       round-8-checked queries in registry order
-#       (value_hour_correlation through small_quantity_revenue,
+#       (value_hour_correlation through late_ship_priority_counts,
 #       skipping docs_minhash_portable which now sits in [a], and
 #       DEFERRING docs_dedup_e2e — rows-only by design (xxhash64) —
 #       one round so the sentinel swap's effect is visible in the
 #       very record that motivated it: CORRECTNESS_r13 carries 50/50
 #       hash rows, the first fully hash-green gate. docs_dedup_e2e
 #       leads the r14 backfill with the rest of the r8 tail
-#       (large_volume_customers onward, 14 more). Arithmetic note on
+#       (small_quantity_revenue onward, 15 more). Arithmetic note on
 #       the r12 verdict's "no row older than round 9 after the
 #       round" target: the r8-checked block holds 42 queries, so
 #       even a zero-[b] window (50 - 6 sentinels - 10 r7 = 34 slots)
-#       cannot clear it in one round — this round retires 36 of the
-#       52 stale rows, r14 retires the remaining 16 r8 rows
+#       cannot clear it in one round — this round retires 35 of the
+#       52 stale rows, r14 retires the remaining 17 r8 rows
 #       (+ docs_dedup_e2e). STREAMING BUDGET:
 #       1 replay in-window (stream_pq_index_replay, in-window by the
 #       must-enter-on-birth rule) — the lightest slate any round has
@@ -231,6 +235,7 @@ _PRIORITY: tuple[str, ...] = (
     "docs_bm25_compact",
     "embedding_ivf_recall",
     "embedding_ivf_pq_recall",
+    "docs_quality_calibration",
     # materially changed this round (the [b] re-entry rule):
     "embedding_ivf_pq",
     # -- [c] backfill: oldest driver coverage first — the 10
@@ -273,7 +278,6 @@ _PRIORITY: tuple[str, ...] = (
     "shipmode_priority_counts",
     "top_orders_by_revenue",
     "late_ship_priority_counts",
-    "small_quantity_revenue",
 )
 
 

@@ -247,6 +247,37 @@ def test_bm25_physical_compaction_state_and_serve(spark, sf_dir):
     assert serve() == served_before
 
 
+def test_platt_training_is_not_degenerate(spark, sf_dir):
+    """The Newton-Platt trainer must produce a REAL classifier, not
+    the majority-class predictor gradient descent collapses to on
+    this data (measured — the reason the optimizer is Newton):
+    positive calibration slope, both classes predicted, and accuracy
+    strictly above the base rate."""
+    from flink_engagement_pipeline_spark.llm import classify as cl
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = cl.platt_features(docs)
+    a, b = cl.train_platt(feats)
+    assert a > 0, (a, b)  # higher quality score => higher P(en)
+    rows = cl.score_platt(feats, a, b).collect()
+    n = len(rows)
+    preds = [r["pred"] for r in rows]
+    labels = [r["label"] for r in rows]
+    assert 0 < sum(preds) < n  # both classes predicted
+    acc = sum(p == y for p, y in zip(preds, labels)) / n
+    base = max(sum(labels), n - sum(labels)) / n
+    assert acc > base, (acc, base)
+    # scoring is a pure projection: no joins, no exchange
+    plan = (
+        cl.score_platt(feats, a, b)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan[:1500]
+
+
 def test_bm25_compact_registered_query_reads_snapshot(spark, sf_dir):
     """docs_bm25_compact must serve from the compact= snapshot (the
     folded base), not from live delta dirs — the read-path the

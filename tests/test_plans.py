@@ -427,12 +427,12 @@ def test_gate_priority_window_covers_graded_surface():
     SENTINEL SWAP (docs_minhash_portable — same MinHash capability,
     full hash oracle — replaces the permanently rows-only xxhash64
     path, ending the gate's one non-green row; r12 verdict ask #6),
-    [b] = the 7 round-13 additions (the index-served batched hybrid,
+    [b] = the 8 round-13 additions (the index-served batched hybrid,
     the PQ codes family's three new lifecycle cells, BM25 physical
     compaction, and the two served-ANN recall evals) plus 1
     materially-changed re-entry (embedding_ivf_pq, serve re-pointed
     at the persisted state), and [c] = the oldest-coverage re-proof
-    pass — the 10 deferred round-7-checked queries, then the 26
+    pass — the 10 deferred round-7-checked queries, then the 25
     oldest round-8-checked in registry order (the r8 tail re-enters
     next round). Streaming budget: 1 replay in-window
     (stream_pq_index_replay, by the must-enter-on-birth rule) — the
@@ -457,6 +457,7 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_bm25_compact",
         "embedding_ivf_recall",
         "embedding_ivf_pq_recall",
+        "docs_quality_calibration",
         "embedding_ivf_pq",
     ]
     backfill = [
