@@ -331,8 +331,17 @@ def media_phash_buckets(
     (llm/dedup.py:simhash_buckets; the 5 rotations tile all 60 bits,
     so any pair within Hamming 4 is GUARANTEED to collide on at least
     one probe by pigeonhole — fixture near-dups measure <= 2)."""
+    return _phash_buckets_of_sigs(media_phash(media), rotations)
+
+
+def _phash_buckets_of_sigs(
+    sigs: DataFrame, rotations: int = PHASH_ROTATIONS
+) -> DataFrame:
+    """Rotation-bucket expansion of a (doc_id, phash) signature frame —
+    the tail of media_phash_buckets factored out so alternative
+    signature producers (the video family's factored frame hasher)
+    feed the identical index geometry."""
     bits, prefix = PHASH_BITS, PHASH_PREFIX
-    sigs = media_phash(media)
     rots = F.array(
         *[
             F.struct(
@@ -626,6 +635,196 @@ def media_video_frames(
     )
 
 
+def video_frame_phash_sigs(
+    media: DataFrame, every_k: int = VIDEO_FRAME_STRIDE
+) -> DataFrame:
+    """(frame-key, phash) signatures of every sampled frame —
+    value-identical to ``media_phash(media_video_frames(media))``
+    (pin-tested in tests/test_r14_opt.py) but ~4x cheaper: the frame
+    payload is ``payload || ':frame:<idx>'`` appended with NO
+    whitespace, so when the payload ends in a non-whitespace byte the
+    frame's normalized token array equals the video's with only the
+    LAST token rewritten, and its distinct 3-gram shingle set is
+    exactly
+
+        distinct(windows 1..m-3 of the video's tokens)   [PREFIX]
+      ∪ { 'w[m-2] w[m-1] w[m]:frame:<idx>' }             [TAIL]
+
+    (the tail contains ':frame:', which no prefix window can, so the
+    union is disjoint). The aHash cell sums are additive over the
+    distinct shingle set, so each video's prefix cells are hashed
+    ONCE and every frame adds a single tail md5 — versus the direct
+    pipeline's full re-shingle + re-md5 of the whole payload per
+    frame (~4.6 frames/video: the dominant stage of the video family,
+    measured 6.9 s of media_video_neardup's 10.8 s at sf0.1 — see
+    tools/video_profile.py). The per-frame threshold/pack then needs
+    no frame-volume window either: the frame total is
+    ``prefix_total + tail_lum`` by construction, so packing is one
+    equi-join fan-out (video cells x frames, doc_id-keyed) plus one
+    aggregation riding the same partitioning.
+
+    Exactness guards — a video routes through the UNFACTORED pipeline
+    (identical code path as before) unless ALL hold:
+      * the raw payload ends in a non-whitespace byte (else the
+        suffix becomes its own token and the window structure shifts),
+      * lower(payload) does not contain ':frame:' (else a tail could
+        collide with a prefix window and distinctness would differ),
+      * the video has >= 4 normalized tokens (else the <3-token
+        whole-text shingle fallback applies to some frame).
+    The guards are per-row projections; on the fixtures every doc is
+    fast-path, and adversarial docs are pin-tested equal through the
+    slow route."""
+    from pyspark.sql import Window
+
+    bits, fk = PHASH_BITS, _FRAME_KEY
+    text_s = F.col("payload").cast("string")
+    base = media.select(
+        "doc_id",
+        "payload",
+        text_s.alias("text"),
+        F.split(
+            F.regexp_replace(F.trim(F.lower(text_s)), r"\s+", " "), " "
+        ).alias("ws"),
+        (
+            F.lit(1)
+            + F.conv(F.substring(F.md5("payload"), 5, 2), 16, 10)
+            .cast("int")
+            % 32
+        ).alias("n_frames"),
+    ).withColumn("m", F.size("ws"))
+    is_fast = (
+        (F.col("m") >= 4)
+        & (F.instr(F.lower("text"), ":frame:") == 0)
+        & F.col("text").rlike(r"\S\z")
+    )
+    base = base.withColumn("fast", is_fast)
+
+    # slow route: the exact pre-factorization pipeline, payload-complete
+    slow_sigs = media_phash(
+        media_video_frames(
+            base.filter(~F.col("fast")).select(
+                "doc_id", F.lit("text/plain").alias("kind"), "payload"
+            ),
+            every_k,
+        )
+    )
+
+    fast = base.filter(F.col("fast"))
+    # PREFIX cells: distinct 3-gram windows over tokens 1..m-1 (none
+    # touches the rewritten last token), hashed once per video — the
+    # same zip-shift gram build as llm/text.shingles
+    wsp = F.slice(F.col("ws"), 1, F.col("m") - 1)
+    shifted = [wsp] + [
+        F.slice(wsp, d + 1, F.greatest(F.size(wsp) - d, F.lit(0)))
+        for d in (1, 2)
+    ]
+    z = F.slice(F.arrays_zip(*shifted), 1, F.size(wsp) - 2)
+    grams = F.transform(
+        z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"])
+    )
+    pcells = (
+        fast.select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
+        .selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h",
+        )
+        .selectExpr(
+            "doc_id",
+            f"CAST(h % {bits} AS INT) AS bin",
+            f"(h DIV {bits}) % 256 AS lum",
+        )
+        .groupBy("doc_id", "bin")
+        .agg(F.sum("lum").alias("pix"))
+        .withColumn(
+            "ptot", F.sum("pix").over(Window.partitionBy("doc_id"))
+        )
+    )
+    # TAIL rows: one md5 per sampled frame
+    tails = (
+        fast.select(
+            "doc_id",
+            F.element_at("ws", F.col("m") - 2).alias("w1"),
+            F.element_at("ws", F.col("m") - 1).alias("w2"),
+            F.element_at("ws", F.col("m")).alias("w3"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(every_k)
+                )
+            ).alias("fi"),
+        )
+        .select(
+            "doc_id",
+            "fi",
+            F.concat_ws(
+                " ",
+                "w1",
+                "w2",
+                F.concat(
+                    "w3", F.lit(":frame:"), F.col("fi").cast("string")
+                ),
+            ).alias("s"),
+        )
+        .selectExpr(
+            "doc_id",
+            "fi",
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h",
+        )
+        .selectExpr(
+            "doc_id",
+            "fi",
+            f"CAST(h % {bits} AS INT) AS fbin",
+            f"(h DIV {bits}) % 256 AS flum",
+        )
+    )
+    # pack: frame pix(bin) = prefix pix + tail lum when bins coincide;
+    # frame total = prefix total + tail lum, so the threshold rides the
+    # join row — no frame-volume window. The tail's own bit is added
+    # separately when its bin has no prefix cell.
+    j = pcells.join(tails, "doc_id").withColumn(
+        "contrib",
+        F.expr(
+            f"CASE WHEN (pix + IF(bin = fbin, flum, 0)) * {bits}"
+            " > ptot + flum"
+            " THEN shiftleft(CAST(1 AS BIGINT), bin)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ),
+    )
+    fast_sigs = (
+        j.groupBy("doc_id", "fi", "fbin", "flum", "ptot")
+        .agg(
+            F.sum("contrib").alias("pp"),
+            F.max(F.expr("IF(bin = fbin, 1, 0)")).alias("hit"),
+        )
+        .select(
+            (F.col("doc_id") * fk + F.col("fi")).alias("doc_id"),
+            (
+                F.col("pp")
+                + F.expr(
+                    f"CASE WHEN hit = 0 AND flum * {bits} > ptot + flum"
+                    " THEN shiftleft(CAST(1 AS BIGINT), fbin)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("phash"),
+        )
+    )
+    return fast_sigs.unionByName(slow_sigs)
+
+
+def video_frame_buckets(
+    media: DataFrame,
+    every_k: int = VIDEO_FRAME_STRIDE,
+    rotations: int = PHASH_ROTATIONS,
+) -> DataFrame:
+    """Frame-level pHash bucket index (fkey, phash, rot, bucket) —
+    identical rows to ``media_phash_buckets(media_video_frames(m))``,
+    built through the factored frame hasher above (r14 optimization:
+    one prefix-cell pass per video + one md5 per frame instead of a
+    full re-shingle per frame)."""
+    return _phash_buckets_of_sigs(
+        video_frame_phash_sigs(media, every_k), rotations
+    )
+
+
 def media_video_neardup(
     media: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
@@ -656,7 +855,7 @@ def media_video_neardup(
     Returns (doc_a, doc_b, matched_a, matched_b, frames_a, frames_b,
     match_frac) for video pairs with match_frac >= ``min_frac``."""
     return media_video_pairs_from_index(
-        media_phash_buckets(media_video_frames(media, every_k)),
+        video_frame_buckets(media, every_k),
         max_hamming,
         min_frac,
     )
@@ -780,7 +979,7 @@ def incremental_media_video_ingest(
     stream_media_phash_index_replay loop maintains, applied at frame
     keys). Returns the scored video pairs whose LARGER id is in the
     batch — exactly the full rebuild's pairs touching the batch."""
-    new_idx = media_phash_buckets(media_video_frames(new_media, every_k))
+    new_idx = video_frame_buckets(new_media, every_k)
     all_idx = corpus_index.unionByName(new_idx)
     return _video_pairs(
         all_idx, new_idx, _video_nframes(all_idx), max_hamming, min_frac
@@ -810,7 +1009,7 @@ def streaming_media_video_ingest_pairs(
     covering a corpus, the union of per-batch outputs equals
     `media_video_neardup` of the whole corpus."""
     fk = _FRAME_KEY
-    new_idx = media_phash_buckets(media_video_frames(new_media, every_k))
+    new_idx = video_frame_buckets(new_media, every_k)
     nframes = _video_nframes(corpus_index.unionByName(new_idx))
 
     def _norm_pairs(a_idx: DataFrame, b_idx: DataFrame, cond) -> DataFrame:

@@ -168,11 +168,15 @@ def ivf_batch_topk_from_state(
     codes = IdempotentParquetSink(
         os.path.join(ivf_state_dir(spark, sf_dir), "codes")
     ).read_committed(spark)
+    # r14 (the r13 weak finding): candidate vectors ride the pruned
+    # codes rows themselves (IVFFlat colocation, queries_ext9.
+    # ivf_state_dir) — no join against the full embeddings table; the
+    # embeddings parquet appears only as the nq-row query-vector read.
     cand = (
         codes.filter(F.col("cluster").isin(union_probes))
         .join(F.broadcast(probe_df), "cluster")
         .filter(F.col("vec_id") >= num_queries)
-        .select("qid", "vec_id")
+        .select("qid", "vec_id", "v")
     )
     qdf = e.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").cast("int").alias("qid"), F.col("v").alias("q")
@@ -180,8 +184,7 @@ def ivf_batch_topk_from_state(
     v, q = F.col("v"), F.col("q")
     cos = _dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q)))
     scored = (
-        cand.join(e, "vec_id")
-        .join(F.broadcast(qdf), "qid")
+        cand.join(F.broadcast(qdf), "qid")
         .select("qid", "vec_id", cos.alias("cosine"))
     )
     wd = Window.partitionBy("qid").orderBy(

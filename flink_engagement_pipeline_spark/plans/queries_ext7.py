@@ -263,10 +263,8 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_video_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cut = docs.agg(F.expr("max(doc_id) * 4 div 5").alias("c")).first()["c"]
-    corpus_idx = lm.media_phash_buckets(
-        lm.media_video_frames(
-            lm.docs_as_media(docs.filter(F.col("doc_id") < cut))
-        )
+    corpus_idx = lm.video_frame_buckets(
+        lm.docs_as_media(docs.filter(F.col("doc_id") < cut))
     )
     new = lm.docs_as_media(docs.filter(F.col("doc_id") >= cut))
     return lm.incremental_media_video_ingest(new, corpus_idx)
@@ -289,7 +287,7 @@ def run_media_video_index_replay(
         half = lm.docs_as_media(
             df.filter((F.col("doc_id") % 2) == F.lit(bid % 2))
         )
-        batch_idx = lm.media_phash_buckets(lm.media_video_frames(half))
+        batch_idx = lm.video_frame_buckets(half)
         index_sink.maybe_compact(spark, upto=bid, max_live_deltas=1)
         prev = index_sink.committed_paths(below=bid)
         if prev:
@@ -369,9 +367,7 @@ def q_media_video_index_delete(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    index = lm.media_phash_buckets(
-        lm.media_video_frames(lm.docs_as_media(docs))
-    )
+    index = lm.video_frame_buckets(lm.docs_as_media(docs))
     del_ids = docs.filter(F.col("doc_id") % 6 == 0).select(
         F.col("doc_id").alias("vid")
     )

@@ -1,0 +1,127 @@
+"""Round-14 optimization pins.
+
+Every optimization this round restructures an operator's internals
+while keeping its output bit-identical; these tests pin the equality
+(fast path == the pre-factorization pipeline) on the fixture AND on
+adversarial inputs that exercise every slow-route guard.
+"""
+
+from __future__ import annotations
+
+from flink_engagement_pipeline_spark.llm import multimodal as lm
+from flink_engagement_pipeline_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _sig_set(df):
+    return sorted((r["doc_id"], r["phash"]) for r in df.collect())
+
+
+def test_video_frame_sigs_fast_equals_direct_fixture(spark):
+    """The factored frame hasher (prefix cells + per-frame tail md5)
+    reproduces media_phash(media_video_frames(...)) bit-for-bit on the
+    fixture corpus — the identity every video-family query's oracle
+    hash rests on."""
+    media = lm.docs_as_media(load_table(spark, SF_DIR, "documents"))
+    direct = _sig_set(lm.media_phash(lm.media_video_frames(media)))
+    fast = _sig_set(lm.video_frame_phash_sigs(media))
+    assert fast == direct
+    assert len(fast) > 0
+
+
+def test_video_frame_sigs_fast_equals_direct_adversarial(spark):
+    """Every slow-route guard exercised: trailing whitespace (space,
+    tab, newline — the suffix would become its own token), ':frame:'
+    already in the text (tail/prefix distinctness would break, incl.
+    the case-folded ':FRAME:'), and < 4 normalized tokens (whole-text
+    shingle fallback). All must round-trip identical to the
+    pre-factorization pipeline."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon "),
+        (3, "alpha beta gamma delta\t"),
+        (4, "x y z"),
+        (5, "x y z w"),
+        (6, "one two"),
+        (7, ""),
+        (8, "weird token:frame:0 in text body here"),
+        (9, "CAPS :FRAME: suffix test doc body"),
+        (10, "a  b   c    d     e"),
+        (11, "ends with newline test doc\n"),
+        (12, "word " * 50),
+        (13, "singleword"),
+    ]
+    adv = spark.createDataFrame(rows, "doc_id bigint, text string")
+    media = lm.docs_as_media(adv)
+    direct = _sig_set(lm.media_phash(lm.media_video_frames(media)))
+    fast = _sig_set(lm.video_frame_phash_sigs(media))
+    assert fast == direct
+
+
+def test_video_frame_buckets_equal_old_composition(spark):
+    """The full factored index builder (sigs -> rotation buckets)
+    emits exactly the rows of the pre-factorization composition — the
+    persisted-state shape every lifecycle cell writes/reads."""
+    media = lm.docs_as_media(load_table(spark, SF_DIR, "documents"))
+    old = sorted(
+        tuple(r) for r in lm.media_phash_buckets(
+            lm.media_video_frames(media)
+        ).collect()
+    )
+    new = sorted(
+        tuple(r) for r in lm.video_frame_buckets(media).collect()
+    )
+    assert new == old
+
+
+def _formatted_plan(spark, name):
+    from flink_engagement_pipeline_spark.plans import REGISTRY
+
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_ivf_serve_reads_vectors_from_colocated_state(spark):
+    """The r13 verdict's weak finding closed, pinned in the plan: with
+    vectors colocated in the persisted IVF codes state (IVFFlat
+    layout), the exact-cosine serve paths read candidate vectors
+    through the SAME literal cluster-isin-pruned codes scan — the
+    embeddings parquet appears in each serve plan EXACTLY once, as the
+    id-keyed point read of the query vector(s) (a pushed vec_id
+    filter), never as a corpus-wide vector fetch."""
+    import re
+
+    for name in (
+        "docs_hybrid_retrieval_ivf",
+        "docs_hybrid_retrieval_batch_ivf",
+    ):
+        txt = _formatted_plan(spark, name)
+        assert txt.count("embeddings.parquet") == 1, (name, txt[:3000])
+        # the one embeddings scan carries a pushed vec_id filter
+        # (EqualTo for the single query, LessThan for the batch)
+        scan = next(
+            f for f in re.split(r"\(\d+\) Scan parquet", txt)
+            if "embeddings.parquet" in f[:2000]
+        )
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", scan).group(1)
+        assert "vec_id" in pushed, (name, pushed)
+        # and the codes scan is still cluster-isin pruned
+        assert re.search(r"cluster#\d+ IN \(", txt), name
+
+
+def test_video_fast_path_plan_has_no_python(spark):
+    """The factored path stays pure Catalyst: no Python evaluation,
+    no cartesian product in the physical plan."""
+    media = lm.docs_as_media(load_table(spark, SF_DIR, "documents"))
+    plan = (
+        lm.video_frame_buckets(media)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
