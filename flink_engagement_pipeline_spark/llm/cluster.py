@@ -355,10 +355,22 @@ def semantic_dedup(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = train_kmeans(emb, k, iters, impl=impl)
-    assigned = assign_clusters(e, cents, impl=impl)
+    # r14: the assignment projection (k x dim argmin per row) is
+    # referenced FOUR times downstream (pair-budget guard, both sides
+    # of the quadratic screen, the final keep/drop join) — checkpoint
+    # it once with the per-row norm already attached; the guard's
+    # collect materializes it, so every later reference reads blocks
+    # instead of re-running the scan + argmin. At real scale persist
+    # the assignment table explicitly (the pagerank edge-table note).
+    sided = assign_clusters(e, cents, impl=impl).select(
+        "vec_id",
+        "cluster",
+        "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+    ).localCheckpoint(eager=False)
     sizes = {
         r["cluster"]: r["n"]
-        for r in assigned.groupBy("cluster")
+        for r in sided.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -381,12 +393,6 @@ def semantic_dedup(
     # ops, same order: dot/(na*nb) multiplies the identical sqrt
     # values the inline form computed per pair, so the result is
     # bit-identical and the oracle mirrors it term for term.
-    sided = assigned.select(
-        "vec_id",
-        "cluster",
-        "v",
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
-    )
     a, b = sided.alias("a"), sided.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -419,7 +425,7 @@ def semantic_dedup(
         F.broadcast(dropped) if n_drop_upper <= _BROADCAST_ID_LIMIT else dropped
     )
     return (
-        assigned.select("vec_id", "cluster")
+        sided.select("vec_id", "cluster")
         .join(drop_side, "vec_id", "left")
         .select(
             "vec_id", "cluster", F.col("__dropped").isNull().alias("is_kept")
@@ -510,13 +516,17 @@ def semantic_dedup_ingest(
     index slice. The pair-budget guard extends to the ingest cross
     terms, and the keep/drop join carries the _BROADCAST_ID_LIMIT
     degrade. Returns (vec_id, cluster, is_kept) for every BATCH row."""
+    # r14: the batch assignment is referenced several times downstream
+    # (budget guard, screen side(s), keep/drop or union state) —
+    # checkpoint once, materialized by the guard's collect (the
+    # semantic_dedup device; batch-sized blocks)
     b_asg = assign_clusters(
         new_emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         ),
         cents,
         impl=impl,
-    )
+    ).localCheckpoint(eager=False)
     b_sizes = {
         r["cluster"]: r["n"]
         for r in b_asg.groupBy("cluster")
@@ -844,13 +854,17 @@ def streaming_semdedup_pairs(
     guard metadata), corpus vectors read id-keyed through that slice
     for the verify only, pair budget guarded, batch-sized work plus
     per-touched-cluster state reads."""
+    # r14: the batch assignment is referenced several times downstream
+    # (budget guard, screen side(s), keep/drop or union state) —
+    # checkpoint once, materialized by the guard's collect (the
+    # semantic_dedup device; batch-sized blocks)
     b_asg = assign_clusters(
         new_emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         ),
         cents,
         impl=impl,
-    )
+    ).localCheckpoint(eager=False)
     b_sizes = {
         r["cluster"]: r["n"]
         for r in b_asg.groupBy("cluster")

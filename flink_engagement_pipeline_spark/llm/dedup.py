@@ -848,16 +848,39 @@ def connected_components(
     via localCheckpoint to cut the growing lineage — the standard Spark
     iterative-algorithm discipline (GraphX/GraphFrames CC is this same
     loop industrialized).
-    """
+
+    Round 14 (guide §2.3/§2.4 — shuffle fewer bytes, fewer passes,
+    fewer jobs), three output-identical changes:
+    - the EDGE LIST is localCheckpointed once at entry (the pagerank
+      discipline): before, every round's neighbor-min join re-executed
+      the caller's whole pair-generation subtree (the Jaccard / pHash
+      pipelines — measured the dominant cost of every CC composition),
+      rounds x pairs-pipeline; now the pairs pipeline runs exactly
+      once and rounds read the pair-bounded edge blocks;
+    - propagation runs over the EDGE-ENDPOINT label set only, not the
+      corpus roster — an id with no incident pair can never change
+      its self-label, so carrying it through every round shuffled the
+      whole corpus x rounds for nothing at scale; singletons rejoin
+      once at the end (left join + coalesce — output identical,
+      endpoint set intersected with ``all_ids`` so ids outside the
+      roster still contribute nothing, exactly as before);
+    - each round is ONE action instead of two: the new-label frame
+      checkpoints lazily and the convergence count materializes it
+      (labels are monotone non-increasing, so "changed" = new < old,
+      computed in-flight — no label-vs-label join)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = all_ids.select(
-        F.col("doc_id"), F.col("doc_id").alias("label")
-    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .join(all_ids.select("doc_id"), "doc_id", "leftsemi")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=False)
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["doc_id"])
@@ -871,16 +894,13 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label"))
+                .alias("__chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     else:
@@ -894,7 +914,12 @@ def connected_components(
             f"iterations ({changed} labels still changing); raise "
             "max_iter for graphs with longer chains"
         )
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    # singletons (no incident pair) label themselves; a NULL id in
+    # all_ids keeps its NULL label, as before
+    return all_ids.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+    )
 
 
 def dedup_clusters(

@@ -214,7 +214,9 @@ def connected_components_star(
     )
     sig = _sig(e)
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the _sig job materializes it, so each round
+        # is ONE action instead of checkpoint-then-checksum (r14)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _sig(e)
         if new_sig == sig:
             # exact confirmation: a star forest is a fixpoint of
