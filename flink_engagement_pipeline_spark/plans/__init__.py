@@ -212,6 +212,38 @@ from . import queries_ext10  # noqa: F401,E402
 #       must-enter-on-birth rule) — the lightest slate any round has
 #       carried. hop_engagement_sum stays the single
 #       multi-million-row output in-window.
+#   round 14 (this list; OPTIMIZATION round — no new queries): [b] =
+#       the 16 queries whose PLAN SKELETONS materially changed under
+#       the round's output-identical optimizations (the [b] re-entry
+#       rule, the embedding_ivf_pq r13 precedent; the list is the
+#       mechanical gen_plans skeleton diff vs the r13 PLANS.md, plus
+#       the two non-snapshot-able streaming replays whose batch-side
+#       builds changed): the video frame-hash factoring
+#       (media_video_neardup + media_video_ingest +
+#       media_video_index_delete + stream_media_video_index_replay),
+#       the connected-components edge-checkpoint/endpoint-roster
+#       rework (docs_dedup_e2e + docs_dedup_e2e_portable +
+#       docs_dedup_clusters + docs_dedup_survivors_quality +
+#       media_dedup_survivors), the SemDeDup assignment checkpoint
+#       (embedding_semdedup + embedding_semdedup_ingest +
+#       embedding_semdedup_delete + stream_semdedup_index_replay),
+#       and the IVFFlat vector colocation in the persisted codes
+#       state (docs_hybrid_retrieval_ivf + docs_hybrid_retrieval_
+#       batch_ivf + embedding_ivf_recall). Every hash is unchanged —
+#       the re-entry proves it under the external gate, exactly what
+#       an optimization round owes the driver. docs_dedup_e2e rides
+#       [b] (materially changed AND the deferred r8 row — honouring
+#       the r13 deferral in one slot). [c] = the 15 remaining
+#       round-8-checked queries in registry
+#       order (small_quantity_revenue through embedding_ivf_delete —
+#       retiring the r8 block completely), then the 13 oldest
+#       round-9-checked (events_identity through
+#       nation_market_share). STREAMING BUDGET: 2 replays
+#       in-window (the video + semdedup maintenance loops, re-entering
+#       as materially changed — their batch-side builds are the
+#       factored/checkpointed code paths). hop_engagement_sum stays
+#       the single multi-million-row output in-window. After this
+#       round no last driver row predates round 9.
 #
 # Everything not listed keeps module import order after the priority block
 # and remains covered by tests/test_registry_oracle.py locally.
@@ -226,58 +258,62 @@ _PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_minhash_portable",
-    # -- [b] new in round 13 --
-    # (each addition displaces one backfill entry from the tail of [c])
-    "docs_hybrid_retrieval_batch_ivf",
-    "embedding_pq_ingest",
-    "embedding_pq_delete",
-    "stream_pq_index_replay",
-    "docs_bm25_compact",
-    "embedding_ivf_recall",
-    "embedding_ivf_pq_recall",
-    "docs_quality_calibration",
-    # materially changed this round (the [b] re-entry rule):
-    "embedding_ivf_pq",
-    # -- [c] backfill: oldest driver coverage first — the 10
-    # round-7-checked queries deferred by the r12 policy text, then
-    # the 26 oldest round-8-checked queries in registry order
-    # (docs_dedup_e2e deferred one round per the policy text above;
-    # the r8 tail re-enters next round) --
-    "embedding_ivf_ingest",
-    "docs_substring_dedup",
-    "docs_repeated_spans",
-    "docs_substring_scrub",
-    "events_latency_quantiles",
-    "embedding_knn_graph",
-    "docs_cc_star",
-    "parts_triangles",
-    "docs_bpe_perplexity",
-    "session_windows_dynamic",
-    "value_hour_correlation",
-    "user_retention_cohort",
-    "events_global_seq",
-    "click_to_purchase_latency",
-    "events_anomaly_zscore",
-    "user_activity_reconciliation",
-    "value_trimmed_mean",
-    "events_salted_sum",
-    "user_rfm_scores",
-    "parts_bought_together",
-    "user_markov_transitions",
-    "events_salted_join",
-    "docs_repetition",
+    # -- [b] materially changed in round 14 (the re-entry rule; no
+    # new queries in an optimization round — every hash unchanged,
+    # every plan skeleton changed by an output-identical
+    # optimization, re-proven under the external gate) --
+    # video frame-hash factoring:
+    "media_video_neardup",
+    "media_video_ingest",
+    "media_video_index_delete",
+    "stream_media_video_index_replay",
+    # connected-components edge-checkpoint / endpoint-roster rework:
+    "docs_dedup_e2e",
     "docs_dedup_e2e_portable",
-    "embedding_knn_join",
-    "embedding_ann_lsh",
-    "embedding_ann_ivf",
-    "media_resize",
-    "docs_simhash_pairs",
-    "docs_mixture_sample",
-    "docs_pii_redact",
-    "docs_span_dedup",
-    "shipmode_priority_counts",
-    "top_orders_by_revenue",
-    "late_ship_priority_counts",
+    "docs_dedup_clusters",
+    "docs_dedup_survivors_quality",
+    "media_dedup_survivors",
+    # SemDeDup assignment checkpoint:
+    "embedding_semdedup",
+    "embedding_semdedup_ingest",
+    "embedding_semdedup_delete",
+    "stream_semdedup_index_replay",
+    # IVFFlat vector colocation in the persisted codes state:
+    "docs_hybrid_retrieval_ivf",
+    "docs_hybrid_retrieval_batch_ivf",
+    "embedding_ivf_recall",
+    # -- [c] backfill: oldest driver coverage first — the 15
+    # remaining round-8-checked queries in registry order (retiring
+    # the r8 block; docs_dedup_e2e, its 16th member, rides [b]
+    # above), then the 12 oldest round-9-checked --
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "regional_revenue",
+    "returned_item_customers",
+    "brand_bracket_revenue",
+    "brand_supplier_counts",
+    "dominant_event_types",
+    "nation_pair_trade",
+    "customer_order_distribution",
+    "top_revenue_supplier",
+    "lone_late_suppliers",
+    "idle_rich_customers",
+    "cheapest_supplier_per_part",
+    "docs_minhash_index_delete",
+    "embedding_ivf_delete",
+    "events_identity",
+    "sink_projection",
+    "leaderboard_rank",
+    "distinct_users_by_type",
+    "approx_distinct_users",
+    "props_k_agg",
+    "daily_event_pivot",
+    "rollup_event_type",
+    "user_event_gaps",
+    "value_percentiles_by_type",
+    "docs_tokenize_ids",
+    "embedding_range_search",
+    "nation_market_share",
 )
 
 

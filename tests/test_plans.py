@@ -423,21 +423,22 @@ def test_gate_priority_window_covers_graded_surface():
     """The driver's correctness gate evaluates only the FIRST 50
     registered queries, and the window ROTATES per round so every
     query eventually gets an external driver-oracle row (policy text:
-    plans/__init__.py). This pins the round-13 rotation: the [a]
-    SENTINEL SWAP (docs_minhash_portable — same MinHash capability,
-    full hash oracle — replaces the permanently rows-only xxhash64
-    path, ending the gate's one non-green row; r12 verdict ask #6),
-    [b] = the 8 round-13 additions (the index-served batched hybrid,
-    the PQ codes family's three new lifecycle cells, BM25 physical
-    compaction, and the two served-ANN recall evals) plus 1
-    materially-changed re-entry (embedding_ivf_pq, serve re-pointed
-    at the persisted state), and [c] = the oldest-coverage re-proof
-    pass — the 10 deferred round-7-checked queries, then the 25
-    oldest round-8-checked in registry order (the r8 tail re-enters
-    next round). Streaming budget: 1 replay in-window
-    (stream_pq_index_replay, by the must-enter-on-birth rule) — the
-    lightest slate yet. Window budget: hop_engagement_sum stays the
-    single multi-million-row output."""
+    plans/__init__.py). This pins the round-14 rotation (the
+    OPTIMIZATION round — no new queries): [b] = the 16 queries whose
+    plan skeletons materially changed under the round's
+    output-identical optimizations (video frame-hash factoring,
+    connected-components edge-checkpoint/endpoint-roster rework,
+    SemDeDup assignment checkpoint, IVFFlat vector colocation — the
+    mechanical gen_plans skeleton diff vs the r13 PLANS.md plus the
+    two non-snapshot-able streaming replays whose batch-side builds
+    changed), re-entering by the [b] rule so the external gate
+    re-proves every hash unchanged; [c] = the 15 remaining
+    round-8-checked queries (retiring the r8 block; its 16th member
+    docs_dedup_e2e rides [b], honouring the r13 deferral), then the
+    13 oldest round-9-checked. Streaming budget: 2 replays in-window
+    (the video + semdedup maintenance loops, materially changed).
+    Window budget: hop_engagement_sum stays the single
+    multi-million-row output."""
     names = list(REGISTRY)
     window = names[:50]
     sentinels = [
@@ -445,62 +446,72 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_exact_dedup", "docs_jaccard_pairs",
         "docs_minhash_portable",
     ]
-    new_in_r13: list[str] = [
-        # every query registered during round 13 MUST be appended here
+    new_in_r14: list[str] = [
+        # every query registered during round 14 MUST be appended here
         # (and to _PRIORITY) the round it is added, displacing one
         # backfill entry from the tail each; materially-changed
-        # queries re-enter here too (policy class [b])
+        # queries re-enter here too (policy class [b]) — round 14 is
+        # an optimization round, so the block is ALL re-entries
+        "media_video_neardup",
+        "media_video_ingest",
+        "media_video_index_delete",
+        "stream_media_video_index_replay",
+        "docs_dedup_e2e",
+        "docs_dedup_e2e_portable",
+        "docs_dedup_clusters",
+        "docs_dedup_survivors_quality",
+        "media_dedup_survivors",
+        "embedding_semdedup",
+        "embedding_semdedup_ingest",
+        "embedding_semdedup_delete",
+        "stream_semdedup_index_replay",
+        "docs_hybrid_retrieval_ivf",
         "docs_hybrid_retrieval_batch_ivf",
-        "embedding_pq_ingest",
-        "embedding_pq_delete",
-        "stream_pq_index_replay",
-        "docs_bm25_compact",
         "embedding_ivf_recall",
-        "embedding_ivf_pq_recall",
-        "docs_quality_calibration",
-        "embedding_ivf_pq",
     ]
     backfill = [
-        # last driver row: CORRECTNESS_r07.json (first 10, the r12
-        # deferral honoured) then CORRECTNESS_r08.json — oldest-
-        # coverage blocks, registry order; docs_dedup_e2e (rows-only
-        # by design) is deferred one round per the policy text so
-        # this round's gate is fully hash-green; the r8 tail
-        # re-enters next round
-        "embedding_ivf_ingest", "docs_substring_dedup",
-        "docs_repeated_spans", "docs_substring_scrub",
-        "events_latency_quantiles", "embedding_knn_graph",
-        "docs_cc_star", "parts_triangles", "docs_bpe_perplexity",
-        "session_windows_dynamic",
-        "value_hour_correlation", "user_retention_cohort",
-        "events_global_seq", "click_to_purchase_latency",
-        "events_anomaly_zscore", "user_activity_reconciliation",
-        "value_trimmed_mean", "events_salted_sum", "user_rfm_scores",
-        "parts_bought_together", "user_markov_transitions",
-        "events_salted_join", "docs_repetition",
-        "docs_dedup_e2e_portable", "embedding_knn_join",
-        "embedding_ann_lsh", "embedding_ann_ivf", "media_resize",
-        "docs_simhash_pairs", "docs_mixture_sample",
-        "docs_pii_redact", "docs_span_dedup",
-        "shipmode_priority_counts", "top_orders_by_revenue",
-        "late_ship_priority_counts", "small_quantity_revenue",
+        # last driver row: CORRECTNESS_r08.json (the full remaining
+        # block — after this round no last driver row predates round
+        # 9) then the oldest CORRECTNESS_r09.json rows, registry order
+        "small_quantity_revenue", "large_volume_customers",
+        "regional_revenue", "returned_item_customers",
+        "brand_bracket_revenue", "brand_supplier_counts",
+        "dominant_event_types", "nation_pair_trade",
+        "customer_order_distribution", "top_revenue_supplier",
+        "lone_late_suppliers", "idle_rich_customers",
+        "cheapest_supplier_per_part", "docs_minhash_index_delete",
+        "embedding_ivf_delete",
+        "events_identity", "sink_projection", "leaderboard_rank",
+        "distinct_users_by_type", "approx_distinct_users",
+        "props_k_agg", "daily_event_pivot", "rollup_event_type",
+        "user_event_gaps", "value_percentiles_by_type",
+        "docs_tokenize_ids", "embedding_range_search",
+        "nation_market_share",
     ]
     expected = (
-        sentinels + new_in_r13
-        + backfill[: 50 - 6 - len(new_in_r13)]
+        sentinels + new_in_r14
+        + backfill[: 50 - 6 - len(new_in_r14)]
     )
     assert window == expected, (
         [n for n in expected if n not in window],
         [n for n in window if n not in expected],
     )
-    # streaming budget: 1 replay in-window — the NEW PQ maintenance
-    # replay (must enter on birth); no veteran replays ride this
-    # round's backfill blocks
+    # streaming budget: 2 replays in-window — the video + semdedup
+    # maintenance loops, re-entering as materially changed (their
+    # batch-side builds are the factored/checkpointed code paths)
     streaming = [n for n in window if n.startswith("stream_")]
-    assert streaming == ["stream_pq_index_replay"], streaming
-    # the sentinel swap's point: every window row is hash-oracled
+    assert streaming == [
+        "stream_media_video_index_replay", "stream_semdedup_index_replay",
+    ], streaming
+    # rows-only rows this round: the three permanently-no-oracle
+    # designs riding the rotation fairly (docs_dedup_e2e — the r13
+    # deferral honoured — plus the two sketch/approx r9 backfills);
+    # every other window row is hash-oracled
     rows_only = sorted(n for n in window if REGISTRY[n].oracle is None)
-    assert rows_only == [], rows_only
+    assert rows_only == [
+        "approx_distinct_users", "docs_dedup_e2e",
+        "value_percentiles_by_type",
+    ], rows_only
 
 
 def test_global_row_number_no_single_partition(spark, sf_dir):
