@@ -114,9 +114,21 @@ def newton_step(
     runs in EXACT integer arithmetic (dets ~1e18 exceed double's
     2^53); only the final division floats — mirroring the oracle's
     HUGEINT arithmetic bit-for-bit."""
+    if any(sums.get(k) is None for k in ("gs", "gb", "hss", "hsb", "hbb")):
+        raise ValueError(
+            "train_platt: NULL Newton sums — the feature frame is "
+            "empty (aggregating zero rows yields NULL); fit needs at "
+            "least one labelled row"
+        )
     gs, gb = sums["gs"], sums["gb"]
     hss, hsb, hbb = sums["hss"], sums["hsb"], sums["hbb"]
     det = hss * hbb - hsb * hsb
+    if det == 0:
+        raise ValueError(
+            "train_platt: singular Hessian (det == 0) — degenerate "
+            "input (constant quantized score s, or a single distinct "
+            "row); Platt scaling needs score variance to fit a slope"
+        )
     da = float(hbb * gs - hsb * gb) / float(det)
     db = float(hss * gb - hsb * gs) / float(det)
     a2 = math.floor((a - da) * _Q + 0.5) / _Q

@@ -82,7 +82,17 @@ def fold_postings(postings: DataFrame) -> DataFrame:
     serving over a compacted snapshot is hash-identical to serving
     over the raw delta union. Pass as ``transform=`` to the sink's
     ``compact``/``maybe_compact`` — bounded to durably-checkpointed
-    batch ids by the sink's ``upto`` discipline as ever."""
+    batch ids by the sink's ``upto`` discipline as ever.
+
+    NO-UPDATE CONTRACT (r13 ADVICE): ``max('dl')`` resolves dl per
+    (term, doc_id) on the assumption that every delta for a doc_id
+    carries the SAME dl — i.e. a delete-then-reingest replays
+    identical content, and a content UPDATE is expressed as delete +
+    a NEW doc_id. A re-ingest with changed content would leave mixed
+    dl values across the doc's term rows (shared terms folding to
+    max(dl_old, dl_new), new-only terms to dl_new), silently skewing
+    BM25 length normalization. Same contract applies to
+    ``bm25_serve``'s read-side fold."""
     return (
         postings.groupBy("term", "doc_id")
         .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))

@@ -328,7 +328,7 @@ def _write_codes(
         sink.write_batch(codes.withColumn("op", F.lit(op)), bid)
 
 
-_PQ_STATE_MEMO: dict[str, str] = {}
+_PQ_STATE_MEMO: dict = {}
 
 
 def pq_state_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -337,12 +337,21 @@ def pq_state_dir(spark: SparkSession, sf_dir: str) -> str:
     exactly-once sink under the memoized full-corpus quantizers — the
     TENTH lifecycle family's state, which embedding_ivf_pq's serve
     reads (r12 verdict ask #2: the encoded table was process-memoized,
-    not a persisted family with ingest/takedown/streaming cells)."""
-    key = os.path.abspath(sf_dir)
+    not a persisted family with ingest/takedown/streaming cells).
+
+    Keyed on the embeddings table's FILE IDENTITY (pq._memo_key:
+    semantic hash + per-file (path, size, mtime_ns)), not abspath
+    alone (r13 ADVICE): a fixture regenerated in place refreshes the
+    quantizer memo but an abspath key would keep serving the stale
+    persisted codes against the new codebooks — the silent-wrong-
+    answer mode _memo_key's docstring warns about."""
+    from ..llm.pq import _memo_key
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), _memo_key(emb))
     if key not in _PQ_STATE_MEMO:
         tmp = tempfile.mkdtemp(prefix="pq_state_")
         sink = IdempotentParquetSink(os.path.join(tmp, "codes"))
-        emb = load_table(spark, sf_dir, "embeddings")
         books, coarse = _pq_quantizers(emb)
         _write_codes(spark, sink, pq.encode_codes(emb, books, coarse), 0)
         _PQ_STATE_MEMO[key] = tmp

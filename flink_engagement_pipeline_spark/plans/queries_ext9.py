@@ -634,7 +634,7 @@ def q_docs_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fully index-served hybrid retrieval (BM25 postings + IVF codes)
 # ---------------------------------------------------------------------------
 
-_IVF_STATE_MEMO: dict[str, str] = {}
+_IVF_STATE_MEMO: dict = {}
 
 
 def ivf_state_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -651,15 +651,23 @@ def ivf_state_dir(spark: SparkSession, sf_dir: str) -> str:
     that prunes the codes scan, so serve IO is probed-lists-bounded —
     the previous (vec_id, cluster) layout forced every exact-cosine
     serve to re-scan the full embeddings table to fetch candidate
-    vectors (COMPUTE was candidate-bounded, IO corpus-bounded)."""
+    vectors (COMPUTE was candidate-bounded, IO corpus-bounded).
+
+    Keyed on the embeddings table's FILE IDENTITY (pq._memo_key:
+    semantic hash + per-file (path, size, mtime_ns)), not abspath
+    alone (r13 ADVICE): a fixture regenerated in place must MISS here
+    too, or the refreshed quantizer memo would serve against stale
+    persisted codes — the silent-wrong-answer mode _memo_key's
+    docstring warns about."""
     from ..llm import cluster as lc
     from ..llm import similarity as ls
+    from ..llm.pq import _memo_key
 
-    key = os.path.abspath(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), _memo_key(emb))
     if key not in _IVF_STATE_MEMO:
         tmp = tempfile.mkdtemp(prefix="ivf_state_")
         sink = IdempotentParquetSink(os.path.join(tmp, "codes"))
-        emb = load_table(spark, sf_dir, "embeddings")
         e = emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )

@@ -112,6 +112,26 @@ def test_ivf_serve_reads_vectors_from_colocated_state(spark):
         assert re.search(r"cluster#\d+ IN \(", txt), name
 
 
+def test_newton_step_guards_degenerate_inputs():
+    """r13 ADVICE: the exact 2x2 Newton solve must fail loudly — a
+    named ValueError — on a singular Hessian (constant score) or NULL
+    sums (empty frame), not a bare ZeroDivisionError/TypeError from
+    deep inside train_platt."""
+    import pytest
+
+    from flink_engagement_pipeline_spark.llm.classify import newton_step
+
+    with pytest.raises(ValueError, match="singular Hessian"):
+        newton_step(0.0, 0.0, {"gs": 1, "gb": 1, "hss": 4, "hsb": 2, "hbb": 1})
+    with pytest.raises(ValueError, match="NULL Newton sums"):
+        newton_step(0.0, 0.0, {"gs": None, "gb": None, "hss": None,
+                               "hsb": None, "hbb": None})
+    # sanity: a well-posed system still updates
+    a, b = newton_step(0.0, 0.0, {"gs": 3, "gb": 1, "hss": 5, "hsb": 1,
+                                  "hbb": 2})
+    assert (a, b) != (0.0, 0.0)
+
+
 def test_video_fast_path_plan_has_no_python(spark):
     """The factored path stays pure Catalyst: no Python evaluation,
     no cartesian product in the physical plan."""
