@@ -118,9 +118,17 @@ def main() -> None:
     ).save()
 
     def run_once(spec) -> float:
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        # guide §1.5: label the jobs so the UI/event logs attribute
+        # every stage to its query (thread-local, reset after)
+        spark.sparkContext.setJobDescription(f"bench: {spec.name}")
+        try:
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t0
+        finally:
+            spark.sparkContext.setJobDescription(None)
 
     # 5 runs (was 3): the host's interference windows are multi-second
     # and episodic, so two extra samples materially improve the odds
