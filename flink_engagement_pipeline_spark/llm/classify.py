@@ -153,7 +153,14 @@ def train_platt(
             .agg(*[F.sum(k).alias(k) for k in exprs])
             .first()
         )
-        a, b = newton_step(a, b, {k: int(row[k]) for k in exprs})
+        # pass raw values through newton_step's None guard BEFORE the
+        # int() coercion: an empty feature frame aggregates to NULL
+        # sums, and int(None) would raise a bare TypeError here,
+        # bypassing the named guard (r14 ADVICE)
+        sums = {k: row[k] for k in exprs}
+        if not any(v is None for v in sums.values()):
+            sums = {k: int(v) for k, v in sums.items()}
+        a, b = newton_step(a, b, sums)
     return a, b
 
 

@@ -123,6 +123,19 @@ def _memo_put(key: tuple, value) -> None:
             shutil.rmtree(os.path.dirname(old_val), ignore_errors=True)
     _codebook_memo[key] = value
 
+
+def _state_memo_evict(memo: dict, sf_key: str) -> None:
+    """Reclaim-and-evict a state-dir memo's superseded entries for one
+    fixture dir before inserting its fresh key: an in-place fixture
+    regeneration changes the file-identity half of the key, and
+    without eviction each regen strands the previous mkdtemp state
+    dir and grows the memo unboundedly in long-lived sessions (r14
+    ADVICE — the rmtree-reclaiming analog of ``_memo_put``)."""
+    import shutil
+
+    for old in [k for k in memo if k[0] == sf_key]:
+        shutil.rmtree(memo.pop(old), ignore_errors=True)
+
 PQ_M = 8        # subspaces
 PQ_SUBDIM = 8   # dims per subspace (PQ_M * PQ_SUBDIM == DIM)
 PQ_K = 16       # codes per subspace -> 4 bits/code, 8 bytes/vector

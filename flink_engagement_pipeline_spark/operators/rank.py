@@ -54,6 +54,29 @@ _SAMPLES_PER_PART = 20
 _SEED = 42
 
 
+def hex_prefix_pid(col: str, n_parts: int) -> Column:
+    """Range id for an ordering whose LEADING column is a lowercase
+    hex digest (md5 and friends): the first 4 hex chars scaled into
+    ``n_parts`` buckets. The digest is uniform by construction, so the
+    fixed arithmetic balances ranges as well as a boundary sample
+    would — with ZERO metadata jobs (no count pass, no sample pass;
+    r15, guide §2.4 fewer passes) and ONE parsed expression (never a
+    k-boundary Column loop — the py4j plan-build tax the house rules
+    name). Monotone non-decreasing in the digest (hex char order ==
+    string order == numeric order), which is the only property the
+    numbering device needs from a range id — offsets always come from
+    the actual per-range counts, so values are unconditionally
+    identical to the sampled form. NULL keys map to range 0,
+    consistent with nulls-first ascending order."""
+    return F.coalesce(
+        F.expr(
+            f"cast(cast(conv(substring({col}, 1, 4), 16, 10) as bigint)"
+            f" * {n_parts} div 65536 as int)"
+        ),
+        F.lit(0),
+    )
+
+
 def _literal_range_pid(
     df: DataFrame, cols: list[Column], n_parts: int
 ) -> Column:
@@ -105,17 +128,26 @@ def global_row_number(
     order_cols: list[Column | str],
     out: str = "row_num",
     num_partitions: int | None = None,
+    pid_expr: Column | None = None,
 ) -> DataFrame:
     """Exact global 1-based row numbers under a TOTAL order, with no
     single-partition exchange and no persisted relation. Triggers two
     metadata-sized driver jobs (boundary sample, per-range counts)
-    before returning the lazy numbered plan."""
+    before returning the lazy numbered plan — one job when the caller
+    supplies ``pid_expr``, a range id that is monotone non-decreasing
+    in the order (e.g. :func:`hex_prefix_pid` over a digest key):
+    uniform keys need no count or sample pass, and offsets still come
+    from the actual per-range counts, so values are identical."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # Field names are part of a struct's type: _literal_range_pid
     # aliases both the key and the boundary literals identically so
     # the comparison resolves.
-    parted = df.withColumn("__pid", _literal_range_pid(df, cols, n_parts))
+    parted = df.withColumn(
+        "__pid",
+        pid_expr if pid_expr is not None
+        else _literal_range_pid(df, cols, n_parts),
+    )
 
     counts = dict(
         (r["__pid"], r["cnt"])
@@ -143,6 +175,7 @@ def grouped_global_row_number(
     order_cols: list[Column | str],
     out: str = "row_num",
     num_partitions: int | None = None,
+    pid_expr: Column | None = None,
 ) -> DataFrame:
     """``row_number() OVER (PARTITION BY group ORDER BY ...)`` for a
     LOW-CARDINALITY group column, with no group-sized sort task — the
@@ -171,10 +204,18 @@ def grouped_global_row_number(
     subtree (not a parquet scan) should cut lineage first — the device
     scans its input three times (count, boundary sample + per-group
     counts, numbering), which is the right trade for a re-scannable
-    source and the wrong one for a 12-second join tree."""
+    source and the wrong one for a 12-second join tree. Supplying
+    ``pid_expr`` (a range id monotone in the order —
+    :func:`hex_prefix_pid` for digest keys) drops the count and
+    sample passes: one metadata job (per-group counts) before the
+    lazy numbered plan."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.withColumn("__pid", _literal_range_pid(df, cols, n_parts))
+    parted = df.withColumn(
+        "__pid",
+        pid_expr if pid_expr is not None
+        else _literal_range_pid(df, cols, n_parts),
+    )
 
     counts = (
         parted.groupBy(group_col, "__pid")

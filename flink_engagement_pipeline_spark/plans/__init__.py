@@ -285,7 +285,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- [c] backfill: oldest driver coverage first — the 15
     # remaining round-8-checked queries in registry order (retiring
     # the r8 block; docs_dedup_e2e, its 16th member, rides [b]
-    # above), then the 12 oldest round-9-checked --
+    # above), then the 13 oldest round-9-checked --
     "small_quantity_revenue",
     "large_volume_customers",
     "regional_revenue",

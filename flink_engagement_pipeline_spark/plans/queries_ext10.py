@@ -121,8 +121,64 @@ WITH {_hybrid_batch_lex_ctes()},
 {_hybrid_batch_fuse_sql()}"""
 
 
+def _probe_spark_min_nq() -> int:
+    """Batch-size gate for Spark-side probe selection (env-tunable):
+    below it the nq-vector collect + Python centroid ranking is
+    driver metadata (the declared nq=4 shape); at/above it the same
+    ranking runs as ONE parsed projection over the query vectors so
+    a 10k-query batch never pays O(nq·k·dim) driver Python (r13
+    advisory #2 / r14 verdict next-item #3)."""
+    return int(os.environ.get("SPARK_GRAFT_IVF_SPARK_PROBE_MIN_NQ", "64"))
+
+
+def _probe_pairs_spark(
+    e: DataFrame, cents: list[list[float]], num_queries: int, probes: int
+) -> list[tuple[int, int]]:
+    """(qid, cluster) probe pairs selected JVM-side: per query row the
+    k centroid distances as literal-SQL candidates (the
+    assign_clusters device — same sequential-fold arithmetic and
+    (dist, cluster) tie order as the driver loop's sorted()), sorted
+    and sliced to the probe count, exploded, and collected as
+    nq x probes ints — metadata regardless of batch size. Exactly one
+    job over an nq-row pushed-filter scan; the vectors themselves
+    never reach Python (guide §4: keep Python off the data path)."""
+    vv = (
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+    )
+    cands = []
+    for j, c in enumerate(cents):
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        dot = (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x)"
+        )
+        cands.append(
+            f"struct({vv} - 2.0D * {dot} + {float(_dot_py(c, c))!r}D AS d,"
+            f" {j} AS c)"
+        )
+    sel = (
+        f"transform(slice(array_sort(array({','.join(cands)})), 1, "
+        f"{probes}), s -> s.c) AS cls"
+    )
+    rows = (
+        e.filter(F.col("vec_id") < num_queries)
+        .selectExpr("cast(vec_id AS int) AS qid", sel)
+        .select("qid", F.posexplode("cls").alias("pos", "cluster"))
+        .collect()
+    )
+    return [
+        (r["qid"], r["cluster"])
+        for r in sorted(rows, key=lambda r: (r["qid"], r["pos"]))
+    ]
+
+
 def ivf_batch_topk_from_state(
-    spark: SparkSession, sf_dir: str, num_queries: int, k: int
+    spark: SparkSession,
+    sf_dir: str,
+    num_queries: int,
+    k: int,
+    spark_probe_min_nq: int | None = None,
 ) -> DataFrame:
     """Per-qid IVF-probed dense ranks (qid, doc_id, r) served from the
     PERSISTED codes table — the batch generalization of
@@ -151,18 +207,29 @@ def ivf_batch_topk_from_state(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = _centroids(emb)
-    qvecs = {
-        r["vec_id"]: [float(x) for x in r["v"]]
-        for r in e.filter(F.col("vec_id") < num_queries).collect()
-    }
-    probe_pairs = []
-    for qid in range(num_queries):
-        qv = qvecs[qid]
-        dists = sorted(
-            (_dot_py(qv, qv) - 2 * _dot_py(qv, c) + _dot_py(c, c), i)
-            for i, c in enumerate(cents)
-        )
-        probe_pairs += [(qid, cl) for _, cl in dists[:IVF_PROBES]]
+    gate = (
+        _probe_spark_min_nq()
+        if spark_probe_min_nq is None
+        else spark_probe_min_nq
+    )
+    if num_queries >= gate:
+        # large batches: probe ranking JVM-side, collect only the
+        # (qid, cluster) metadata pairs (r13 advisory #2; pin-tested
+        # rank-identical to the driver loop below)
+        probe_pairs = _probe_pairs_spark(e, cents, num_queries, IVF_PROBES)
+    else:
+        qvecs = {
+            r["vec_id"]: [float(x) for x in r["v"]]
+            for r in e.filter(F.col("vec_id") < num_queries).collect()
+        }
+        probe_pairs = []
+        for qid in range(num_queries):
+            qv = qvecs[qid]
+            dists = sorted(
+                (_dot_py(qv, qv) - 2 * _dot_py(qv, c) + _dot_py(c, c), i)
+                for i, c in enumerate(cents)
+            )
+            probe_pairs += [(qid, cl) for _, cl in dists[:IVF_PROBES]]
     union_probes = sorted({cl for _, cl in probe_pairs})
     probe_df = spark.createDataFrame(probe_pairs, "qid int, cluster int")
     codes = IdempotentParquetSink(
@@ -345,11 +412,12 @@ def pq_state_dir(spark: SparkSession, sf_dir: str) -> str:
     quantizer memo but an abspath key would keep serving the stale
     persisted codes against the new codebooks — the silent-wrong-
     answer mode _memo_key's docstring warns about."""
-    from ..llm.pq import _memo_key
+    from ..llm.pq import _memo_key, _state_memo_evict
 
     emb = load_table(spark, sf_dir, "embeddings")
     key = (os.path.abspath(sf_dir), _memo_key(emb))
     if key not in _PQ_STATE_MEMO:
+        _state_memo_evict(_PQ_STATE_MEMO, key[0])
         tmp = tempfile.mkdtemp(prefix="pq_state_")
         sink = IdempotentParquetSink(os.path.join(tmp, "codes"))
         books, coarse = _pq_quantizers(emb)

@@ -981,7 +981,7 @@ def manifest_index_of(gated: DataFrame, keep_fp: bool = False) -> DataFrame:
     state off the content fingerprint (the takedown's touched-fp
     set)."""
     from ..llm.pq import _memo_key
-    from ..operators.rank import grouped_global_row_number
+    from ..operators.rank import grouped_global_row_number, hex_prefix_pid
 
     narrow = split_tag(gated).select(
         "doc_id", "split", "n_tokens", "fp_md5"
@@ -996,6 +996,12 @@ def manifest_index_of(gated: DataFrame, keep_fp: bool = False) -> DataFrame:
     cols = ["doc_id", "split", "n_tokens", "sample_idx"] + (
         ["fp_md5"] if keep_fp else []
     )
+    # fp_md5 is uniform by construction, so the arithmetic hex-prefix
+    # range id replaces the device's count + sample passes (r15,
+    # §2.4 fewer passes; values unconditionally identical — offsets
+    # come from the actual per-(split, range) counts)
+    n_parts = gated.sparkSession.sparkContext.defaultParallelism
     return grouped_global_row_number(
-        ids, "split", ["fp_md5", "doc_id"], out="sample_idx"
+        ids, "split", ["fp_md5", "doc_id"], out="sample_idx",
+        pid_expr=hex_prefix_pid("fp_md5", n_parts),
     ).select(*cols)

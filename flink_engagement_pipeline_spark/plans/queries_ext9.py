@@ -661,11 +661,12 @@ def ivf_state_dir(spark: SparkSession, sf_dir: str) -> str:
     docstring warns about."""
     from ..llm import cluster as lc
     from ..llm import similarity as ls
-    from ..llm.pq import _memo_key
+    from ..llm.pq import _memo_key, _state_memo_evict
 
     emb = load_table(spark, sf_dir, "embeddings")
     key = (os.path.abspath(sf_dir), _memo_key(emb))
     if key not in _IVF_STATE_MEMO:
+        _state_memo_evict(_IVF_STATE_MEMO, key[0])
         tmp = tempfile.mkdtemp(prefix="ivf_state_")
         sink = IdempotentParquetSink(os.path.join(tmp, "codes"))
         e = emb.select(

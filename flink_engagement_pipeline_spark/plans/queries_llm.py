@@ -901,7 +901,7 @@ FROM tagged
     tags=("llm", "pipeline", "sampling", "manifest"),
 )
 def q_docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.rank import grouped_global_row_number
+    from ..operators.rank import grouped_global_row_number, hex_prefix_pid
 
     prep = corpus_prep_frame(spark, sf_dir)
     h = F.substring(
@@ -914,8 +914,14 @@ def q_docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = tagged.select(
         "doc_id", "split", "n_tokens", "fp_md5"
     ).localCheckpoint(eager=False)
+    # fp_md5 is uniform, so the arithmetic hex-prefix range id skips
+    # the device's count + sample passes (r15; values identical —
+    # offsets come from the actual per-(split, range) counts)
     return grouped_global_row_number(
-        ids, "split", ["fp_md5", "doc_id"], out="sample_idx"
+        ids, "split", ["fp_md5", "doc_id"], out="sample_idx",
+        pid_expr=hex_prefix_pid(
+            "fp_md5", spark.sparkContext.defaultParallelism
+        ),
     ).select("doc_id", "split", "n_tokens", "sample_idx")
 
 

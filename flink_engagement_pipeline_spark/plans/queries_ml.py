@@ -491,10 +491,19 @@ FROM documents
     tags=("llm", "corpus", "ordering", "sampling"),
 )
 def q_docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import hex_prefix_pid
+
     docs = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_EPOCH_SALT)))
     base = docs.select("doc_id", key.alias("shuffle_key"))
-    return global_row_number(base, ["shuffle_key", "doc_id"], out="sample_idx")
+    # shuffle_key is an md5 digest — uniform, so the arithmetic
+    # hex-prefix range id skips the device's count + sample passes
+    return global_row_number(
+        base, ["shuffle_key", "doc_id"], out="sample_idx",
+        pid_expr=hex_prefix_pid(
+            "shuffle_key", spark.sparkContext.defaultParallelism
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -154,12 +154,15 @@ def test_star_cc_chain_converges_where_label_prop_cannot(spark):
     assert len(labels) == 300
     assert all(r["cluster_id"] == 0 for r in labels)
     nodes = spark.range(300).select(F.col("id").alias("doc_id"))
+    # driver_max_edges=0 forces the distributed loop (the r15
+    # small-graph gate's union-find converges on any diameter)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(
             chain.select(
                 F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
             ),
             nodes,
+            driver_max_edges=0,
         ).collect()
 
 

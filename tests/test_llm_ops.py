@@ -228,12 +228,17 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
     )
     ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # driver_max_edges=0 forces the distributed loop — the
+    # non-convergence contract is the LOOP's (the r15 small-graph
+    # gate's union-find converges on any diameter and never raises)
     with pytest.raises(RuntimeError, match="did not converge"):
-        ld.connected_components(pairs, ids, max_iter=1)
+        ld.connected_components(pairs, ids, max_iter=1, driver_max_edges=0)
     # and with enough iterations the same chain converges to one cluster
     labels = {
         r["doc_id"]: r["cluster_id"]
-        for r in ld.connected_components(pairs, ids, max_iter=10).collect()
+        for r in ld.connected_components(
+            pairs, ids, max_iter=10, driver_max_edges=0
+        ).collect()
     }
     assert set(labels.values()) == {0}
 
