@@ -244,6 +244,46 @@ from . import queries_ext10  # noqa: F401,E402
 #       factored/checkpointed code paths). hop_engagement_sum stays
 #       the single multi-million-row output in-window. After this
 #       round no last driver row predates round 9.
+#   round 15 (this list; OPTIMIZATION round 2 — no new queries).
+#       POLICY AMENDMENT (r14 verdict ask #4): queries registered with
+#       ``oracle=None`` (docs_dedup_e2e, approx_distinct_users,
+#       value_percentiles_by_type, hll_user_reach, docs_minhash_pairs,
+#       ingest_kafka_payload, datagen_events — sketch/xxhash designs
+#       with no DuckDB twin BY DESIGN) are EXCLUDED from the window:
+#       the driver grades them "no_oracle" (rows_match null — it
+#       cannot even count oracle rows), so a window slot spent on them
+#       proves nothing externally; they stay registered, benched and
+#       covered by the local suite (rows-only + the family-level
+#       equivalence pins). r14 burned 3 of 50 slots this way
+#       (correct_pct capped at 94); r15 carries zero no-oracle rows.
+#       [b] = the 10 queries whose plans or value paths materially
+#       changed under this round's output-identical optimizations:
+#       the connected-components small-graph gate (driver union-find
+#       below a pair-count threshold — docs_dedup_e2e_portable +
+#       docs_dedup_clusters + docs_dedup_survivors_quality +
+#       media_dedup_survivors, the mechanical gen_plans skeleton
+#       diff; docs_dedup_e2e also drifted but is no-oracle, covered
+#       by the local refinement + CC-equivalence pins), the
+#       manifest-ingest state-prep checkpoint (docs_manifest_ingest,
+#       skeleton diff), and the arithmetic hex-prefix range id in the
+#       numbering device (corpus_manifest_multimodal +
+#       corpus_manifest_from_state + docs_manifest_delete +
+#       docs_training_manifest + docs_epoch_order — expression-level
+#       change, skeleton identical, __pid assignments differ so the
+#       external gate re-proves the values).
+#       [c] = oldest driver coverage first: the round-9-checked
+#       remainder (events_hdr_quantiles onward in registry order),
+#       then the oldest round-10-checked (cube_returnflag_status
+#       through events_bloom_prune). STREAMING BUDGET: 4 replays
+#       in-window (stream_replay_enriched + stream_windowed_replay +
+#       stream_join_replay + stream_abandoned_clicks_replay — the 4
+#       oldest r9-checked); the other 4 r9-checked replays
+#       (stream_session_replay, stream_minhash_index_replay,
+#       stream_simhash_index_replay, stream_media_phash_index_replay
+#       — unchanged since r9 and green in the local suite) defer to
+#       round 16, keeping the window at the r10/r12 slate of 4.
+#       hop_engagement_sum stays the single multi-million-row output
+#       in-window.
 #
 # Everything not listed keeps module import order after the priority block
 # and remains covered by tests/test_registry_oracle.py locally.
@@ -258,62 +298,62 @@ _PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_jaccard_pairs",
     "docs_minhash_portable",
-    # -- [b] materially changed in round 14 (the re-entry rule; no
+    # -- [b] materially changed in round 15 (the re-entry rule; no
     # new queries in an optimization round — every hash unchanged,
-    # every plan skeleton changed by an output-identical
-    # optimization, re-proven under the external gate) --
-    # video frame-hash factoring:
-    "media_video_neardup",
-    "media_video_ingest",
-    "media_video_index_delete",
-    "stream_media_video_index_replay",
-    # connected-components edge-checkpoint / endpoint-roster rework:
-    "docs_dedup_e2e",
+    # re-proven under the external gate). CC small-graph gate
+    # (skeleton diff; no-oracle docs_dedup_e2e excluded per the r15
+    # policy amendment):
     "docs_dedup_e2e_portable",
     "docs_dedup_clusters",
     "docs_dedup_survivors_quality",
     "media_dedup_survivors",
-    # SemDeDup assignment checkpoint:
-    "embedding_semdedup",
-    "embedding_semdedup_ingest",
-    "embedding_semdedup_delete",
-    "stream_semdedup_index_replay",
-    # IVFFlat vector colocation in the persisted codes state:
-    "docs_hybrid_retrieval_ivf",
-    "docs_hybrid_retrieval_batch_ivf",
-    "embedding_ivf_recall",
-    # -- [c] backfill: oldest driver coverage first — the 15
-    # remaining round-8-checked queries in registry order (retiring
-    # the r8 block; docs_dedup_e2e, its 16th member, rides [b]
-    # above), then the 13 oldest round-9-checked --
-    "small_quantity_revenue",
-    "large_volume_customers",
-    "regional_revenue",
-    "returned_item_customers",
-    "brand_bracket_revenue",
-    "brand_supplier_counts",
-    "dominant_event_types",
-    "nation_pair_trade",
-    "customer_order_distribution",
-    "top_revenue_supplier",
-    "lone_late_suppliers",
-    "idle_rich_customers",
-    "cheapest_supplier_per_part",
-    "docs_minhash_index_delete",
-    "embedding_ivf_delete",
-    "events_identity",
-    "sink_projection",
-    "leaderboard_rank",
-    "distinct_users_by_type",
-    "approx_distinct_users",
-    "props_k_agg",
-    "daily_event_pivot",
-    "rollup_event_type",
-    "user_event_gaps",
-    "value_percentiles_by_type",
-    "docs_tokenize_ids",
-    "embedding_range_search",
-    "nation_market_share",
+    # manifest-ingest state-prep checkpoint (skeleton diff):
+    "docs_manifest_ingest",
+    # arithmetic hex-prefix range id in the numbering device
+    # (expression-level change, __pid assignments differ):
+    "corpus_manifest_multimodal",
+    "corpus_manifest_from_state",
+    "docs_manifest_delete",
+    "docs_training_manifest",
+    "docs_epoch_order",
+    # -- [c] backfill: oldest driver coverage first — the
+    # round-9-checked remainder in registry order (4 of its 8 replays
+    # carried, 4 deferred to r16 under the streaming budget), then
+    # the 10 oldest round-10-checked --
+    "events_hdr_quantiles",
+    "cdc_retract_agg",
+    "events_partitioned_prune",
+    "hll_portable_reach",
+    "orders_scd2_history",
+    "lineitem_bucketed_join",
+    "stream_replay_enriched",
+    "stream_windowed_replay",
+    "stream_join_replay",
+    "stream_abandoned_clicks_replay",
+    "embedding_kmeans",
+    "embedding_pq_adc",
+    "embedding_quantize",
+    "docs_bm25",
+    "docs_unigram_logprob",
+    "events_ewma",
+    "docs_minhash_ingest",
+    "docs_pmi_bigrams",
+    "docs_quality_deciles",
+    "docs_simhash_index_delete",
+    "embedding_neardup_index_delete",
+    "media_phash_neardup",
+    "media_phash_ingest",
+    "media_phash_index_delete",
+    "cube_returnflag_status",
+    "promo_revenue",
+    "top_users_per_type",
+    "events_from_buyers",
+    "events_from_non_buyers",
+    "heavy_users",
+    "user_value_median",
+    "docs_tfidf",
+    "orders_events_interval_join",
+    "events_bloom_prune",
 )
 
 

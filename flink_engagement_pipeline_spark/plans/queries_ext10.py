@@ -616,13 +616,13 @@ def run_pq_index_replay(
 def _fold_op_codes(codes: DataFrame) -> DataFrame:
     """Semantic compaction transform for the PQ codes state: fold
     op-signed rows into net-op rows (live rows keep op=+1). Read-
-    equivalent under fold_codes because op sums are associative."""
-    cols = [c for c in codes.columns if c != "op"]
-    return (
-        codes.groupBy(*cols)
-        .agg(F.sum("op").cast("int").alias("op"))
-        .filter(F.col("op") != 0)
-    )
+    equivalent under fold_codes because op sums are associative.
+    r15: the identical fold is now the shared band-family device
+    (streaming/sinks.fold_op_rows); delegate so there is ONE
+    canonical immutable-row op fold."""
+    from ..streaming.sinks import fold_op_rows
+
+    return fold_op_rows(codes)
 
 
 @register(

@@ -821,7 +821,16 @@ def q_docs_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = int(
         docs.agg(F.expr("max(doc_id) * 4 div 5").alias("c")).first()["c"]
     )
-    state = corpus_prep_of(fan_out(docs.filter(F.col("doc_id") < cut)))
+    # r15 (§5 reuse expensive intermediates): the state-prep subtree
+    # is referenced TWICE (per-split base counts + the fp anti-join)
+    # and the optimizer does not reuse it (plan showed two full prep
+    # subtrees, zero ReusedExchange) — lineage-cut the payload-free
+    # (doc_id, fp_md5) projection once per run, so the corpus prep
+    # executes once instead of twice. No cross-run memo: every bench
+    # run still computes the prep from parquet.
+    state = corpus_prep_of(
+        fan_out(docs.filter(F.col("doc_id") < cut))
+    ).select("doc_id", "fp_md5").localCheckpoint(eager=False)
     bprep = corpus_prep_of(fan_out(docs.filter(F.col("doc_id") >= cut)))
 
     base = (

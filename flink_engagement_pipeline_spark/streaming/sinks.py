@@ -24,6 +24,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fold_op_rows(rows: DataFrame) -> DataFrame:
+    """PHYSICAL tombstone compaction transform for IMMUTABLE-ROW
+    op-signed index state — the band/bucket families (MinHash bands,
+    SimHash buckets, media pHash, video frame cells, hyperplane
+    buckets), where every index row is a pure function of the content
+    so a takedown's tombstone is the row itself with op=-1 (the LSM
+    convention the BM25/PQ families set; r13 advisory #3 / r14
+    verdict next-item #2). sum(op) per full row, drop net-zero rows,
+    KEEP the net op — the snapshot stays op-signed so later deltas
+    union cleanly and the fold is associative (fold(fold(A) ∪ B) ==
+    fold(A ∪ B), net -1 rows preserved for out-of-order
+    delete-then-reingest). Because rows never change for an id, the
+    live set of the folded state equals REBUILD-WITHOUT-X exactly
+    (pinned per family in pytest), so serving over a compacted
+    snapshot is hash-identical to serving over the raw delta union.
+    Pass as ``transform=`` to ``compact``/``maybe_compact`` — bounded
+    to durably-checkpointed ids by the sink's ``upto`` discipline as
+    ever."""
+    cols = [c for c in rows.columns if c != "op"]
+    return (
+        rows.groupBy(*cols)
+        .agg(F.sum("op").cast("int").alias("op"))
+        .filter(F.col("op") != 0)
+    )
+
+
+def live_op_rows(rows: DataFrame) -> DataFrame:
+    """Serve-side fold companion of :func:`fold_op_rows`: the live
+    index rows (net op > 0), op dropped — what the family's
+    pairs-from-index tail reads."""
+    cols = [c for c in rows.columns if c != "op"]
+    return fold_op_rows(rows).filter(F.col("op") > 0).select(*cols)
+
+
 class Sink(Protocol):
     """foreachBatch-compatible sink: one call per micro-batch.
 
