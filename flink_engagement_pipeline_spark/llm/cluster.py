@@ -41,6 +41,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.util import fan_out
 from .similarity import _dot
 
 _Q = 1_000_000.0
@@ -362,11 +363,19 @@ def semantic_dedup(
     # collect materializes it, so every later reference reads blocks
     # instead of re-running the scan + argmin. At real scale persist
     # the assignment table explicitly (the pagerank edge-table note).
-    sided = assign_clusters(e, cents, impl=impl).select(
-        "vec_id",
-        "cluster",
-        "v",
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+    # r15: fan_out BEFORE the checkpoint — the quadratic screen is a
+    # broadcast join whose PROBE side is this frame, so its task count
+    # (and the whole interpreted-fold screen's parallelism) is this
+    # frame's partition count, which inherited the fixture scan's ONE
+    # split (guide §2.5/§2.6; measured: the screen ran as a single
+    # task). No-op on real multi-split inputs.
+    sided = fan_out(
+        assign_clusters(e, cents, impl=impl).select(
+            "vec_id",
+            "cluster",
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        )
     ).localCheckpoint(eager=False)
     sizes = {
         r["cluster"]: r["n"]
@@ -520,12 +529,17 @@ def semantic_dedup_ingest(
     # (budget guard, screen side(s), keep/drop or union state) —
     # checkpoint once, materialized by the guard's collect (the
     # semantic_dedup device; batch-sized blocks)
-    b_asg = assign_clusters(
-        new_emb.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        ),
-        cents,
-        impl=impl,
+    # r15: fan_out first — the screen's broadcast-probe side inherits
+    # this frame's partition count (the semantic_dedup single-task
+    # finding); no-op on real multi-split inputs
+    b_asg = fan_out(
+        assign_clusters(
+            new_emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+            cents,
+            impl=impl,
+        )
     ).localCheckpoint(eager=False)
     b_sizes = {
         r["cluster"]: r["n"]
@@ -857,7 +871,10 @@ def streaming_semdedup_pairs(
     # r14: the batch assignment is referenced several times downstream
     # (budget guard, screen side(s), keep/drop or union state) —
     # checkpoint once, materialized by the guard's collect (the
-    # semantic_dedup device; batch-sized blocks)
+    # semantic_dedup device; batch-sized blocks). Unlike the batch
+    # ingest, NO fan_out here: a micro-batch is replay-sized (a
+    # repartition would be pure per-batch shuffle overhead), and the
+    # committed replay state must stay byte-identical to r14's.
     b_asg = assign_clusters(
         new_emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")

@@ -271,10 +271,18 @@ from . import queries_ext10  # noqa: F401,E402
 #       docs_training_manifest + docs_epoch_order — expression-level
 #       change, skeleton identical, __pid assignments differ so the
 #       external gate re-proves the values).
+#       Second r15 commit batch grows [b] by 9: the single-split
+#       fan_out fix (media pHash trio — moved up from [c] — and the
+#       video trio; mechanical skeleton diff) and the semdedup
+#       screen's fan_out-before-checkpoint (embedding_semdedup +
+#       _ingest + _delete — value path changed behind the checkpoint,
+#       skeleton identical, re-entered under the hex-prefix
+#       precedent; the semdedup/video/phash streaming replays are
+#       deliberately untouched and stay deferred).
 #       [c] = oldest driver coverage first: the round-9-checked
 #       remainder (events_hdr_quantiles onward in registry order),
 #       then the oldest round-10-checked (cube_returnflag_status
-#       through events_bloom_prune). STREAMING BUDGET: 4 replays
+#       through events_from_buyers). STREAMING BUDGET: 4 replays
 #       in-window (stream_replay_enriched + stream_windowed_replay +
 #       stream_join_replay + stream_abandoned_clicks_replay — the 4
 #       oldest r9-checked); the other 4 r9-checked replays
@@ -316,10 +324,24 @@ _PRIORITY: tuple[str, ...] = (
     "docs_manifest_delete",
     "docs_training_manifest",
     "docs_epoch_order",
+    # single-split fan_out fix, second r15 commit batch (skeleton
+    # diff; the media_phash trio moved up from [c]):
+    "media_phash_neardup",
+    "media_phash_ingest",
+    "media_phash_index_delete",
+    "media_video_neardup",
+    "media_video_ingest",
+    "media_video_index_delete",
+    # semdedup screen fan_out-before-checkpoint (value-path change
+    # behind the checkpoint, skeleton identical — the hex-prefix
+    # re-entry precedent; the streaming replay path is untouched):
+    "embedding_semdedup",
+    "embedding_semdedup_ingest",
+    "embedding_semdedup_delete",
     # -- [c] backfill: oldest driver coverage first — the
     # round-9-checked remainder in registry order (4 of its 8 replays
     # carried, 4 deferred to r16 under the streaming budget), then
-    # the 10 oldest round-10-checked --
+    # the oldest round-10-checked --
     "events_hdr_quantiles",
     "cdc_retract_agg",
     "events_partitioned_prune",
@@ -341,19 +363,10 @@ _PRIORITY: tuple[str, ...] = (
     "docs_quality_deciles",
     "docs_simhash_index_delete",
     "embedding_neardup_index_delete",
-    "media_phash_neardup",
-    "media_phash_ingest",
-    "media_phash_index_delete",
     "cube_returnflag_status",
     "promo_revenue",
     "top_users_per_type",
     "events_from_buyers",
-    "events_from_non_buyers",
-    "heavy_users",
-    "user_value_median",
-    "docs_tfidf",
-    "orders_events_interval_join",
-    "events_bloom_prune",
 )
 
 

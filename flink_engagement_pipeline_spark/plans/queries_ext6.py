@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..llm import dedup as ld
 from ..llm import multimodal as lm
 from ..llm import similarity as ls
+from ..operators.util import fan_out
 from ..sources.tables import load_table
 from ..streaming.sinks import IdempotentParquetSink
 from .registry import register
@@ -447,7 +448,12 @@ def q_embedding_neardup_index_delete(
 )
 def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return lm.media_phash_pairs(lm.docs_as_media(docs))
+    # r15: fan_out — the shingle+md5 signature pass inherits the
+    # fixture scan's ONE split and ran single-threaded (guide §2.5;
+    # the same device every text family applies). No-op on real
+    # multi-split inputs; applied at the corpus-scale callsites so
+    # the streaming replays' micro-batch paths stay byte-identical.
+    return lm.media_phash_pairs(fan_out(lm.docs_as_media(docs)))
 
 
 @register(
@@ -472,8 +478,10 @@ def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cut = docs.agg(F.expr("max(doc_id) * 4 div 5").alias("c")).first()["c"]
-    corpus = lm.docs_as_media(docs.filter(F.col("doc_id") < cut))
-    new = lm.docs_as_media(docs.filter(F.col("doc_id") >= cut))
+    # r15: fan_out both sides of the split — single-split scan fix
+    # (see q_media_phash_neardup); no-op on real multi-split inputs
+    corpus = fan_out(lm.docs_as_media(docs.filter(F.col("doc_id") < cut)))
+    new = fan_out(lm.docs_as_media(docs.filter(F.col("doc_id") >= cut)))
     corpus_index = lm.media_phash_buckets(corpus)
     return lm.incremental_media_phash_ingest(new, corpus_index)
 
@@ -500,7 +508,8 @@ def q_media_phash_index_delete(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    index = lm.media_phash_buckets(lm.docs_as_media(docs))
+    # r15: fan_out — single-split scan fix (see q_media_phash_neardup)
+    index = lm.media_phash_buckets(fan_out(lm.docs_as_media(docs)))
     del_ids = docs.filter(F.col("doc_id") % 6 == 0).select("doc_id")
     kept = index.join(F.broadcast(del_ids), "doc_id", "anti")
     return lm.media_phash_pairs_from_index(kept)

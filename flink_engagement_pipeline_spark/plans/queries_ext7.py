@@ -27,6 +27,7 @@ from ..llm import dedup as ld
 from ..llm import multimodal as lm
 from ..llm import similarity as ls
 from ..llm import text as lt
+from ..operators.util import fan_out
 from ..sources.tables import load_table
 from ..streaming.sinks import IdempotentParquetSink
 from .queries_ext6 import _EMB_STREAM_SCHEMA, _parity_replay
@@ -234,7 +235,12 @@ def q_stream_ivf_index_replay(
 )
 def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return lm.media_video_neardup(lm.docs_as_media(docs))
+    # r15: fan_out — the prefix-cell shingle+md5 pass and per-frame
+    # tail md5s inherit the fixture scan's ONE split and ran
+    # single-threaded (guide §2.5; the text families' device). No-op
+    # on real multi-split inputs; applied at corpus-scale callsites
+    # so the streaming replays' micro-batch paths stay byte-identical.
+    return lm.media_video_neardup(fan_out(lm.docs_as_media(docs)))
 
 
 @register(
@@ -263,10 +269,12 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_video_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cut = docs.agg(F.expr("max(doc_id) * 4 div 5").alias("c")).first()["c"]
+    # r15: fan_out both sides — single-split scan fix (see
+    # q_media_video_neardup); no-op on real multi-split inputs
     corpus_idx = lm.video_frame_buckets(
-        lm.docs_as_media(docs.filter(F.col("doc_id") < cut))
+        fan_out(lm.docs_as_media(docs.filter(F.col("doc_id") < cut)))
     )
-    new = lm.docs_as_media(docs.filter(F.col("doc_id") >= cut))
+    new = fan_out(lm.docs_as_media(docs.filter(F.col("doc_id") >= cut)))
     return lm.incremental_media_video_ingest(new, corpus_idx)
 
 
@@ -367,7 +375,8 @@ def q_media_video_index_delete(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    index = lm.video_frame_buckets(lm.docs_as_media(docs))
+    # r15: fan_out — single-split scan fix (see q_media_video_neardup)
+    index = lm.video_frame_buckets(fan_out(lm.docs_as_media(docs)))
     del_ids = docs.filter(F.col("doc_id") % 6 == 0).select(
         F.col("doc_id").alias("vid")
     )
@@ -481,7 +490,9 @@ def media_survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lm.media_phash_pairs(lm.docs_as_media(docs))
+    # r15: fan_out — single-split scan fix (guide §2.5; see
+    # queries_ext6.q_media_phash_neardup)
+    pairs = lm.media_phash_pairs(fan_out(lm.docs_as_media(docs)))
     cc = ld.connected_components(
         pairs.select("doc_a", "doc_b"), docs.select("doc_id")
     )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..llm import cluster as lc
 from ..llm import multimodal as lm
 from ..llm import similarity as ls
+from ..operators.util import fan_out
 from ..sources.tables import load_table
 from ..streaming.sinks import IdempotentParquetSink
 from .queries_ext6 import _EMB_STREAM_SCHEMA, _parity_replay
@@ -934,8 +935,10 @@ def q_corpus_manifest_multimodal(
         .select("doc_id")
     )
     docs = load_table(spark, sf_dir, "documents")
+    # r15: fan_out — single-split scan fix for the video-pair leg
+    # (guide §2.5; see queries_ext7.q_media_video_neardup)
     vdrop = (
-        lm.media_video_neardup(lm.docs_as_media(docs))
+        lm.media_video_neardup(fan_out(lm.docs_as_media(docs)))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

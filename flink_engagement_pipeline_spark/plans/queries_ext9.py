@@ -346,6 +346,7 @@ def media_state_dir(spark: SparkSession, sf_dir: str) -> str:
     measure the production READ path, not the rebuild."""
     key = os.path.abspath(sf_dir)
     if key not in _MEDIA_STATE_MEMO:
+        from ..operators.util import fan_out
         from .queries_ext7 import media_survivors_frame
 
         tmp = tempfile.mkdtemp(prefix="media_state_")
@@ -358,8 +359,10 @@ def media_state_dir(spark: SparkSession, sf_dir: str) -> str:
             .select("doc_id"),
             0,
         )
+        # r15: fan_out — single-split scan fix for the one-time video
+        # state build (guide §2.5; see queries_ext7)
         vdrop_sink.write_batch(
-            lm.media_video_neardup(lm.docs_as_media(docs))
+            lm.media_video_neardup(fan_out(lm.docs_as_media(docs)))
             .select(F.col("doc_b").alias("doc_id"))
             .distinct(),
             0,

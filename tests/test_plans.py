@@ -455,7 +455,11 @@ def test_gate_priority_window_covers_graded_surface():
         # policy amendment — no-oracle rows prove nothing externally),
         # the manifest-ingest state-prep checkpoint, and the 5 queries
         # whose __pid expressions changed under the hex-prefix range
-        # id (values re-proven by the external gate)
+        # id (values re-proven by the external gate); second r15
+        # commit batch: the single-split fan_out fix (media pHash +
+        # video families, skeleton diff) and the semdedup screen
+        # fan_out-before-checkpoint (value-path change behind the
+        # checkpoint, skeleton identical — the hex-prefix precedent)
         "docs_dedup_e2e_portable",
         "docs_dedup_clusters",
         "docs_dedup_survivors_quality",
@@ -466,6 +470,15 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_manifest_delete",
         "docs_training_manifest",
         "docs_epoch_order",
+        "media_phash_neardup",
+        "media_phash_ingest",
+        "media_phash_index_delete",
+        "media_video_neardup",
+        "media_video_ingest",
+        "media_video_index_delete",
+        "embedding_semdedup",
+        "embedding_semdedup_ingest",
+        "embedding_semdedup_delete",
     ]
     backfill = [
         # last driver row: the CORRECTNESS_r09.json remainder in
@@ -481,8 +494,9 @@ def test_gate_priority_window_covers_graded_surface():
         "docs_bm25", "docs_unigram_logprob", "events_ewma",
         "docs_minhash_ingest", "docs_pmi_bigrams",
         "docs_quality_deciles", "docs_simhash_index_delete",
-        "embedding_neardup_index_delete", "media_phash_neardup",
-        "media_phash_ingest", "media_phash_index_delete",
+        "embedding_neardup_index_delete",
+        # (the media_phash trio moved from here to the [b] block when
+        # the fan_out fix changed their skeletons mid-round)
         "cube_returnflag_status", "promo_revenue",
         "top_users_per_type", "events_from_buyers",
         "events_from_non_buyers", "heavy_users", "user_value_median",
