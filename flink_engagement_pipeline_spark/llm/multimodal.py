@@ -287,12 +287,24 @@ def media_phash(media: DataFrame) -> DataFrame:
     from .text import shingles
 
     bits = PHASH_BITS
-    base = media.select(
-        "doc_id",
-        shingles(F.col("payload").cast("string"), 3).alias("sh"),
-    )
+    # r15: the shingle array is exploded INLINE, never via a named
+    # intermediate column. explode of a bare attribute makes
+    # InferFiltersFromGenerate add a size(col)>0 filter that predicate
+    # pushdown then rewrites through the projection and BELOW the
+    # caller's fan_out exchange — re-evaluating the whole
+    # normalize+zip+concat+distinct shingle build once per row in the
+    # filter (on the pre-repartition split count) and again in the
+    # post-exchange projection. Measured 4x on the signature stage
+    # (1.56 -> 0.39 s at sf0.1); explode of a non-attribute expression
+    # gets no inferred filter, so the build runs exactly once inside
+    # Generate.
     binned = (
-        base.select("doc_id", F.explode("sh").alias("s"))
+        media.select(
+            "doc_id",
+            F.explode(
+                shingles(F.col("payload").cast("string"), 3)
+            ).alias("s"),
+        )
         .selectExpr(
             "doc_id",
             "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h",
@@ -376,9 +388,20 @@ def media_phash_pairs(
     rotation-bucket equi-join, verified by exact Hamming distance on
     the 60-bit hashes already in the index — no payload re-read at
     verify time, the same index-only verification the SimHash family
-    has. Never all-pairs."""
+    has. Never all-pairs.
+
+    r15: the freshly built index is lazily localCheckpointed — it
+    feeds BOTH sides of the candidate self-join, and exchange reuse
+    does not unify them (0 ReusedExchange in the executed plan; the
+    shingle build's lambda functions defeat plan canonicalization),
+    so the whole signature pipeline executed twice per build.
+    Measured 1.49 -> 1.27 s at sf0.1; narrow 4-column index rows, the
+    CC-edges checkpoint convention, no cross-run memo."""
     return media_phash_pairs_from_index(
-        media_phash_buckets(media, rotations), max_hamming
+        media_phash_buckets(media, rotations).localCheckpoint(
+            eager=False
+        ),
+        max_hamming,
     )
 
 
@@ -853,9 +876,20 @@ def media_video_neardup(
     CTE chain parameterized by the frames relation).
 
     Returns (doc_a, doc_b, matched_a, matched_b, frames_a, frames_b,
-    match_frac) for video pairs with match_frac >= ``min_frac``."""
+    match_frac) for video pairs with match_frac >= ``min_frac``.
+
+    r15: the freshly built frame index is lazily localCheckpointed —
+    the serving tail references it THREE times (both sides of the
+    frame-pair join + the frame-count dimension) and exchange reuse
+    does not unify them (0 ReusedExchange measured; lambda functions
+    defeat canonicalization), so the factored frame hasher still
+    executed per reference. Measured 2.44 -> 2.07 s at sf0.1; narrow
+    index rows, the CC-edges checkpoint convention, no cross-run
+    memo."""
     return media_video_pairs_from_index(
-        video_frame_buckets(media, every_k),
+        video_frame_buckets(media, every_k).localCheckpoint(
+            eager=False
+        ),
         max_hamming,
         min_frac,
     )

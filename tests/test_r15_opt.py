@@ -226,3 +226,102 @@ def test_cc_driver_gate_equals_loop_random(spark):
         ).collect()
     )
     assert fast == slow
+
+
+def test_media_phash_no_inferred_filter_duplication(spark, sf_dir):
+    """The pHash signature stage explodes the shingle array INLINE:
+    explode of a bare attribute makes InferFiltersFromGenerate add a
+    size(col)>0 filter that pushdown rewrites through the projection
+    and below the fan_out exchange — re-evaluating the whole shingle
+    build per row on the pre-repartition split (measured 4x on the
+    signature stage). Pin: no Filter in the executed plan re-evaluates
+    the shingle build (arrays_zip), and the values are unchanged
+    against the named-intermediate reference form."""
+    from pyspark.sql import Window
+
+    from flink_engagement_pipeline_spark.llm import multimodal as lm
+    from flink_engagement_pipeline_spark.llm.text import shingles
+    from flink_engagement_pipeline_spark.operators.util import fan_out
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = fan_out(lm.docs_as_media(docs))
+
+    plan = (
+        lm.media_phash(media)._jdf.queryExecution().executedPlan().toString()
+    )
+    dup_filters = [
+        ln
+        for ln in plan.splitlines()
+        if "Filter " in ln and "size(" in ln and "arrays_zip" in ln
+    ]
+    assert dup_filters == [], dup_filters
+
+    bits = lm.PHASH_BITS
+    base = media.select(
+        "doc_id", shingles(F.col("payload").cast("string"), 3).alias("sh")
+    )
+    binned = (
+        base.select("doc_id", F.explode("sh").alias("s"))
+        .selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h",
+        )
+        .selectExpr(
+            "doc_id",
+            f"CAST(h % {bits} AS INT) AS bin",
+            f"(h DIV {bits}) % 256 AS lum",
+        )
+    )
+    pix = binned.groupBy("doc_id", "bin").agg(F.sum("lum").alias("pix"))
+    w = Window.partitionBy("doc_id")
+    ref = (
+        pix.withColumn("tot", F.sum("pix").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN pix * {bits} > tot"
+                    " THEN shiftleft(CAST(1 AS BIGINT), bin)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("phash")
+        )
+    )
+    got = lm.media_phash(media)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_media_pair_builds_checkpoint_index_once(spark, sf_dir):
+    """The fresh-build pair compositions localCheckpoint their bucket
+    index before the multi-reference serving tail (exchange reuse does
+    not unify the references — 0 ReusedExchange measured, the lambda
+    functions defeat plan canonicalization). Pin: the built plans read
+    the index from a checkpoint scan (ExistingRDD/LogicalRDD), and the
+    pair outputs equal the tail applied to the raw (uncheckpointed)
+    index. (The checkpoint surfaces as a LogicalRDD leaf in the
+    optimized plan.)"""
+    from flink_engagement_pipeline_spark.llm import multimodal as lm
+    from flink_engagement_pipeline_spark.operators.util import fan_out
+    from flink_engagement_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = fan_out(lm.docs_as_media(docs))
+
+    for built, raw in [
+        (
+            lm.media_phash_pairs(media),
+            lm.media_phash_pairs_from_index(lm.media_phash_buckets(media)),
+        ),
+        (
+            lm.media_video_neardup(media),
+            lm.media_video_pairs_from_index(lm.video_frame_buckets(media)),
+        ),
+    ]:
+        assert (
+            "LogicalRDD"
+            in built._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert built.exceptAll(raw).count() == 0
+        assert raw.exceptAll(built).count() == 0
