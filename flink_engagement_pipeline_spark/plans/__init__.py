@@ -271,18 +271,21 @@ from . import queries_ext10  # noqa: F401,E402
 #       docs_training_manifest + docs_epoch_order — expression-level
 #       change, skeleton identical, __pid assignments differ so the
 #       external gate re-proves the values).
-#       Second r15 commit batch grows [b] by 9: the single-split
+#       Later r15 commit batches grow [b] by 10: the single-split
 #       fan_out fix (media pHash trio — moved up from [c] — and the
-#       video trio; mechanical skeleton diff) and the semdedup
-#       screen's fan_out-before-checkpoint (embedding_semdedup +
-#       _ingest + _delete — value path changed behind the checkpoint,
-#       skeleton identical, re-entered under the hex-prefix
-#       precedent; the semdedup/video/phash streaming replays are
-#       deliberately untouched and stay deferred).
+#       video trio; mechanical skeleton diff, then the inline-explode
+#       + index-checkpoint fixes ride the same six slots), the
+#       semdedup screen's fan_out-before-checkpoint
+#       (embedding_semdedup + _ingest + _delete — value path changed
+#       behind the checkpoint, skeleton identical, re-entered under
+#       the hex-prefix precedent; the semdedup/video/phash streaming
+#       replays are deliberately untouched and stay deferred), and
+#       embedding_pq_ingest (concurrent corpus/batch encode+write
+#       jobs — values identical, same precedent).
 #       [c] = oldest driver coverage first: the round-9-checked
 #       remainder (events_hdr_quantiles onward in registry order),
 #       then the oldest round-10-checked (cube_returnflag_status
-#       through events_from_buyers). STREAMING BUDGET: 4 replays
+#       through top_users_per_type). STREAMING BUDGET: 4 replays
 #       in-window (stream_replay_enriched + stream_windowed_replay +
 #       stream_join_replay + stream_abandoned_clicks_replay — the 4
 #       oldest r9-checked); the other 4 r9-checked replays
@@ -338,6 +341,9 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_semdedup",
     "embedding_semdedup_ingest",
     "embedding_semdedup_delete",
+    # concurrent corpus/batch encode+write jobs (build-side §2.6
+    # overlap; values identical, re-entered under the same precedent):
+    "embedding_pq_ingest",
     # -- [c] backfill: oldest driver coverage first — the
     # round-9-checked remainder in registry order (4 of its 8 replays
     # carried, 4 deferred to r16 under the streaming budget), then
@@ -366,7 +372,6 @@ _PRIORITY: tuple[str, ...] = (
     "cube_returnflag_status",
     "promo_revenue",
     "top_users_per_type",
-    "events_from_buyers",
 )
 
 

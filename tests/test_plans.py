@@ -479,6 +479,8 @@ def test_gate_priority_window_covers_graded_surface():
         "embedding_semdedup",
         "embedding_semdedup_ingest",
         "embedding_semdedup_delete",
+        # concurrent corpus/batch encode+write jobs (§2.6 overlap):
+        "embedding_pq_ingest",
     ]
     backfill = [
         # last driver row: the CORRECTNESS_r09.json remainder in
