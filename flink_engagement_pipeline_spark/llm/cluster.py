@@ -528,18 +528,18 @@ def semantic_dedup_ingest(
     # r14: the batch assignment is referenced several times downstream
     # (budget guard, screen side(s), keep/drop or union state) —
     # checkpoint once, materialized by the guard's collect (the
-    # semantic_dedup device; batch-sized blocks)
-    # r15: fan_out first — the screen's broadcast-probe side inherits
-    # this frame's partition count (the semantic_dedup single-task
-    # finding); no-op on real multi-split inputs
-    b_asg = fan_out(
-        assign_clusters(
-            new_emb.select(
-                "vec_id", F.col("embedding").cast("array<double>").alias("v")
-            ),
-            cents,
-            impl=impl,
-        )
+    # semantic_dedup device; batch-sized blocks). NO fan_out here,
+    # unlike semantic_dedup's corpus-side screen: the ingest screen is
+    # batch-sized, and the r15 interleaved bench measured the
+    # repartition as pure overhead at that size (1.81 -> 2.33 s) —
+    # while on a real multi-split daily batch the fan_out guard is a
+    # no-op anyway, so the device could only ever fire where it hurts.
+    b_asg = assign_clusters(
+        new_emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        cents,
+        impl=impl,
     ).localCheckpoint(eager=False)
     b_sizes = {
         r["cluster"]: r["n"]

@@ -279,7 +279,11 @@ from . import queries_ext10  # noqa: F401,E402
 #       (embedding_semdedup + _ingest + _delete — value path changed
 #       behind the checkpoint, skeleton identical, re-entered under
 #       the hex-prefix precedent; the semdedup/video/phash streaming
-#       replays are deliberately untouched and stay deferred), and
+#       replays are deliberately untouched and stay deferred —
+#       embedding_semdedup_ingest is NOT re-entered: its one candidate
+#       change, fan_out of the batch assignment, was measured a
+#       regression in the closing interleaved bench and reverted, so
+#       its plan and value path equal r14's), and
 #       embedding_pq_ingest (concurrent corpus/batch encode+write
 #       jobs — values identical, same precedent).
 #       [c] = oldest driver coverage first: the round-9-checked
@@ -339,7 +343,6 @@ _PRIORITY: tuple[str, ...] = (
     # behind the checkpoint, skeleton identical — the hex-prefix
     # re-entry precedent; the streaming replay path is untouched):
     "embedding_semdedup",
-    "embedding_semdedup_ingest",
     "embedding_semdedup_delete",
     # concurrent corpus/batch encode+write jobs (build-side §2.6
     # overlap; values identical, re-entered under the same precedent):
@@ -372,6 +375,7 @@ _PRIORITY: tuple[str, ...] = (
     "cube_returnflag_status",
     "promo_revenue",
     "top_users_per_type",
+    "events_from_buyers",
 )
 
 

@@ -477,7 +477,6 @@ def test_gate_priority_window_covers_graded_surface():
         "media_video_ingest",
         "media_video_index_delete",
         "embedding_semdedup",
-        "embedding_semdedup_ingest",
         "embedding_semdedup_delete",
         # concurrent corpus/batch encode+write jobs (§2.6 overlap):
         "embedding_pq_ingest",
